@@ -1,0 +1,59 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "sum_query_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end via a noop write (full computation, no
+driver-side result materialization cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from usda_food_data_pipeline_spark import registry
+from usda_food_data_pipeline_spark.session import get_spark
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name, fn in registry.queries().items():
+        t0 = time.time()
+        try:
+            run_query(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"bench error in {name}: {ex}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

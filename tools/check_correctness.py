@@ -1,0 +1,121 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, sorted
+column names, and an order-insensitive exact value comparison (floats
+must match bit-for-bit after the in-query rounding — the same bar the
+driver's value-hash sets).
+
+Usage: python tools/check_correctness.py [--sf-dir /root/testdata/sf0.01] [--only name,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from usda_food_data_pipeline_spark.sources.tables import TABLES
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "\0null"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\0null"  # NaN ≡ null for oracle parity
+        return repr(v)  # 17-sig-digit round-trip repr → bit-exact compare
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    return f"{type(v).__name__}:{v}"
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(name, spark_df, sql, con):
+    t0 = time.time()
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    spark_sec = time.time() - t0
+    res = {"query": name, "spark_rows": len(s_rows), "spark_sec": round(spark_sec, 2)}
+    if sql is None:
+        res["status"] = "rows_only"
+        res["ok"] = len(s_rows) >= 0
+        return res
+    o = con.sql(sql)
+    o_cols = o.columns
+    o_rows = o.fetchall()
+    res["oracle_rows"] = len(o_rows)
+    if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
+        res["status"] = "schema_mismatch"
+        res["spark_cols"] = s_cols
+        res["oracle_cols"] = o_cols
+        res["ok"] = False
+        return res
+    if len(s_rows) != len(o_rows):
+        res["status"] = "rowcount_mismatch"
+        res["ok"] = False
+        return res
+    sc = canon_rows([c.lower() for c in s_cols], s_rows)
+    oc = canon_rows([c.lower() for c in o_cols], o_rows)
+    if sc == oc:
+        res["status"] = "match"
+        res["ok"] = True
+    else:
+        diffs = [(a, b) for a, b in zip(sc, oc) if a != b]
+        res["status"] = "value_mismatch"
+        res["n_diff_rows"] = len(diffs)
+        res["first_diff"] = [list(diffs[0][0]), list(diffs[0][1])] if diffs else None
+        res["ok"] = False
+    return res
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from usda_food_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')")
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            res = compare(name, fn(spark, args.sf_dir), oracles.get(name), con)
+        except Exception as ex:  # noqa: BLE001
+            res = {"query": name, "status": "error", "error": str(ex)[:500], "ok": False}
+        if not res.get("ok"):
+            n_fail += 1
+        print(json.dumps(res))
+    print(json.dumps({"total_failures": n_fail}))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

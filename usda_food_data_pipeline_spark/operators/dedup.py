@@ -1,0 +1,248 @@
+"""Deduplication operators.
+
+``dedup_latest`` is the reference's D1 (SURVEY §2.3); the rest are the
+LLM-training-pipeline extensions (exact / MinHash-LSH / SimHash /
+n-gram-Jaccard / embedding-cosine near-dup). All hashing is built on
+``md5`` so the DuckDB oracle can reproduce the exact same signatures —
+no engine-private hash functions.
+
+Scale notes: every operator here is a pure DataFrame composition —
+shuffles only on the dedup/bucket keys, no driver-side iteration. The
+pairwise verification steps are always preceded by a blocking/bucketing
+join so the cross product never materializes globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_latest(
+    df: DataFrame, key_cols: list[str], order_col: str, keep: str = "max"
+) -> DataFrame:
+    """Keep exactly one row per key: the one with the greatest (or least)
+    ``order_col``.
+
+    Reference D1: sort by (gtin_upc asc, fdc_id desc) +
+    ``drop_duplicates(keep='first')``
+    (usda_branded_food_data_pipeline.py:68-69). Compiled to a
+    ``row_number`` window — deliberately NOT ``dropDuplicates``, which is
+    order-nondeterministic (SURVEY §4 custom rule 2). One shuffle on the
+    dedup key; at scale this is the minimal possible plan for the
+    semantics.
+    """
+    order = F.col(order_col).desc() if keep == "max" else F.col(order_col).asc()
+    w = Window.partitionBy(*key_cols).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup: canonical row per distinct content value.
+
+    Hash-groupBy on md5(content) (cheap fixed-width shuffle key instead of
+    the full text), keep the row with the smallest id. Partial
+    aggregation makes this one shuffle of (hash, min_id) pairs — at
+    100 TB the shuffle payload is 48 bytes/row regardless of document
+    size.
+    """
+    return (
+        df.withColumn("content_hash", F.md5(F.col(content_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- portable hashing helpers ---------------------------------------------
+# md5 hex → integer, using only arithmetic both Spark and DuckDB share.
+# Spark has conv(hex, 16, 10); DuckDB lacks conv, so the oracle rebuilds
+# the same value by positional nibble arithmetic — 12 hex chars < 2^48
+# stays exact in doubles and bigints on both engines.
+
+
+def md5_int(col: Column, seed: int, nibbles: int = 12) -> Column:
+    """Deterministic 48-bit integer hash of ``col`` under ``seed``,
+    reproducible in ANSI SQL (see ``oracle_md5_int_sql``)."""
+    h = F.md5(F.concat(F.lit(f"s{seed}:"), col))
+    return F.conv(F.substring(h, 1, nibbles), 16, 10).cast("bigint")
+
+
+def oracle_md5_int_sql(expr: str, seed: int, nibbles: int = 12) -> str:
+    """DuckDB twin of :func:`md5_int` (no conv(): nibble arithmetic)."""
+    h = f"md5('s{seed}:' || ({expr}))"
+    return (
+        f"CAST(list_sum(list_transform(range(1, {nibbles + 1}), "
+        f"i -> (strpos('0123456789abcdef', substr({h}, CAST(i AS INTEGER), 1)) - 1) "
+        f"* 16.0 ** ({nibbles} - i))) AS BIGINT)"
+    )
+
+
+def tokenize(col: Column) -> Column:
+    """Lower-cased whitespace tokens (empty tokens removed)."""
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """n-word shingles as strings; distinct. Built from transform over an
+    index sequence — pure Catalyst expressions, no UDF."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature: per hash-seed, the min md5_int over shingles.
+
+    ``array_min(transform(...))`` keeps the whole signature computation
+    inside codegen; one pass over the shingle array per hash.
+    """
+    return [
+        F.array_min(F.transform(shingles, lambda s, k=k: md5_int(s, k))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH candidate generation + exact Jaccard verification.
+
+    shingle → minhash → band → bucket-join: docs sharing any band bucket
+    become candidate pairs; candidates are verified with exact shingle
+    Jaccard. At scale the only shuffles are (a) the band-bucket
+    self-join key and (b) the final distinct — the classic
+    Broder/LSH layout. Output: (id_a, id_b, jaccard) with
+    jaccard >= threshold, id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id_"),
+        word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
+    ).select("doc_id_", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+
+    # band value = concat of its rows' minhashes; explode to (band_id, bucket)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id_", "shingles", F.explode(band_cols).alias("bb")
+    ).select("doc_id_", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id_") < F.col("b.doc_id_")),
+        )
+        .select(
+            F.col("a.doc_id_").alias("id_a"),
+            F.col("b.doc_id_").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.2,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs within a blocking key.
+
+    Blocked self-join (no global cross product): pairs only form inside
+    ``block_col`` groups, then exact shingle-set Jaccard. For 100 TB the
+    block key bounds the quadratic term; pick a key with bounded group
+    size (here: lang/source).
+    """
+    prepped = df.select(
+        F.col(block_col).alias("block_"),
+        F.col(id_col).alias("doc_id_"),
+        word_shingles(tokenize(F.col(text_col)), shingle_n).alias("sh"),
+    )
+    a, b = prepped.alias("a"), prepped.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_") == F.col("b.block_"))
+            & (F.col("a.doc_id_") < F.col("b.doc_id_")),
+        )
+        .select(
+            F.col("a.doc_id_").alias("id_a"),
+            F.col("b.doc_id_").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(tokens: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over distinct tokens.
+
+    Bit i is set iff the count of tokens whose md5-derived hash has bit i
+    set exceeds half the token count. Pure expression composition:
+    per-token hash once, then ``bits`` popcount folds. 16 bits keeps
+    every intermediate in exact-integer territory for the SQL oracle.
+    """
+    distinct_tokens = F.array_distinct(tokens)
+    hashes = F.transform(distinct_tokens, lambda t: md5_int(t, 999, nibbles=4))
+    n = F.size(distinct_tokens)
+    acc = F.lit(0).cast("bigint")
+    for i in range(bits):
+        ones = F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda s, h, i=i: s + F.floor(h / F.lit(2**i)) % 2,
+        )
+        acc = acc + F.when(ones * 2 > n, F.lit(2**i)).otherwise(0)
+    return acc
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-document SimHash fingerprint table (near-dup docs get close
+    fingerprints; pair generation = group by fingerprint bands)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(tokenize(F.col(text_col)), bits).alias("simhash"),
+    )

@@ -1,0 +1,48 @@
+"""Top-k, ordering, and sampling operators (SURVEY §2.3 D2-D4).
+
+``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — each
+partition keeps a k-row heap, only k rows per partition reach the driver
+side of the exchange. That plan is scale-safe for any k ≪ data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k. Pass a total order (include a unique tiebreaker
+    column) or the result is nondeterministic under ties."""
+    return df.orderBy(*order).limit(k)
+
+
+def seeded_sample(df: DataFrame, n: int, seed: int, key_col: str) -> DataFrame:
+    """Exact-n deterministic pseudo-random sample.
+
+    Reference D4: ``df.sample(n=100000, random_state=42)``
+    (utils/extract_small_sample_of_data.py:7). pandas' row picks are not
+    reproducible in Spark — and neither is ``rand(seed)``, whose stream
+    depends on partition layout. The engine instead derives randomness
+    from the data: order by ``xxhash64(seed, key)`` and take n. Content-
+    derived → identical under any partitioning or cluster size (SURVEY §7
+    hard part c). For approximate sampling at scale prefer
+    ``df.sample(fraction, seed)`` (no shuffle at all).
+    """
+    h = F.xxhash64(F.lit(seed), F.col(key_col))
+    return df.orderBy(h, F.col(key_col)).limit(n)
+
+
+def densest_rows(df: DataFrame, k: int, tiebreak_cols: list[str]) -> DataFrame:
+    """Top-k rows with the fewest nulls.
+
+    Reference D3: per-row NaN count + ``nsmallest(10)``
+    (utils/extract_most_populated_rows.py:4-6). ``tiebreak_cols`` must
+    form a unique key or the k-th boundary is nondeterministic.
+    """
+    from ..functions.cleaning import row_null_count
+
+    with_counts = df.withColumn("null_count", row_null_count(df.columns))
+    return with_counts.orderBy(
+        F.col("null_count"), *[F.col(c) for c in tiebreak_cols]
+    ).limit(k)

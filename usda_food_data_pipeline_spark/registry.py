@@ -1,0 +1,643 @@
+"""Query registry: the driver-facing inventory of implemented operators.
+
+Each entry pairs a PySpark DataFrame program with the equivalent ANSI SQL
+for the DuckDB oracle (``__spark_entry__.queries`` / ``oracle_sql``).
+Column names are aliased identically on both sides; doubles that pass
+through aggregation use the exact-decimal trick (functions.cleaning) so
+value hashes match bit-for-bit regardless of aggregation order.
+
+Queries whose semantics are not SQL-expressible (seeded sampling,
+streaming-only operators) register with ``oracle=None`` → the driver
+records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.cleaning import deterministic_avg, deterministic_sum
+from .operators.dedup import dedup_latest
+from .operators.pivot import group_avg_pivot
+from .operators.topk import densest_rows, seeded_sample
+from .plans.flagship import FLAGSHIP_ORACLE_SQL, flagship_query
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    doc: str = ""
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    def wrap(fn: QueryFn) -> QueryFn:
+        _SPECS.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return wrap
+
+
+def specs() -> list[QuerySpec]:
+    # Import side-effect modules that register additional queries.
+    from . import registry_vector  # noqa: F401
+    from . import registry_text  # noqa: F401
+    from . import registry_streaming  # noqa: F401
+
+    return list(_SPECS)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {s.name: s.fn for s in specs()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in specs() if s.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY §7 step 1)
+# ---------------------------------------------------------------------------
+
+register("flagship", FLAGSHIP_ORACLE_SQL, "reference pipeline on the star schema")(
+    flagship_query
+)
+
+
+# ---------------------------------------------------------------------------
+# D1: dedup-latest (usda_branded_food_data_pipeline.py:68-69)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_latest_order",
+    """
+    SELECT o_orderkey AS order_key, o_custkey AS customer_key,
+           o_orderstatus AS order_status,
+           round(o_totalprice, 2) AS order_total,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM (
+        SELECT o.*, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        FROM orders o
+    ) WHERE rn = 1
+    """,
+    "keep the max-orderkey order per customer (window row_number, not dropDuplicates)",
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return dedup_latest(orders, ["o_custkey"], "o_orderkey").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("customer_key"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.round("o_totalprice", 2).alias("order_total"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/J3: semi-join; left_anti as the complement (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_join_orders",
+    """
+    SELECT o_orderkey AS order_key, round(o_totalprice, 2) AS order_total
+    FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+    """,
+    "orders that have lineitems (left_semi ~ reference isin filter :85,:100)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return orders.join(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi"
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.round("o_totalprice", 2).alias("order_total"),
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey AS customer_key, upper(trim(c_name)) AS customer_name
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "customers with no orders (left_anti; generalization of reference ~contains P6)",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select(
+        F.col("c_custkey").alias("customer_key"),
+        F.upper(F.trim("c_name")).alias("customer_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/F1: project + rename + normalize (:70-74,83-85)
+# ---------------------------------------------------------------------------
+
+@register(
+    "project_rename_normalize",
+    """
+    SELECT c_custkey AS customer_key,
+           upper(trim(c_name)) AS customer_name,
+           upper(trim(c_mktsegment)) AS segment,
+           round(c_acctbal, 2) AS account_balance
+    FROM customer
+    """,
+    "5-col projection with renames and trim/upper normalization",
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("customer_key"),
+        F.upper(F.trim("c_name")).alias("customer_name"),
+        F.upper(F.trim("c_mktsegment")).alias("segment"),
+        F.round("c_acctbal", 2).alias("account_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/P7/F8: negated-contains filter + null-drop (:127-128,:154)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_not_contains",
+    """
+    SELECT p_partkey AS part_key, p_name AS part_name, p_type AS part_type
+    FROM part
+    WHERE (p_type NOT LIKE '%PROMO%' OR p_type IS NULL) AND p_name IS NOT NULL
+    """,
+    "drop rows whose type contains a token, keeping nulls (na=False semantics)",
+)
+def q_filter_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    keep = (~F.col("p_type").contains("PROMO")) | F.col("p_type").isNull()
+    return (
+        part.filter(keep)
+        .na.drop(subset=["p_name"])
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_type").alias("part_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: group-mean (:101)
+# ---------------------------------------------------------------------------
+
+@register(
+    "group_mean",
+    """
+    SELECT l_orderkey AS order_key, l_returnflag AS return_flag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(l_extendedprice) AS avg_price,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_orderkey, l_returnflag
+    """,
+    "collapse duplicate measurements by averaging (reference group-mean)",
+)
+def q_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey", "l_returnflag").agg(
+        deterministic_avg("l_extendedprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_returnflag").alias("return_flag"),
+        "avg_price",
+        "n_items",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 + J4: pivot long→wide with dimension-derived column names (:102-106)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pivot_avg_returnflag",
+    """
+    SELECT l_orderkey AS order_key,
+        CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(30,6)) END) AS DOUBLE)
+              / count(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS avg_price_a,
+        CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(30,6)) END) AS DOUBLE)
+              / count(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS avg_price_n,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(30,6)) END) AS DOUBLE)
+              / count(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS avg_price_r
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    "group-avg then pivot with explicit values; columns renamed per dimension map",
+)
+def q_pivot_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    piv = group_avg_pivot(
+        lineitem, "l_orderkey", "l_returnflag", "l_extendedprice",
+        ["A", "N", "R"],
+        rename={"A": "avg_price_a", "N": "avg_price_n", "R": "avg_price_r"},
+    )
+    return piv.withColumnRenamed("l_orderkey", "order_key")
+
+
+# ---------------------------------------------------------------------------
+# F5/F6: threshold null-out + round (:116-123)
+# ---------------------------------------------------------------------------
+
+@register(
+    "threshold_nullout",
+    """
+    SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+           round(CASE WHEN l_extendedprice <= 30000.0 THEN l_extendedprice END, 2) AS price_capped,
+           round(CASE WHEN l_quantity <= 25.0 THEN l_quantity END, 2) AS qty_capped
+    FROM lineitem
+    """,
+    "per-column threshold rule table: values above threshold become null",
+)
+def q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.round(F.when(F.col("l_extendedprice") <= 30000.0, F.col("l_extendedprice")), 2).alias("price_capped"),
+        F.round(F.when(F.col("l_quantity") <= 25.0, F.col("l_quantity")), 2).alias("qty_capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/D3: row null count + densest rows (utils/extract_most_populated_rows.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "densest_rows",
+    """
+    SELECT * FROM (
+        SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+               round(CASE WHEN l_extendedprice <= 30000.0 THEN l_extendedprice END, 2) AS price_capped,
+               round(CASE WHEN l_quantity <= 25.0 THEN l_quantity END, 2) AS qty_capped,
+               (CASE WHEN (CASE WHEN l_extendedprice <= 30000.0 THEN l_extendedprice END) IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN (CASE WHEN l_quantity <= 25.0 THEN l_quantity END) IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS null_count
+        FROM lineitem
+    ) ORDER BY null_count, order_key, line_number LIMIT 10
+    """,
+    "top-10 rows with fewest nulls (per-row null count + TakeOrdered)",
+)
+def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    capped = lineitem.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.round(F.when(F.col("l_extendedprice") <= 30000.0, F.col("l_extendedprice")), 2).alias("price_capped"),
+        F.round(F.when(F.col("l_quantity") <= 25.0, F.col("l_quantity")), 2).alias("qty_capped"),
+    )
+    return densest_rows(capped, 10, ["order_key", "line_number"])
+
+
+# ---------------------------------------------------------------------------
+# D2: global sort / top-k (:80 + TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+@register(
+    "global_sort_topk",
+    """
+    SELECT o_orderkey AS order_key, round(o_totalprice, 2) AS order_total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "top-100 orders by total price (heap-based TakeOrdered, no full sort)",
+)
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.round("o_totalprice", 2).alias("order_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4: seeded exact-n sample — rows-only (rand(seed) is engine-specific)
+# ---------------------------------------------------------------------------
+
+@register(
+    "seeded_sample",
+    None,
+    "deterministic exact-n sample: orderBy(rand(42), key).limit(n); rows-only check",
+)
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return seeded_sample(orders, 1000, 42, "o_orderkey").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("customer_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F3/F4/F7: scalar string/number functions (:76-79,:89-91,:158)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_functions",
+    """
+    SELECT p_partkey AS part_key,
+           upper(trim(p_brand)) || ' (' || upper(trim(p_type)) || ')' AS brand_label,
+           CAST(p_partkey AS VARCHAR) AS part_key_str,
+           round(p_retailprice, 2) AS retail_price,
+           p_retailprice / p_size AS price_per_size
+    FROM part
+    """,
+    "NAME (UNIT) concat, cast-to-string, rounding, derived ratio",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("part_key"),
+        F.concat(
+            F.upper(F.trim("p_brand")), F.lit(" ("), F.upper(F.trim("p_type")), F.lit(")")
+        ).alias("brand_label"),
+        F.col("p_partkey").cast("string").alias("part_key_str"),
+        F.round("p_retailprice", 2).alias("retail_price"),
+        (F.col("p_retailprice") / F.col("p_size")).alias("price_per_size"),
+    )
+
+
+@register(
+    "try_cast_round",
+    """
+    SELECT event_id,
+           round(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 2) AS k_value
+    FROM events
+    """,
+    "null-on-failure cast (pandas to_numeric(errors='coerce') analog) on JSON field",
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.round(
+            F.get_json_object("props", "$.k").try_cast("double"), 2
+        ).alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8/V3: row → key-value metadata document with nulls dropped
+# (utils/upload_data_to_pinecone.py:16)
+# ---------------------------------------------------------------------------
+
+@register(
+    "metadata_documents",
+    """
+    SELECT doc_id,
+           'doc_id=' || CAST(doc_id AS VARCHAR)
+           || '&lang=' || COALESCE(lang, '')
+           || '&source=' || COALESCE(source, '')
+           || '&n_chars=' || CAST(n_chars AS VARCHAR) AS metadata
+    FROM documents
+    """,
+    "serialize row metadata to a document string (engine also offers to_json)",
+)
+def q_metadata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc_id="), F.col("doc_id").cast("string"),
+            F.lit("&lang="), F.coalesce("lang", F.lit("")),
+            F.lit("&source="), F.coalesce("source", F.lit("")),
+            F.lit("&n_chars="), F.col("n_chars").cast("string"),
+        ).alias("metadata"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Headline analytics: TPC-H-style queries over the star schema (bench set)
+# ---------------------------------------------------------------------------
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1", TPCH_Q1_ORACLE, "pricing summary report (TPC-H Q1 shape)")
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            deterministic_sum("l_quantity").alias("sum_qty"),
+            deterministic_sum("l_extendedprice").alias("sum_base_price"),
+            deterministic_sum(disc_price).alias("sum_disc_price"),
+            deterministic_sum(charge).alias("sum_charge"),
+            deterministic_avg("l_quantity").alias("avg_qty"),
+            deterministic_avg("l_extendedprice").alias("avg_price"),
+            deterministic_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+            "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+            "avg_qty", "avg_price", "avg_disc", "count_order",
+        )
+    )
+
+
+TPCH_Q3_ORACLE = """
+SELECT l_orderkey AS order_key,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority AS order_priority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, order_key LIMIT 10
+"""
+
+
+@register("tpch_q3", TPCH_Q3_ORACLE, "shipping-priority top-10 (TPC-H Q3 shape)")
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(deterministic_sum(disc_price).alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .orderBy(F.col("revenue").desc(), "order_key")
+        .limit(10)
+    )
+
+
+TPCH_Q5_ORACLE = """
+SELECT n_name AS nation_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q5", TPCH_Q5_ORACLE, "local-supplier revenue by nation (TPC-H Q5 shape)")
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(deterministic_sum(disc_price).alias("revenue"))
+        .select(F.col("n_name").alias("nation_name"), "revenue")
+    )
+
+
+TPCH_Q6_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6", TPCH_Q6_ORACLE, "forecasting revenue-change filter-agg (TPC-H Q6 shape)")
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            deterministic_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine extensions beyond reference semantics: rollup + distinct agg
+# (SURVEY §2.5 "Spark gives them free")
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "hierarchical subtotals via rollup",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            deterministic_sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+            "g_flag", "g_status", "sum_qty", "n_rows",
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+    SELECT o_orderpriority AS order_priority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "count-distinct per group",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        F.col("o_orderpriority").alias("order_priority"), "n_customers", "n_orders"
+    )

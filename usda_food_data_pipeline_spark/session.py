@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+configs are cluster-safe: AQE re-plans joins/partitions at runtime, UTC
+session timezone keeps timestamp semantics portable, and Arrow is enabled
+for the (rare) pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "usda-food-data-pipeline-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``spark.sql.shuffle.partitions`` defaults to the local core count —
+    the 200 default over-parallelizes small local runs; on a real cluster
+    AQE coalescing makes the static number mostly irrelevant.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an externally-created session.
+
+    The driver harness passes its own SparkSession to ``entry``/``queries``;
+    only session-TZ matters for oracle parity (timestamps are compared
+    against a UTC-naive DuckDB), so pin it here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,66 @@
+"""Scans over the driver's star-schema parquet tables (TESTDATA.md).
+
+Reference analog: the 4 eager full-file CSV scans at
+``usda_branded_food_data_pipeline.py:141-144``. Here scans are lazy,
+columnar, and schema-on-read; Catalyst prunes columns and pushes
+predicates into the parquet reader, which is the behavior the reference
+lacked (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale.
+DIM_TABLES = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects. Read nanos as long (legacy conf, runtime-
+    settable) and expose ``ts`` as a microsecond timestamp (truncated,
+    matching DuckDB's ns→us cast) plus the raw ``ts_ns``."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
