@@ -1,0 +1,189 @@
+"""Vector similarity operators (SURVEY §2.7 V1/V2 + ANN extensions).
+
+Reference analog: Pinecone cosine top-k=10 over dim-1024 e5 embeddings
+(utils/upload_data_to_pinecone.py:26-27, usda-food-assistant/app.py:55-70).
+Here the index is a plain embeddings table (`vec_id, embedding
+array<float>, label`) and search is expressed as DataFrame ops:
+
+- exact: per-row dot-product fold (zip_with + aggregate — pure Catalyst
+  expressions, JVM-side, no UDF) + TakeOrderedAndProject. One scan, no
+  shuffle. At 100 TB this is the "re-rank" path.
+- IVF (inverted file): assign every vector to its nearest centroid
+  (broadcast the centroid set), search only the query's probe cluster.
+  The assignment is a one-off batch job (in production: persisted +
+  partitioned by centroid_id so a probe prunes partitions); the probe
+  then scans 1/n_centroids of the data.
+- near-dup pairs: blocked self-join on a coarse key (label / LSH
+  bucket), cosine over pairs.
+
+All arithmetic is double-precision sequential folds — bit-identical to
+DuckDB's ``list_dot_product`` on DOUBLE[] (verified empirically), so
+results are oracle-checkable exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (deterministic fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: score every vector against the (1-row) query
+    via a broadcast cross join, then TakeOrderedAndProject.
+
+    The reference's `index.query(top_k=10)` (app.py:63-68). Scale shape:
+    one full scan, k-row heaps per partition, k rows to the driver —
+    no shuffle of the data itself.
+    """
+    q = F.broadcast(query.select(as_double_array(vec_col).alias("_qvec")))
+    scored = embeddings.crossJoin(q).select(
+        F.col(id_col),
+        cosine(as_double_array(vec_col), F.col("_qvec")).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (ties → smallest
+    centroid id). Broadcast-join + max_by aggregation; one shuffle on
+    the vector id only if the input isn't already unique per row (it
+    is — so in practice this is shuffle-free with the broadcast)."""
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("_cid"),
+            as_double_array(vec_col).alias("_cvec"),
+        )
+    )
+    scored = embeddings.crossJoin(cent).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cid"),
+        cosine(as_double_array(vec_col), F.col("_cvec")).alias("_cscore"),
+    )
+    # argmax via max_by over a (score, -cid) struct → deterministic ties
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("_cid"), F.struct(F.col("_cscore"), (-F.col("_cid")).alias("neg"))
+        ).alias("centroid_id"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's nearest centroid's
+    cluster. At scale the assignment table is partitioned by
+    centroid_id → the probe is a partition-pruned scan of ~1/C of the
+    data, then the exact top-k path."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, centroid_id_col)
+    best_centroid = (
+        ivf_assign(query.select(F.lit(0).alias(id_col), F.col(vec_col)), centroids,
+                   id_col, vec_col, centroid_id_col)
+        .select(F.col("centroid_id").alias("_probe"))
+    )
+    probe_cluster = assigned.join(
+        F.broadcast(best_centroid), assigned.centroid_id == F.col("_probe"), "inner"
+    ).select(id_col, vec_col)
+    return cosine_topk(probe_cluster, query, k, id_col, vec_col)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine within a blocking key.
+
+    The blocking key bounds the quadratic self-join (at scale: an LSH
+    band or IVF centroid id instead of a label). Output (id_a, id_b,
+    score), id_a < id_b, score >= threshold.
+    """
+    prepped = embeddings.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        as_double_array(vec_col).alias("_v"),
+    )
+    a, b = prepped.alias("a"), prepped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force k-NN join: for every query vector, its k nearest
+    neighbors (excluding itself). Broadcast the (small) query set; the
+    big side streams once. Per-query top-k via window row_number."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+        )
+    )
+    scored = embeddings.crossJoin(q).filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(as_double_array(vec_col), F.col("_qv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

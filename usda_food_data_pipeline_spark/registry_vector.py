@@ -1,1 +1,136 @@
-"""Vector / similarity-search queries (filled in task 4)."""
+"""Vector / similarity-search queries (SURVEY §2.7).
+
+Oracle parity note: Spark-side cosine is a sequential double fold
+(operators/similarity.py); DuckDB's ``list_dot_product`` over DOUBLE[]
+is bit-identical to that fold (verified), so scores compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    knn_join,
+)
+from .registry import register
+from .sources.tables import load_table
+
+# DuckDB cosine between two DOUBLE[] expressions, same op structure as
+# operators.similarity.cosine: dot / (norm_a * norm_b).
+def _cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_cos('e.embedding::DOUBLE[]', 'q.qv')} AS score
+FROM embeddings e, q
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register(
+    "cosine_topk",
+    COSINE_TOPK_ORACLE,
+    "exact cosine top-10 (reference V2: index.query(top_k=10), app.py:63-68)",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return cosine_topk(emb, query, k=10)
+
+
+IVF_TOPK_ORACLE = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           {_cos('e.embedding::DOUBLE[]', 'c.cv')} AS cs
+    FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {_cos('q.qv', 'c.cv')} DESC, c.cid) AS rn
+        FROM q, cents c
+    ) WHERE rn = 1
+)
+SELECT a.vec_id, {_cos('a.embedding::DOUBLE[]', 'q.qv')} AS score
+FROM assigned a, q, probe WHERE a.cid = probe.cid
+ORDER BY score DESC, a.vec_id LIMIT 10
+"""
+
+
+@register(
+    "ivf_topk",
+    IVF_TOPK_ORACLE,
+    "IVF approximate top-10: probe only the query's nearest-centroid cluster",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    return ivf_topk(emb, centroids, query, k=10)
+
+
+NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS score
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= 0.3
+"""
+
+
+@register(
+    "embedding_neardup",
+    NEARDUP_ORACLE,
+    "embedding-cosine near-duplicate pairs within a blocking key",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3, block_col="label")
+
+
+KNN_JOIN_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_cos('e.embedding::DOUBLE[]', 'q.qv')} AS score
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register(
+    "knn_join",
+    KNN_JOIN_ORACLE,
+    "brute-force k-NN join: top-3 neighbors for each of 20 query vectors",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return knn_join(queries, emb, k=3)
