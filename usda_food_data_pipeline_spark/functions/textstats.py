@@ -1,0 +1,100 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure Catalyst expressions (no UDFs) so they run JVM-side inside
+whole-stage codegen, and every formula is reproducible in ANSI SQL for
+the DuckDB oracle (registry_text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.dedup import md5_int, tokenize
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language ID. Order matters: deterministic argmax tiebreak.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "los", "las", "y", "que", "es"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est"],
+}
+
+PUNCT_CLASS = "[^.,;:!?]"
+ALPHA_CLASS = "[^a-zA-Z]"
+ROLLING_MOD = 2147483647
+ROLLING_MULT = 31
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def stopword_hits(tokens: Column, stopwords: list[str]) -> Column:
+    """Count of tokens (with repeats) found in the stopword list."""
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-profile language classifier: the language whose profile
+    hits the most tokens; 'und' (undetermined) when no profile hits.
+    Ties resolve in LANG_PROFILES declaration order (first wins)."""
+    toks = tokenize(text)
+    scores = {lang: stopword_hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    langs = list(LANG_PROFILES)
+    expr = F.lit("und")
+    # Build CASE from last to first so earlier languages win ties.
+    for lang in reversed(langs):
+        others_not_greater = [
+            scores[lang] >= scores[o] for o in langs if langs.index(o) > langs.index(lang)
+        ]
+        others_strictly_less = [
+            scores[lang] > scores[o] for o in langs if langs.index(o) < langs.index(lang)
+        ]
+        cond = scores[lang] > 0
+        for c in others_not_greater + others_strictly_less:
+            cond = cond & c
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: mix of alphabetic ratio,
+    punctuation sparsity, and mean token length band. The exact formula
+    is arbitrary but deterministic — identical expression tree in SQL."""
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(text, ALPHA_CLASS, ""))
+    punct = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    toks = tokenize(text)
+    n_toks = F.size(toks)
+    alpha_ratio = alpha.cast("double") / n_chars
+    punct_ratio = punct.cast("double") / n_chars
+    mean_tok_len = alpha.cast("double") / n_toks
+    band = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        F.lit(0.5) * alpha_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.2) * band
+    )
+
+
+def bag_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token bag (near-dup docs with reordered words collide)."""
+    toks = F.array_sort(F.array_distinct(tokenize(text)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash over the token stream:
+    h = fold(h * 31 + md5_int(tok) mod p). Order-sensitive companion to
+    :func:`bag_fingerprint`."""
+    hashes = F.transform(tokenize(text), lambda t: md5_int(t, 7, nibbles=8))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * ROLLING_MULT + h) % ROLLING_MOD,
+    )

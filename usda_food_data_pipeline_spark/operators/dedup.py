@@ -171,9 +171,9 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        cand.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -201,7 +201,7 @@ def ngram_jaccard_pairs(
     )
     a, b = prepped.alias("a"), prepped.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size(F.array_union("a.sh", "b.sh"))
+    union = F.size("a.sh") + F.size("b.sh") - inter
     return (
         a.join(
             b,
@@ -211,7 +211,7 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.doc_id_").alias("id_a"),
             F.col("b.doc_id_").alias("id_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -228,14 +228,18 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
     distinct_tokens = F.array_distinct(tokens)
     hashes = F.transform(distinct_tokens, lambda t: md5_int(t, 999, nibbles=4))
     n = F.size(distinct_tokens)
-    acc = F.lit(0).cast("bigint")
-    for i in range(bits):
-        ones = F.aggregate(
+
+    def bit_votes(i: int):
+        # closure (not a default arg: PySpark counts lambda params)
+        return F.aggregate(
             hashes,
             F.lit(0).cast("bigint"),
-            lambda s, h, i=i: s + F.floor(h / F.lit(2**i)) % 2,
+            lambda s, h: s + F.floor(h / F.lit(2**i)).cast("bigint") % 2,
         )
-        acc = acc + F.when(ones * 2 > n, F.lit(2**i)).otherwise(0)
+
+    acc = F.lit(0).cast("bigint")
+    for i in range(bits):
+        acc = acc + F.when(bit_votes(i) * 2 > n, F.lit(2**i)).otherwise(0)
     return acc
 
 

@@ -1,1 +1,305 @@
-"""Text-analysis and dedup-suite queries (filled in tasks 5-6)."""
+"""Dedup-suite and text-analysis queries over the ``documents`` table.
+
+The oracle SQL is generated from the same constants as the Spark
+expressions (stopword profiles, hash seeds, shingle sizes), and all
+hashing goes through md5 — portable across engines — so even MinHash /
+SimHash signatures oracle-check exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.textstats import (
+    ALPHA_CLASS,
+    LANG_PROFILES,
+    PUNCT_CLASS,
+    ROLLING_MOD,
+    ROLLING_MULT,
+    bag_fingerprint,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    token_count,
+    tokenize,
+)
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    oracle_md5_int_sql,
+    simhash_fingerprints,
+)
+from .registry import register
+from .sources.tables import load_table
+
+# --- shared DuckDB fragments (twins of the Spark expressions) -------------
+
+TOKS_SQL = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"
+
+
+def shingles_sql(toks: str, n: int) -> str:
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks})-{n - 1}, 0)+1), "
+        f"i -> {parts}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    "exact-content dedup via hash-groupBy, canonical = min id",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs (blocked exact)
+# ---------------------------------------------------------------------------
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH prepped AS (
+    SELECT lang AS block_, doc_id, {shingles_sql(TOKS_SQL, 2)} AS sh FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM prepped a JOIN prepped b ON a.block_ = b.block_ AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    NGRAM_JACCARD_ORACLE,
+    "word-bigram Jaccard similarity pairs, blocked by lang",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.2, shingle_n=2)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES, _BANDS, _SHINGLE_N, _MH_THRESHOLD = 16, 8, 3, 0.2
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n        ".join(
+        f"list_min(list_transform(sh, s -> {oracle_md5_int_sql('s', k)})) AS mh_{k}"
+        for k in range(_NUM_HASHES)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, sh, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+        )
+        + " AS bucket FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH sh_t AS (
+    SELECT doc_id, {shingles_sql(TOKS_SQL, _SHINGLE_N)} AS sh FROM documents
+),
+sigs AS (
+    SELECT doc_id, sh,
+        {mh_cols}
+    FROM sh_t
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+FROM cand c JOIN sh_t x ON c.id_a = x.doc_id JOIN sh_t y ON c.id_b = y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {_MH_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    "MinHash(16)+LSH(8 bands) candidate pairs, verified by exact Jaccard",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle(bits: int = 16) -> str:
+    hashes = f"list_transform(list_distinct({TOKS_SQL}), t -> {oracle_md5_int_sql('t', 999, 4)})"
+    bit_terms = "\n         + ".join(
+        f"CASE WHEN 2 * list_sum(list_transform(hs, h -> CAST(floor(h / {2 ** i}.0) AS BIGINT) % 2)) "
+        f"> len(hs) THEN {2 ** i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hashes} AS hs FROM documents)
+SELECT doc_id,
+       CAST({bit_terms} AS BIGINT) AS simhash
+FROM h
+"""
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    "16-bit SimHash fingerprint per document (md5-derived bit votes)",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "doc_id", "text", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Token stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           len({TOKS_SQL}) AS n_tokens,
+           length(text) AS n_chars_actual,
+           CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)
+               / len({TOKS_SQL}) AS mean_token_len
+    FROM documents
+    """,
+    "whitespace/BPE-ish token counting + mean token length",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        F.length(text).alias("n_chars_actual"),
+        (
+            F.length(F.regexp_replace(text, ALPHA_CLASS, "")).cast("double")
+            / token_count(text)
+        ).alias("mean_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality score
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           0.5 * (CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE) / length(text))
+         + 0.3 * (1.0 - CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text))
+         + 0.2 * (CASE WHEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)
+                            / len({TOKS_SQL}) BETWEEN 3.0 AND 10.0
+                       THEN 1.0 ELSE 0.0 END) AS quality
+    FROM documents
+    """,
+    "length/punctuation/token-shape quality heuristic",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+
+def _langid_oracle() -> str:
+    langs = list(LANG_PROFILES)
+    scores = {
+        lang: (
+            "len(list_filter(toks, t -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], t)))"
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{scores[lang]} > 0"]
+        for j, o in enumerate(langs):
+            if j < i:
+                conds.append(f"{scores[lang]} > {scores[o]}")
+            elif j > i:
+                conds.append(f"{scores[lang]} >= {scores[o]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang AS labeled_lang, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, labeled_lang, {case_sql} AS predicted_lang FROM t
+"""
+
+
+@register(
+    "text_langid",
+    _langid_oracle(),
+    "stopword-profile language-ID heuristic vs the labeled lang column",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, t -> {oracle_md5_int_sql('t', 7, 8)})),
+               (acc, h) -> (acc * {ROLLING_MULT} + h) % {ROLLING_MOD}) AS rolling_fp
+    FROM t
+    """,
+    "bag-of-words md5 fingerprint + order-sensitive polynomial rolling hash",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bag_fingerprint(F.col("text")).alias("bag_fp"),
+        rolling_hash(F.col("text")).alias("rolling_fp"),
+    )
