@@ -1,0 +1,106 @@
+"""Streaming-mode tests: the same window functions that pass the batch
+oracle must run as Structured Streaming queries, and the stateful
+operator must accumulate across micro-batches."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from usda_food_data_pipeline_spark.sources.tables import load_events
+from usda_food_data_pipeline_spark.streaming.stateful import running_totals
+from usda_food_data_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Stage events as a micro-batch-friendly parquet dir with proper
+    microsecond timestamps (readStream can't take the raw NANOS file)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def test_tumbling_window_streaming_matches_batch(spark, sf_dir, events_dir):
+    stream = _stream(spark, events_dir)
+    q = (
+        tumbling_window_agg(stream, "1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT window_start, event_type, n_events, sum_value FROM tumbling_out"
+        ).collect()
+    finally:
+        q.stop()
+    batch = tumbling_window_agg(load_events(spark, sf_dir), "1 hour").collect()
+    # append-mode only emits windows older than the watermark; every
+    # emitted row must match its batch twin
+    batch_map = {(r["window_start"], r["event_type"]): r for r in batch}
+    assert len(got) > 0
+    for r in got:
+        b = batch_map[(r["window_start"], r["event_type"])]
+        assert (r["n_events"], r["sum_value"]) == (b["n_events"], b["sum_value"])
+
+
+def test_session_window_streaming_runs(spark, events_dir):
+    stream = _stream(spark, events_dir)
+    q = (
+        session_window_agg(stream, "30 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) c FROM session_out").collect()[0]["c"]
+    finally:
+        q.stop()
+    assert n > 0
+
+
+def test_stateful_running_totals(spark, events_dir):
+    stream = _stream(spark, events_dir)
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            # last update per key = the final running total
+            """SELECT event_type, total_events FROM (
+                   SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY total_events DESC) rn FROM totals_out)
+               WHERE rn = 1"""
+        ).collect()
+    finally:
+        q.stop()
+    got = {r["event_type"]: r["total_events"] for r in rows}
+    expected = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(events_dir).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got == expected

@@ -1,1 +1,93 @@
-"""Windowed/streaming-extension queries (filled in task 7)."""
+"""Windowed-aggregation queries (engine streaming extension, SURVEY §2.8).
+
+These run in batch mode over the static ``events`` table so the DuckDB
+oracle can check them; the same functions accept a readStream DataFrame
+unchanged (tests exercise that path). No reference file:line — marked
+extensions in SURVEY §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import register
+from .sources.tables import load_table
+from .streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+# events.ts is TIMESTAMP_NS in the parquet; cast to microseconds first
+# (matches the Spark-side load, sources/tables.load_events).
+TS_US = "CAST(ts AS TIMESTAMP)"
+
+
+@register(
+    "window_tumbling",
+    f"""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', {TS_US})) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "tumbling 1h window count+sum per event_type",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(events, "1 hour")
+
+
+@register(
+    "window_sliding",
+    f"""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '30 minutes', {TS_US}) AS w, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', {TS_US}) - INTERVAL '30 minutes' AS w, value
+        FROM events
+    )
+    SELECT CAST(epoch(w) AS BIGINT) AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY 1
+    """,
+    "sliding 1h/30m window count+sum (each event in 2 windows)",
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(events, "1 hour", "30 minutes")
+
+
+@register(
+    "window_session",
+    """
+    WITH ordered AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, us,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "session windows (30m gap) per user: gaps-and-islands oracle",
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return session_window_agg(events, "30 minutes")

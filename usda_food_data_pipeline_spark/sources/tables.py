@@ -45,7 +45,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).alias("ts"),
+        # integer DIV, not double division: ns values ~1.7e18 exceed
+        # double's 2^53 exact-integer range
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
         F.col("ts").alias("ts_ns"),
         "user_id",
         "event_type",

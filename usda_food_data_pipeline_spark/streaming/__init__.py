@@ -1,0 +1,3 @@
+from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
+
+__all__ = ["session_window_agg", "sliding_window_agg", "tumbling_window_agg"]
