@@ -303,3 +303,99 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         bag_fingerprint(F.col("text")).alias("bag_fp"),
         rolling_hash(F.col("text")).alias("rolling_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata plumbing (decode itself is stubbed — see
+# operators/multimodal.py; the metadata/framing contract is oracle-checked)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           md5(text) AS checksum,
+           greatest((strlen(text) - 1) // 64, 0) + 1 AS frame_count
+    FROM documents
+    """,
+    "binary payload metadata: byte length, checksum, frame-sample count",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.octet_length("text")
+    return docs.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("checksum"),
+        (F.greatest(F.floor((n - 1) / 64), F.lit(0)).cast("bigint") + 1).alias("frame_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hashing embedder (V1 featurizer) — summary stats are
+# oracle-checked (full vectors aren't comparable through the harness)
+# ---------------------------------------------------------------------------
+
+_EMBED_DIM = 64
+
+
+def _embed_oracle() -> str:
+    buckets = f"list_transform({TOKS_SQL}, tk -> {oracle_md5_int_sql('tk', 11)} % {_EMBED_DIM})"
+    return f"""
+WITH b AS (SELECT doc_id, {buckets} AS bk FROM documents),
+c AS (
+    SELECT doc_id,
+           list_transform(range(0, {_EMBED_DIM}),
+               i -> CAST(len(list_filter(bk, x -> x = i)) AS DOUBLE)) AS counts
+    FROM b
+),
+n AS (
+    SELECT doc_id, counts,
+           sqrt(list_sum(list_transform(counts, x -> x * x))) AS nrm
+    FROM c
+),
+e AS (
+    SELECT doc_id,
+           CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
+                ELSE counts END AS emb
+    FROM n
+)
+SELECT doc_id,
+       len(list_filter(emb, x -> x > 0)) AS n_nonzero,
+       list_aggregate(emb, 'max') AS top_value,
+       list_position(emb, list_aggregate(emb, 'max')) AS top_bucket
+FROM e
+"""
+
+
+@register(
+    "text_embed",
+    _embed_oracle(),
+    "hashing featurizer (V1 stand-in): nonzero buckets, dominant bucket",
+)
+def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational formulation of the hashing featurizer stats: explode →
+    bucket → two-level aggregate. Linear work, two shuffles on doc_id —
+    the shape that scales (the nested-array expression version does
+    O(dim) passes per derived column and falls out of codegen)."""
+    from .operators.dedup import md5_int, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    buckets = toks.select(
+        "doc_id", (md5_int(F.col("tok"), 11) % _EMBED_DIM).alias("bucket")
+    )
+    counts = buckets.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_nonzero"),
+        (
+            F.max("c").cast("double")
+            / F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double"))
+        ).alias("top_value"),
+        # first index holding the max == smallest bucket (1-based, to
+        # match array_position/list_position in the oracle)
+        (F.max_by(F.col("bucket"), F.struct(F.col("c"), -F.col("bucket"))) + 1).alias(
+            "top_bucket"
+        ),
+    )

@@ -1,0 +1,114 @@
+"""Sinks (SURVEY §2.1 S5-S7).
+
+- quoted CSV (reference ``to_csv(quoting=QUOTE_NONNUMERIC)``, :160)
+- partitioned parquet (the engine's internal format)
+- batched external-index sink with in-partition retry/backoff — the
+  Spark-shaped replacement for the reference's driver-side
+  ``iterrows`` + Pinecone upsert loop (utils/upload_data_to_pinecone.py:13-85).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def write_quoted_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Reference S5: quote all non-numeric fields. Spark's nearest is
+    ``quoteAll`` after string-casting the id columns the reference casts
+    (:158); numeric columns stay unquoted only in pandas — we document
+    the divergence and quote everything (stable for round-trip)."""
+    df.write.mode(mode).option("header", True).option("quoteAll", True).csv(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet — the scale path: partition pruning turns
+    key-range queries into file skips."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def upsert_batches(
+    df: DataFrame,
+    upsert: Callable[[list[dict]], None],
+    batch_size: int = 90,
+    max_retries: int = 15,
+    base_backoff_s: float = 0.01,
+) -> None:
+    """Reference S7 re-shaped for Spark: instead of a driver-side row
+    loop (utils/upload_data_to_pinecone.py:13), each partition batches
+    its own rows and retries with exponential backoff (:56-85 semantics:
+    batch 90, retries, 2^n backoff). ``upsert`` runs on executors —
+    it must be picklable and idempotent (at-least-once on task retry).
+    """
+
+    def handle_partition(rows: Iterator) -> None:
+        batch: list[dict] = []
+
+        def flush() -> None:
+            if not batch:
+                return
+            for attempt in range(max_retries):
+                try:
+                    upsert(batch)
+                    break
+                except Exception:  # noqa: BLE001
+                    if attempt == max_retries - 1:
+                        raise
+                    time.sleep(base_backoff_s * (2**attempt))
+            batch.clear()
+
+        for row in rows:
+            # null metadata fields dropped, reference P8 (:16)
+            batch.append({k: v for k, v in row.asDict().items() if v is not None})
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+
+    df.foreachPartition(handle_partition)
+
+
+def make_local_index_upsert(index_dir: str) -> Callable[[list[dict]], None]:
+    """A self-contained local 'vector index' target: each upsert call
+    appends a JSON-lines shard. Stands in for the external index so the
+    sink pattern is testable offline."""
+
+    def upsert(batch: list[dict]) -> None:
+        os.makedirs(index_dir, exist_ok=True)
+        shard = os.path.join(index_dir, f"shard-{os.getpid()}-{time.time_ns()}.jsonl")
+        with open(shard, "w", encoding="utf-8") as f:
+            for item in batch:
+                f.write(json.dumps(item, default=str) + "\n")
+
+    return upsert
+
+
+def build_embedding_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_path: str,
+    dim: int = 64,
+) -> None:
+    """Reference §3.2 made self-contained: embed + write a parquet
+    'index' table instead of a network upsert, so correctness is
+    checkable offline. The embedder is the deterministic featurizer
+    (functions.embed.embed_text); swap in a model-backed pandas_udf in
+    production."""
+    from ..functions.embed import embed_text_batch
+
+    (
+        df.select(
+            F.col(id_col),
+            embed_text_batch(dim)(F.col(text_col)).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
