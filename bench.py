@@ -26,10 +26,21 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """JIT/codegen + file-footer warmup so per-query timings measure the
+    queries, not one-time session costs."""
+    from usda_food_data_pipeline_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    spark.range(1_000_000).selectExpr("id % 10 AS k").groupBy("k").count().collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     spark = get_spark("bench")
+    warmup(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():

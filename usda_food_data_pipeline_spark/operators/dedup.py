@@ -90,27 +90,48 @@ def tokenize(col: Column) -> Column:
 
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:
-    """n-word shingles as strings; distinct. Built from transform over an
-    index sequence — pure Catalyst expressions, no UDF."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]),
+    """n-word shingles as strings; distinct.
+
+    Built by zipping n shifted slices of the token array — each token is
+    touched O(n) times. (The obvious transform-over-index-sequence with
+    ``element_at`` re-evaluates the token array per lookup and is ~13×
+    slower; measured at sf0.1.)
+    """
+    m = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    acc = F.slice(tokens, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(tokens, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    return F.array_distinct(acc)
+
+
+# MinHash mixing: ONE md5 per shingle, then k cheap affine permutations
+# h_k = (a_k·h + b_k) mod M — 16 md5 passes per shingle would dominate the
+# signature cost (measured ~16×). M = 2^31-1; h < M and a_k ≤ 2n+3 keeps
+# every product well inside int64 on any engine.
+MINHASH_MOD = 2147483647
+
+
+def _mix_params(k: int) -> tuple[int, int]:
+    return 2 * k + 3, 7919 * (k + 1)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature: per hash-seed, the min md5_int over shingles.
+    """MinHash signature via min-over-affine-mixes of a single md5-derived
+    base hash per shingle. All codegen'd array expressions; the base-hash
+    transform is shared across the k output columns (deterministic →
+    subexpression-eliminated)."""
+    base = F.transform(shingles, lambda s: md5_int(s, 0) % MINHASH_MOD)
 
-    ``array_min(transform(...))`` keeps the whole signature computation
-    inside codegen; one pass over the shingle array per hash.
-    """
-    return [
-        F.array_min(F.transform(shingles, lambda s, k=k: md5_int(s, k))).alias(f"mh_{k}")
-        for k in range(num_hashes)
-    ]
+    def mix(k: int) -> Column:
+        # closure, not default args — PySpark counts lambda params
+        a, b = _mix_params(k)
+        return F.array_min(
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_MOD)
+        )
+
+    return [mix(k).alias(f"mh_{k}") for k in range(num_hashes)]
 
 
 def minhash_lsh_pairs(
@@ -136,8 +157,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id_"),
         word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
     ).select("doc_id_", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+    # the signature table feeds three plan branches (banding + two
+    # candidate-verify attaches); persist it so shingling/hashing runs
+    # once — at cluster scale this is a materialized intermediate table
+    sig = sig.persist()
 
-    # band value = concat of its rows' minhashes; explode to (band_id, bucket)
+    # band value = concat of its rows' minhashes; explode to (band_id,
+    # bucket). The banded rows carry ONLY (doc_id, band, bucket) — the
+    # shingle arrays stay out of the self-join shuffle.
     band_cols = F.array(
         *[
             F.struct(
@@ -149,31 +176,32 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(
-        "doc_id_", "shingles", F.explode(band_cols).alias("bb")
-    ).select("doc_id_", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = sig.select("doc_id_", F.explode(band_cols).alias("bb")).select(
+        "doc_id_", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id_") < F.col("b.doc_id_")),
         )
-        .select(
-            F.col("a.doc_id_").alias("id_a"),
-            F.col("b.doc_id_").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id_").alias("id_a"), F.col("b.doc_id_").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify candidates with exact Jaccard: re-attach shingles to the
+    # (small) candidate set, then one fold per pair
+    sh = sig.select("doc_id_", "shingles")
+    verified = (
+        cand.join(sh.select(F.col("doc_id_").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id_").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union)
+        verified.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -183,7 +211,7 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    block_col: str,
+    block_col: str | Column,
     threshold: float = 0.2,
     shingle_n: int = 2,
 ) -> DataFrame:
@@ -191,29 +219,48 @@ def ngram_jaccard_pairs(
 
     Blocked self-join (no global cross product): pairs only form inside
     ``block_col`` groups, then exact shingle-set Jaccard. For 100 TB the
-    block key bounds the quadratic term; pick a key with bounded group
-    size (here: lang/source).
+    block key bounds the quadratic term — a coarse key (just lang)
+    leaves quadratic blocks; compose it with a length bucket (near-dups
+    have near-equal length) to keep group sizes bounded.
     """
+    block = F.col(block_col) if isinstance(block_col, str) else block_col
     prepped = df.select(
-        F.col(block_col).alias("block_"),
+        block.alias("block_"),
         F.col(id_col).alias("doc_id_"),
         word_shingles(tokenize(F.col(text_col)), shingle_n).alias("sh"),
-    )
-    a, b = prepped.alias("a"), prepped.alias("b")
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size("a.sh") + F.size("b.sh") - inter
-    return (
+    ).withColumn("sz", F.size("sh"))
+
+    # Inverted-index co-count instead of per-pair array_intersect: explode
+    # shingles, self-join on (block, shingle), count common shingles per
+    # pair. Work is sum-over-shingles of d² inside each block — bounded by
+    # the blocking key — and everything stays in codegen'd join+agg
+    # operators (per-pair set intersection allocates per call and dies at
+    # scale). Pairs with no common shingle never materialize (their
+    # jaccard is 0 < threshold).
+    ex = prepped.select("block_", "doc_id_", "sz", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    co = (
         a.join(
             b,
             (F.col("a.block_") == F.col("b.block_"))
+            & (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id_") < F.col("b.doc_id_")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id_").alias("id_a"),
             F.col("b.doc_id_").alias("id_b"),
-            (inter.cast("double") / union).alias("jaccard"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return (
+        co.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -139,12 +139,14 @@ def embedding_neardup_pairs(
     band or IVF centroid id instead of a label). Output (id_a, id_b,
     score), id_a < id_b, score >= threshold.
     """
+    # precompute norms once per row — one fold per PAIR instead of three
     prepped = embeddings.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
         as_double_array(vec_col).alias("_v"),
-    )
+    ).withColumn("_n", l2_norm(F.col("_v")))
     a, b = prepped.alias("a"), prepped.alias("b")
+    score = dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(
             b,
@@ -153,7 +155,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cosine(F.col("a._v"), F.col("b._v")).alias("score"),
+            score.alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

@@ -53,6 +53,7 @@ def specs() -> list[QuerySpec]:
     from . import registry_vector  # noqa: F401
     from . import registry_text  # noqa: F401
     from . import registry_streaming  # noqa: F401
+    from . import registry_ext  # noqa: F401
 
     return list(_SPECS)
 
@@ -206,7 +207,7 @@ def q_filter_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey AS order_key, l_returnflag AS return_flag,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
-                 / count(l_extendedprice) AS avg_price,
+                 / count(*) AS avg_price,
            count(*) AS n_items
     FROM lineitem GROUP BY l_orderkey, l_returnflag
     """,
@@ -214,14 +215,20 @@ def q_filter_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_orderkey", "l_returnflag").agg(
-        deterministic_avg("l_extendedprice").alias("avg_price"),
-        F.count(F.lit(1)).alias("n_items"),
-    ).select(
-        F.col("l_orderkey").alias("order_key"),
-        F.col("l_returnflag").alias("return_flag"),
-        "avg_price",
-        "n_items",
+    # l_extendedprice is non-null → one shared count serves both the
+    # divisor and n_items (one fewer aggregate function in the plan)
+    return (
+        lineitem.groupBy("l_orderkey", "l_returnflag")
+        .agg(
+            deterministic_sum("l_extendedprice").alias("price_sum"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_returnflag").alias("return_flag"),
+            (F.col("price_sum") / F.col("n_items")).alias("avg_price"),
+            "n_items",
+        )
     )
 
 

@@ -1,0 +1,294 @@
+"""Engine-extension queries widening the operator surface beyond the
+reference (SURVEY §2.4/2.5 'not present in the reference' lists): as-of
+join, range join, set ops, unpivot, running windows, exact percentile,
+posexplode, cube. Each is still oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.cleaning import deterministic_sum
+from .operators.asof import asof_join
+from .registry import register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.4: absent from the reference; classic PIT op)
+# ---------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+WITH r AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS side,
+           value AS v, NULL AS event_id
+    FROM events WHERE event_type = 'purchase'
+),
+l AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 1 AS side,
+           NULL AS v, event_id
+    FROM events
+),
+u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+c AS (
+    SELECT *,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+    FROM u
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, asof_value
+FROM c WHERE side = 1
+"""
+
+
+@register(
+    "asof_join_events",
+    ASOF_ORACLE,
+    "point-in-time join: latest prior purchase value per user at each event",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        events.select("event_id", "ts", "user_id"),
+        purchases,
+        ts_col="ts",
+        by_cols=["user_id"],
+        value_cols=["value"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (theta) join against a band dimension
+# ---------------------------------------------------------------------------
+
+BANDS = [(0.0, 100000.0, "LOW"), (100000.0, 300000.0, "MID"), (300000.0, 1e9, "HIGH")]
+
+RANGE_JOIN_ORACLE = f"""
+WITH bands(lo, hi, band) AS (VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in BANDS)})
+SELECT o_orderkey AS order_key, band
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+"""
+
+
+@register(
+    "range_join_bands",
+    RANGE_JOIN_ORACLE,
+    "range join: orders against price-band dimension (broadcast NLJ)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(BANDS, "lo double, hi double, band string")
+    return orders.join(
+        F.broadcast(bands),
+        (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+    ).select(F.col("o_orderkey").alias("order_key"), "band")
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops",
+    """
+    SELECT c_custkey AS customer_key FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "intersect/except distinct set algebra",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("customer_key")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("customer_key")
+    )
+    pending = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("customer_key")
+    )
+    return building.intersect(urgent).exceptAll(pending.distinct())
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long; inverse of A2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "unpivot_orders",
+    """
+    SELECT o_orderkey AS order_key, metric, val
+    FROM (SELECT o_orderkey, o_totalprice AS total_price,
+                 CAST(o_custkey AS DOUBLE) AS customer_key_d
+          FROM orders)
+    UNPIVOT (val FOR metric IN (total_price, customer_key_d))
+    """,
+    "unpivot/melt wide columns into (metric, value) rows",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_custkey").cast("double").alias("customer_key_d"),
+    )
+    return wide.unpivot(
+        ["o_orderkey"], ["total_price", "customer_key_d"], "metric", "val"
+    ).select(F.col("o_orderkey").alias("order_key"), "metric", "val")
+
+
+# ---------------------------------------------------------------------------
+# Running / analytic windows (lag, rank, cumulative sum)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_running",
+    """
+    SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+           row_number() OVER w AS order_seq,
+           lag(o_orderkey) OVER w AS prev_order_key,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    "per-customer order sequence: row_number, lag, running decimal sum",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        F.col("o_custkey").alias("customer_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_orderkey").over(w).alias("prev_order_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(wsum)
+        .cast("double").alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile (interpolated median over integer-valued doubles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "percentile_quantity",
+    """
+    SELECT l_returnflag AS return_flag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact interpolated median per group (+ min/max)",
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    ).select(
+        F.col("l_returnflag").alias("return_flag"), "median_qty", "min_qty", "max_qty"
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode / unnest with ordinality
+# ---------------------------------------------------------------------------
+
+@register(
+    "posexplode_tokens",
+    r"""
+    SELECT doc_id, s.pos, s.tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                   i -> {'pos': CAST(i - 1 AS INTEGER), 'tok': toks[i]})) AS s
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
+            FROM documents WHERE doc_id < 50
+        )
+    )
+    """,
+    "explode array to rows with position (flatten for token pipelines)",
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cube_agg",
+    """
+    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "cube over (returnflag, linestatus): all grouping sets",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        deterministic_sum("l_quantity").alias("sum_qty"),
+    ).select(
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+        "g_flag", "g_status", "n_rows", "sum_qty",
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-data regexp extraction (F9/F10 analogs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "regexp_extract_unit",
+    r"""
+    SELECT p_partkey AS part_key,
+           upper(trim(p_brand)) || ' (' || upper(trim(p_type)) || ')' AS label,
+           regexp_extract(upper(trim(p_brand)) || ' (' || upper(trim(p_type)) || ')',
+                          '\(([^)]*)\)$', 1) AS unit
+    FROM part
+    """,
+    "parse trailing '(UNIT)' from composite labels (reference :119 in-data)",
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    label = F.concat(
+        F.upper(F.trim("p_brand")), F.lit(" ("), F.upper(F.trim("p_type")), F.lit(")")
+    )
+    return part.select(
+        F.col("p_partkey").alias("part_key"),
+        label.alias("label"),
+        F.regexp_extract(label, r"\(([^)]*)\)$", 1).alias("unit"),
+    )

@@ -71,7 +71,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH prepped AS (
-    SELECT lang AS block_, doc_id, {shingles_sql(TOKS_SQL, 2)} AS sh FROM documents
+    SELECT lang || '_' || CAST(n_chars // 200 AS VARCHAR) AS block_,
+           doc_id, {shingles_sql(TOKS_SQL, 2)} AS sh FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -89,20 +90,28 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.2, shingle_n=2)
+    # lang × length-bucket blocking: same-language near-dups have
+    # near-equal length, and group sizes stay bounded as N grows
+    block = F.concat(F.col("lang"), F.lit("_"), F.expr("n_chars DIV 200").cast("string"))
+    return ngram_jaccard_pairs(docs, "doc_id", "text", block, threshold=0.2, shingle_n=2)
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-_NUM_HASHES, _BANDS, _SHINGLE_N, _MH_THRESHOLD = 16, 8, 3, 0.2
+# 4 rows/band: band-collision probability j^4 — strong enough that the
+# tiny shared vocabulary doesn't flood the candidate join at scale
+_NUM_HASHES, _BANDS, _SHINGLE_N, _MH_THRESHOLD = 16, 4, 3, 0.2
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
 
 def _minhash_oracle() -> str:
+    from .operators.dedup import MINHASH_MOD, _mix_params
+
+    base = f"({oracle_md5_int_sql('s', 0)} % {MINHASH_MOD})"
     mh_cols = ",\n        ".join(
-        f"list_min(list_transform(sh, s -> {oracle_md5_int_sql('s', k)})) AS mh_{k}"
+        f"list_min(list_transform(sh, s -> ({_mix_params(k)[0]} * {base} + {_mix_params(k)[1]}) % {MINHASH_MOD})) AS mh_{k}"
         for k in range(_NUM_HASHES)
     )
     band_selects = "\n    UNION ALL\n".join(
