@@ -1,0 +1,55 @@
+"""Property-based tests (hypothesis): operator semantics vs naive
+Python reference implementations on arbitrary small inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from usda_food_data_pipeline_spark.operators.dedup import dedup_latest
+from usda_food_data_pipeline_spark.operators.skew import salted_group_sum
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=0, max_value=1000),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(rows=rows_strategy)
+def test_dedup_latest_matches_naive(spark, rows):
+    df = spark.createDataFrame(rows, "k string, ord long, v long")
+    got = {
+        (r["k"]): (r["ord"])
+        for r in dedup_latest(df, ["k"], "ord").collect()
+    }
+    expected = {}
+    for k, o, _v in rows:
+        expected[k] = max(expected.get(k, -1), o)
+    assert got == expected
+
+
+@SLOW
+@given(rows=rows_strategy)
+def test_salted_sum_matches_plain_sum(spark, rows):
+    df = spark.createDataFrame(rows, "k string, ord long, v long")
+    salted = {
+        r["k"]: r["sum_v"] for r in salted_group_sum(df, ["k"], "v", n_salts=4).collect()
+    }
+    plain = {
+        r["k"]: float(r["s"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert salted == plain

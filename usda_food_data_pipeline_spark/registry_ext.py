@@ -292,3 +292,154 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         label.alias("label"),
         F.regexp_extract(label, r"\(([^)]*)\)$", 1).alias("unit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A4: aggregate over a retrieval result (the assistant's "average over
+# the nutrient data" instruction, usda-food-assistant/app.py:39 — here:
+# top-k cosine retrieval, then avg per label over the retrieved set)
+# ---------------------------------------------------------------------------
+
+TOPK_AVG_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+topk AS (
+    SELECT vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, vec_id LIMIT 50
+)
+SELECT e.label,
+       count(*) AS n_retrieved,
+       CAST(sum(CAST(t.score AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS avg_score
+FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id
+GROUP BY e.label
+"""
+
+
+@register(
+    "topk_avg_retrieved",
+    TOPK_AVG_ORACLE,
+    "aggregate over retrieval output (reference A4: avg over retrieved docs)",
+)
+def q_topk_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    topk = cosine_topk(emb, query, k=50)
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            (
+                F.sum(F.col("score").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (window pattern — guide's canonical OLAP shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_per_group",
+    """
+    SELECT segment, order_key, order_total, rnk FROM (
+        SELECT c_mktsegment AS segment, o_orderkey AS order_key,
+               round(o_totalprice, 2) AS order_total,
+               row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rnk <= 3
+    """,
+    "top-3 orders per market segment (window row_number, rank<=k)",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderkey").alias("order_key"),
+            F.round("o_totalprice", 2).alias("order_total"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS-shaped count per group (TPC-H Q4 shape, adapted to our schema)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q4_exists",
+    """
+    SELECT o_orderpriority AS order_priority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    "priority counts for orders having any high-quantity lineitem (EXISTS)",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big_items = li.filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(big_items, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .select(F.col("o_orderpriority").alias("order_priority"), "order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: rows above the global average (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "above_avg_parts",
+    """
+    SELECT p_partkey AS part_key, round(p_retailprice, 2) AS retail_price
+    FROM part
+    WHERE p_retailprice > (
+        SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)
+        FROM part)
+    """,
+    "filter by scalar-subquery aggregate (global decimal-exact mean)",
+)
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    avg_df = part.agg(
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        part.join(F.broadcast(avg_df))
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.round("p_retailprice", 2).alias("retail_price"),
+        )
+    )
