@@ -140,6 +140,9 @@ def embedding_neardup_pairs(
     score), id_a < id_b, score >= threshold.
     """
     # precompute norms once per row — one fold per PAIR instead of three
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
     prepped = embeddings.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
@@ -177,6 +180,9 @@ def knn_join(
         queries.select(
             F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
         )
+    )
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
     )
     scored = embeddings.crossJoin(q).filter(F.col(id_col) != F.col("query_id")).select(
         "query_id",
