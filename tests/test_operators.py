@@ -81,3 +81,36 @@ def test_seeded_sample_deterministic_across_partitionings(spark):
     a = [r["k"] for r in seeded_sample(df, 50, 42, "k").collect()]
     b = [r["k"] for r in seeded_sample(df.repartition(13), 50, 42, "k").collect()]
     assert a == b and len(a) == 50
+
+
+def test_approx_aggregates_bounded_error(spark):
+    """Approximate distinct/quantile must land within documented error
+    of the exact values (the rows-only queries' accuracy contract)."""
+    from usda_food_data_pipeline_spark.registry import queries
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["return_flag"]: r for r in queries()["approx_distinct"](spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    from pyspark.sql import functions as FF
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(FF.countDistinct("l_partkey").alias("parts"))
+        .collect()
+    }
+    for flag, row in approx.items():
+        rel = abs(row["approx_parts"] - exact[flag]["parts"]) / exact[flag]["parts"]
+        assert rel < 0.1, (flag, rel)
+
+
+def test_connected_components_known_graph(spark):
+    from usda_food_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 8, 9, 42]], "node long")
+    got = {r["node"]: r["component"] for r in connected_components(edges, nodes).collect()}
+    # {1,2,3,8,9} chain via 9-1; {5,6}; {42} singleton
+    assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5, 42: 42}

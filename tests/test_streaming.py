@@ -104,3 +104,24 @@ def test_stateful_running_totals(spark, events_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_foreachbatch_sink(spark, events_dir, tmp_path):
+    """foreachBatch: the exactly-once-style sink pattern — each
+    micro-batch lands as one idempotent parquet write keyed by epoch."""
+    out = str(tmp_path / "batches")
+    stream = _stream(spark, events_dir)
+
+    def sink(df, epoch_id):
+        df.groupBy("event_type").count().write.mode("overwrite").parquet(
+            f"{out}/epoch={epoch_id}"
+        )
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(f"{out}/epoch=0")
+    total = sum(r["count"] for r in back.collect())
+    assert total == spark.read.parquet(events_dir).count()

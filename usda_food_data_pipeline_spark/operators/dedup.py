@@ -302,3 +302,55 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
         F.col(id_col).alias("doc_id"),
         simhash(tokenize(F.col(text_col)), bits).alias("simhash"),
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: the
+    cluster step of a near-dup pipeline (pairs → clusters → one
+    canonical doc per cluster).
+
+    Each round every node takes min(own label, neighbors' labels);
+    converges in O(component diameter) rounds — near-dup components are
+    shallow in practice. The driver loop only checks a changed-count per
+    round (an aggregate, not a collect of data). At extreme scale swap
+    the propagation step for the large-star/small-star algorithm; the
+    loop scaffold stays the same. Singleton nodes keep their own id.
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    und = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+                (F.col("nmin") < F.col("component")).alias("_changed"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels

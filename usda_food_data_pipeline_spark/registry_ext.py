@@ -443,3 +443,35 @@ def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p_retailprice", 2).alias("retail_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — rows-only checks by design: HLL/KLL sketch
+# values are engine-specific, so no cross-engine value oracle exists.
+# The tests bound their error against exact counterparts instead.
+# ---------------------------------------------------------------------------
+
+@register(
+    "approx_distinct",
+    None,
+    "approx_count_distinct (HLL) per group; rows-only (sketch values are engine-specific)",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    ).select(F.col("l_returnflag").alias("return_flag"), "approx_parts", "approx_supps")
+
+
+@register(
+    "approx_quantiles",
+    None,
+    "percentile_approx (KLL-style) per group; rows-only",
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+    ).select(F.col("l_returnflag").alias("return_flag"), "p50_price", "p99_price")

@@ -408,3 +408,47 @@ def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bucket"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: MinHash pairs → connected components → canonical
+# doc per cluster (the step that turns pair lists into a dedup decision)
+# ---------------------------------------------------------------------------
+
+def _clusters_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+und AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_clusters",
+    _clusters_oracle(),
+    "connected components over MinHash near-dup pairs (canonical per cluster)",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    return connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node")), "id_a", "id_b"
+    )
