@@ -1,0 +1,66 @@
+"""Physical-layout tests: bucketing and partitioned layout — the
+co-located-join story for 100 TB (README 'Design for 100 TB')."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from usda_food_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    d = tempfile.mkdtemp(prefix="wh_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+    for t in ["b_orders", "b_lineitem"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, warehouse):
+    """Pre-bucketing both fact tables on the join key removes the
+    exchange from the join plan entirely — the layout decision that
+    matters most at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .option("path", f"{warehouse}/b_orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        lineitem.withColumn("o_orderkey", F.col("l_orderkey"))
+        .write.mode("overwrite")
+        .option("path", f"{warehouse}/b_lineitem")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    # disable broadcast so the planner must pick sort-merge — the point
+    # is that bucketing removes the shuffle a fact-fact SMJ would need
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_layout_prunes(spark, sf_dir, warehouse):
+    """partitionBy layout + a partition-key filter must prune files:
+    the filtered scan reads only the matching directory."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = f"{warehouse}/docs_by_lang"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    assert back.count() == docs.filter(F.col("lang") == "en").count()

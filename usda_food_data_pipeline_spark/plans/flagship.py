@@ -44,6 +44,10 @@ def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = latest.join(
         lineitem.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi"
     )
+    # `latest` feeds two branches (join spine + lineitem pruning); persist
+    # so the dedup window runs once. One row per customer — small at any
+    # scale that has a customer dimension.
+    latest = latest.persist()
 
     # Prune lineitem to surviving orders BEFORE the pivot agg — the
     # semi-join pushdown the reference lacked (SURVEY §4).
