@@ -24,7 +24,7 @@ def test_queries_oracle_keys_align(spark):
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
     # documented rows-only set: engine-specific randomness or sketches
-    assert rows_only <= {"seeded_sample", "approx_distinct", "approx_quantiles"} | {
+    assert rows_only <= {"approx_distinct", "approx_quantiles"} | {
         n for n in qs if n.startswith("stream_")
     }
 

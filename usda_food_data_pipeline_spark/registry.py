@@ -345,12 +345,19 @@ def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "seeded_sample",
-    None,
-    "deterministic exact-n sample: orderBy(rand(42), key).limit(n); rows-only check",
+    """
+    SELECT o_orderkey AS order_key, o_custkey AS customer_key
+    FROM orders
+    ORDER BY md5('s42:' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT 1000
+    """,
+    "deterministic exact-n sample via content-derived md5 ordering",
 )
 def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.topk import seeded_sample_portable
+
     orders = load_table(spark, sf_dir, "orders")
-    return seeded_sample(orders, 1000, 42, "o_orderkey").select(
+    return seeded_sample_portable(orders, 1000, 42, "o_orderkey").select(
         F.col("o_orderkey").alias("order_key"),
         F.col("o_custkey").alias("customer_key"),
     )
