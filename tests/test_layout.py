@@ -64,3 +64,21 @@ def test_partitioned_layout_prunes(spark, sf_dir, warehouse):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
     assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_csv_source_schema_on_read(spark, sf_dir, warehouse):
+    """S4: the reference's input format is CSV with inferred types; the
+    engine reads CSV with an explicit schema (schema-on-read, no
+    inference job) and produces identical query results to parquet."""
+    from usda_food_data_pipeline_spark.registry import queries
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = f"{warehouse}/lineitem_csv"
+    li.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(li.schema).option("header", True).csv(out)
+    assert back.schema == li.schema
+    from usda_food_data_pipeline_spark.functions.cleaning import deterministic_sum
+
+    a = li.agg(deterministic_sum("l_extendedprice").alias("s")).collect()[0]["s"]
+    b = back.agg(deterministic_sum("l_extendedprice").alias("s")).collect()[0]["s"]
+    assert a == b

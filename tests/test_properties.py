@@ -53,3 +53,18 @@ def test_salted_sum_matches_plain_sum(spark, rows):
         for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
     }
     assert salted == plain
+
+
+@SLOW
+@given(rows=rows_strategy)
+def test_replicate_broadcast_join_matches_plain(spark, rows):
+    from usda_food_data_pipeline_spark.operators.skew import replicate_broadcast_join
+
+    big = spark.createDataFrame(rows, "k string, ord long, v long")
+    small = spark.createDataFrame([("k1", 10), ("k2", 20)], "k string, w long")
+    got = sorted(
+        (r["k"], r["ord"], r["w"])
+        for r in replicate_broadcast_join(big, small, "k", n_salts=4).collect()
+    )
+    want = sorted((r["k"], r["ord"], r["w"]) for r in big.join(small, "k").collect())
+    assert got == want

@@ -31,7 +31,8 @@ def salted_group_sum(
     whole row's value, which is enough to split a hot key's rows.
     Result: one column ``sum_<value_col>`` per key, bit-identical to the
     unsalted decimal sum (decimal addition is associative)."""
-    salt = (F.xxhash64(F.col(value_col)) % n_salts).alias("_salt")
+    # pmod, not %: Spark's % takes the dividend's sign and xxhash64 is signed
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("_salt")
     partial = (
         df.select(*key_cols, F.col(value_col), salt)
         .groupBy(*key_cols, "_salt")
@@ -56,7 +57,9 @@ def replicate_broadcast_join(
     side, plain ``broadcast()`` is simpler — this shape is for when the
     small side exceeds the broadcast threshold but replication by
     n_salts is still affordable.)"""
-    salted = skewed.withColumn("_salt", (F.xxhash64(F.monotonically_increasing_id()) % n_salts))
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
     exploded = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -475,3 +475,38 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
     ).select(F.col("l_returnflag").alias("return_flag"), "p50_price", "p99_price")
+
+
+# ---------------------------------------------------------------------------
+# Spark SQL API path (BASELINE.json approach: "DataFrame ops + Spark
+# SQL") — same Catalyst plans, SQL text surface; TPC-H Q10 shape
+# ---------------------------------------------------------------------------
+
+TPCH_Q10_SQL = """
+SELECT c.c_custkey AS customer_key,
+       upper(trim(c.c_name)) AS customer_name,
+       n.n_name AS nation_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, customer_key
+LIMIT 20
+"""
+
+
+@register(
+    "tpch_q10_sql",
+    TPCH_Q10_SQL,
+    "returned-item revenue top-20 via the spark.sql text API (same SQL runs on both engines)",
+)
+def q_tpch_q10_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q10_SQL)
