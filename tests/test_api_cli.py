@@ -1,0 +1,87 @@
+"""End-to-end tests of the user-facing facade: pipeline CSV→CSV,
+index build, retrieval — the three things a reference user does."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+
+from usda_food_data_pipeline_spark import api
+from usda_food_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="api_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def landing_dir(spark, workdir):
+    """Stage USDA-shaped CSVs (same fixtures as the golden pipeline
+    test, written as single-file CSVs like the reference's landing)."""
+    import csv
+    import os
+
+    d = f"{workdir}/landing"
+    os.makedirs(d)
+    tables = {
+        "branded_food": (
+            ["fdc_id", "gtin_upc", "ingredients", "serving_size", "serving_size_unit"],
+            [
+                [10, "u1", "  sugar, salt ", "12.5", "g"],
+                [11, "u1", "sugar, salt", "12.5", "g"],
+                [20, "u2", "water", "n/a", "ml"],
+                [30, "u3", "vitamins", "5", "IU"],
+            ],
+        ),
+        "food": (
+            ["fdc_id", "description"],
+            [[11, " Choc Bar "], [20, "Water"], [30, "Vites"], [99, "NotBranded"]],
+        ),
+        "nutrient": (
+            ["id", "name", "unit_name"],
+            [[1, "Protein", "G"], [2, "Energy", "KCAL"]],
+        ),
+        "food_nutrient": (
+            ["fdc_id", "nutrient_id", "amount"],
+            [[11, 1, 10.0], [11, 1, 20.0], [11, 2, 5000.0], [20, 2, 100.0]],
+        ),
+    }
+    for name, (header, rows) in tables.items():
+        with open(f"{d}/{name}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            w.writerows(rows)
+    return d
+
+
+def test_run_pipeline_end_to_end(spark, landing_dir, workdir):
+    out = f"{workdir}/wide_csv"
+    api.run_pipeline(spark, landing_dir, out, fmt="csv")
+    back = spark.read.option("header", True).csv(out)
+    rows = back.collect()
+    assert len(rows) == 1  # only the deduped u1 survivor (golden test logic)
+    r = rows[0].asDict()
+    assert r["FOOD_NAME"] == "CHOC BAR"
+    assert r["PROTEIN (G)"] == "15.0"
+    raw = open(glob.glob(out + "/part-*.csv")[0]).readline()
+    assert raw.startswith('"')  # quoted output like the reference sink
+
+
+def test_index_and_retrieve(spark, sf_dir, workdir):
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = f"{workdir}/index"
+    api.build_index(spark, docs, "text", "doc_id", index_path, dim=32)
+    meta = docs.select("doc_id", "lang", "source")
+    hits = api.retrieve(
+        spark, index_path, "key agg row scan slow fast table", metadata_df=meta,
+        k=5, dim=32,
+    )
+    assert len(hits) == 5
+    assert all({"doc_id", "score", "lang"} <= set(h) for h in hits)
+    assert hits == sorted(hits, key=lambda h: (-h["score"], h["doc_id"]))
