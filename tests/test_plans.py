@@ -1,0 +1,36 @@
+"""Plan-shape regression tests: the physical properties PLANS.md claims
+must keep holding (pushdown, pruning, broadcast, rank-limit, heap
+top-k)."""
+
+from __future__ import annotations
+
+from usda_food_data_pipeline_spark.registry import queries
+
+
+def plan_of(spark, name, sf_dir):
+    df = queries()[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q6", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_tax" not in plan  # unused columns pruned from the scan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q5", sf_dir)
+    assert plan.count("BroadcastExchange") >= 3  # supplier/nation/region at minimum
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date filter pushed to scan
+
+
+def test_dedup_latest_rank_limit_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "dedup_latest_order", sf_dir)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_cosine_topk_is_heap_based(spark, sf_dir):
+    plan = plan_of(spark, "cosine_topk", sf_dir)
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "Exchange hashpartitioning" not in plan  # no data shuffle at all
