@@ -33,7 +33,14 @@ def warmup(spark, sf_dir: str) -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
-    spark.range(1_000_000).selectExpr("id % 10 AS k").groupBy("k").count().collect()
+    # exercise the operator classes queries compile to (agg, window,
+    # broadcast join, pivot) so codegen compilation isn't billed to the
+    # first query that uses each
+    base = spark.range(100_000).selectExpr("id % 10 AS k", "id % 3 AS p", "CAST(id AS DOUBLE) AS v")
+    base.groupBy("k").pivot("p", [0, 1, 2]).sum("v").count()
+    base.selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn").filter("rn = 1").count()
+    dim = spark.range(10).selectExpr("id AS k", "id * 2 AS w")
+    base.join(dim.hint("broadcast"), "k").count()
 
 
 def main() -> None:

@@ -68,3 +68,35 @@ def test_replicate_broadcast_join_matches_plain(spark, rows):
     )
     want = sorted((r["k"], r["ord"], r["w"]) for r in big.join(small, "k").collect())
     assert got == want
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),
+        st.integers(min_value=0, max_value=100),  # ts
+        st.booleans(),                            # is right-side row
+        st.integers(min_value=-50, max_value=50), # value
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1], r[2]),  # unique (key, ts) per side
+)
+
+
+@SLOW
+@given(rows=asof_rows)
+def test_asof_join_matches_naive(spark, rows):
+    from usda_food_data_pipeline_spark.operators.asof import asof_join
+
+    left = [(k, t, i) for i, (k, t, r, _v) in enumerate(rows)]
+    right = [(k, t, v) for (k, t, r, v) in rows if r]
+    ldf = spark.createDataFrame(left, "k string, ts long, row_id long")
+    rdf = spark.createDataFrame(right or [("zz", -1, 0)], "k string, ts long, v long")
+    got = {
+        r["row_id"]: r["asof_v"]
+        for r in asof_join(ldf, rdf, "ts", ["k"], ["v"]).collect()
+    }
+    for k, t, row_id in left:
+        cands = [(rt, v) for (rk, rt, v) in (right or []) if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[row_id] == want, (k, t, got[row_id], want)

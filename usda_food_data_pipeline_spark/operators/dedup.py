@@ -325,14 +325,18 @@ def connected_components(
 
     Returns (node, component) where component = min node id reachable.
     """
+    # persist the edge list: every iteration joins against it, and its
+    # lineage (e.g. a full MinHash pipeline) must not replay per round
     und = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = nodes.select(F.col(node_col).alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
@@ -350,7 +354,11 @@ def connected_components(
             )
         ).persist()
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        if prev is not None:
+            prev.unpersist()  # superseded generation
+        prev = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    und.unpersist()
     return labels

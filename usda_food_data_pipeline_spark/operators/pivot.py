@@ -20,6 +20,13 @@ from pyspark.sql import functions as F
 from ..functions.cleaning import deterministic_avg
 
 
+# Guardrail (SURVEY §7 step 8): a data-dependent pivot can silently try
+# to create tens of thousands of columns; wide rows break codegen and
+# executor memory long before correctness fails. 10k mirrors Spark's own
+# spark.sql.pivotMaxValues default.
+MAX_PIVOT_WIDTH = 10_000
+
+
 def group_avg_pivot(
     df: DataFrame,
     group_col: str,
@@ -28,6 +35,7 @@ def group_avg_pivot(
     pivot_values: list[str],
     rename: Mapping[str, str] | None = None,
     scale: int | None = None,
+    max_width: int = MAX_PIVOT_WIDTH,
 ) -> DataFrame:
     """AVG ``value_col`` per (group, pivot) then pivot wide.
 
@@ -38,6 +46,11 @@ def group_avg_pivot(
     land on a decimal tie where engines disagree (string-based vs
     binary-based rounding); the raw double is bit-identical everywhere.
     """
+    if len(pivot_values) > max_width:
+        raise ValueError(
+            f"pivot width {len(pivot_values)} exceeds guardrail {max_width}; "
+            "aggregate to long format or raise max_width explicitly"
+        )
     agg = deterministic_avg(value_col)
     if scale is not None:
         agg = F.round(agg, scale)
