@@ -510,3 +510,84 @@ def q_tpch_q10_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(TPCH_Q10_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Date/time scalar functions (engine surface; testdata has real
+# timestamps even though the reference pipeline used none — SURVEY §1.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey AS order_key,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT)
+               AS days_to_y2k
+    FROM orders
+    """,
+    "year/quarter/date_trunc/datediff scalar date arithmetic",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("days_to_y2k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit grouping sets (beyond rollup/cube) via the SQL surface
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@register(
+    "grouping_sets",
+    GROUPING_SETS_SQL,
+    "explicit grouping sets: per-flag and per-status marginals in one pass",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Grouped array aggregation (collect_list + array functions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "array_agg_quantities",
+    """
+    SELECT l_orderkey AS order_key,
+           array_to_string(list_sort(list(CAST(l_quantity AS INTEGER))), ',') AS quantities,
+           CAST(len(list_distinct(list(CAST(l_quantity AS INTEGER)))) AS INTEGER) AS n_distinct_qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    "per-order sorted quantity array (collect_list/sort_array/array_distinct)",
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("int")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list(qty))).alias("quantities"),
+        F.size(F.array_distinct(F.collect_list(qty))).alias("n_distinct_qty"),
+    ).select(F.col("l_orderkey").alias("order_key"), "quantities", "n_distinct_qty")
