@@ -86,7 +86,11 @@ FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     "range join: orders against price-band dimension (broadcast NLJ)",
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    from .sources.tables import spread
+
+    # BNLJ evaluates the range predicate row-at-a-time — spread the scan
+    # so it isn't serialized on a single-row-group input partition
+    orders = spread(load_table(spark, sf_dir, "orders"))
     bands = spark.createDataFrame(BANDS, "lo double, hi double, band string")
     return orders.join(
         F.broadcast(bands),

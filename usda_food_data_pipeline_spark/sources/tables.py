@@ -66,3 +66,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the input has fewer
+    partitions (single-row-group parquet files scan as ONE task, which
+    serializes CPU-heavy downstream operators). No-op when the scan is
+    already parallel — multi-row-group production files stay untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
