@@ -106,7 +106,9 @@ _NUM_HASHES, _BANDS, _SHINGLE_N, _MH_THRESHOLD = 16, 4, 3, 0.2
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
 
-def _minhash_oracle() -> str:
+def minhash_pairs_ctes(source: str) -> str:
+    """CTE chain computing MinHash-LSH verified near-dup pairs over any
+    source relation with (doc_id, text); final CTE is ``mh_pairs``."""
     from .operators.dedup import MINHASH_MOD, _mix_params
 
     base = f"({oracle_md5_int_sql('s', 0)} % {MINHASH_MOD})"
@@ -122,9 +124,8 @@ def _minhash_oracle() -> str:
         + " AS bucket FROM sigs"
         for b in range(_BANDS)
     )
-    return f"""
-WITH sh_t AS (
-    SELECT doc_id, {shingles_sql(TOKS_SQL, _SHINGLE_N)} AS sh FROM documents
+    return f"""sh_t AS (
+    SELECT doc_id, {shingles_sql(TOKS_SQL, _SHINGLE_N)} AS sh FROM {source}
 ),
 sigs AS (
     SELECT doc_id, sh,
@@ -138,13 +139,21 @@ cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
-SELECT c.id_a, c.id_b,
-       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
-FROM cand c JOIN sh_t x ON c.id_a = x.doc_id JOIN sh_t y ON c.id_b = y.doc_id
-WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {_MH_THRESHOLD}
+),
+mh_pairs AS (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+    FROM cand c JOIN sh_t x ON c.id_a = x.doc_id JOIN sh_t y ON c.id_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {_MH_THRESHOLD}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {minhash_pairs_ctes('documents')}
+SELECT id_a, id_b, jaccard FROM mh_pairs
 """
 
 
@@ -452,3 +461,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs, docs.select(F.col("doc_id").alias("node")), "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data prep pipeline (north-star composite):
+# quality gate → exact dedup → MinHash near-dup clustering → survivors
+# ---------------------------------------------------------------------------
+
+def _training_pipeline_oracle() -> str:
+    from .plans.training_pipeline import QUALITY_MIN, TOKENS_MIN
+
+    quality = (
+        f"0.5 * (CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE) / length(text))"
+        f" + 0.3 * (1.0 - CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text))"
+        f" + 0.2 * (CASE WHEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)"
+        f" / len({TOKS_SQL}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)"
+    )
+    return f"""
+WITH RECURSIVE enriched AS (
+    SELECT doc_id, lang, text,
+           len({TOKS_SQL}) AS n_tokens,
+           {quality} AS quality
+    FROM documents
+),
+gated AS (
+    SELECT * FROM enriched WHERE quality >= {QUALITY_MIN} AND n_tokens >= {TOKENS_MIN}
+),
+deduped AS (
+    SELECT doc_id, lang, text, n_tokens, quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated
+    ) WHERE rn = 1
+),
+{minhash_pairs_ctes('deduped')},
+und AS (
+    SELECT id_a AS src, id_b AS dst FROM mh_pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM deduped
+    UNION
+    SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.n_tokens, d.quality
+FROM deduped d JOIN comp c ON d.doc_id = c.node
+WHERE c.node = c.component
+"""
+
+
+@register(
+    "training_pipeline",
+    _training_pipeline_oracle(),
+    "end-to-end training-data prep: quality gate -> exact dedup -> MinHash clustering -> canonical survivors",
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.training_pipeline import training_pipeline
+
+    return training_pipeline(spark, sf_dir)
