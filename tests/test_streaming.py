@@ -125,3 +125,64 @@ def test_foreachbatch_sink(spark, events_dir, tmp_path):
     back = spark.read.parquet(f"{out}/epoch=0")
     total = sum(r["count"] for r in back.collect())
     assert total == spark.read.parquet(events_dir).count()
+
+
+def test_streaming_exact_dedup(spark, events_dir):
+    """dropDuplicatesWithinWatermark keyed on content hash: emitted rows
+    are unique per hash, and every distinct hash appears."""
+    from usda_food_data_pipeline_spark.streaming.dedup import streaming_exact_dedup
+
+    stream = _stream(spark, events_dir)
+    q = (
+        streaming_exact_dedup(stream, "props", "ts", "2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT content_hash FROM dedup_out").collect()
+    finally:
+        q.stop()
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes))  # no duplicate emissions
+    n_distinct = (
+        spark.read.parquet(events_dir).selectExpr("md5(props) h").distinct().count()
+    )
+    assert len(set(hashes)) == n_distinct
+
+
+def test_stream_stream_join(spark, events_dir):
+    """Purchases joined to prior same-user events within 30 minutes —
+    results must match the equivalent batch join."""
+    from usda_food_data_pipeline_spark.streaming.dedup import stream_stream_join
+    from pyspark.sql import functions as FF
+
+    purchases = _stream(spark, events_dir).filter(FF.col("event_type") == "purchase")
+    views = _stream(spark, events_dir).filter(FF.col("event_type") == "view")
+    joined = stream_stream_join(purchases, views, "user_id", "ts", "4 hours", "30 minutes")
+    out = joined.select(
+        FF.col("l.event_id").alias("purchase_id"), FF.col("r.event_id").alias("view_id")
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try:
+        q.processAllAvailable()
+        got = {(r["purchase_id"], r["view_id"]) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    finally:
+        q.stop()
+    ev = spark.read.parquet(events_dir)
+    p = ev.filter(FF.col("event_type") == "purchase").alias("l")
+    v = ev.filter(FF.col("event_type") == "view").alias("r")
+    batch = (
+        p.join(
+            v,
+            (FF.col("l.user_id") == FF.col("r.user_id"))
+            & (FF.col("r.ts") <= FF.col("l.ts"))
+            & (FF.col("r.ts") >= FF.col("l.ts") - FF.expr("INTERVAL 30 minutes")),
+        )
+        .select(FF.col("l.event_id").alias("p"), FF.col("r.event_id").alias("v"))
+        .collect()
+    )
+    want = {(r["p"], r["v"]) for r in batch}
+    assert got == want and len(want) > 0

@@ -1,0 +1,53 @@
+"""Streaming deduplication and stream-stream joins (engine extension).
+
+The batch dedup suite (operators/dedup.py) has streaming twins:
+
+- exact dedup on a stream: ``dropDuplicatesWithinWatermark`` keyed on
+  the content hash — state for a hash is dropped once the watermark
+  passes it, so memory is bounded by the dedup horizon, not the stream
+  length. (Plain ``dropDuplicates`` on a stream accumulates state
+  forever — never ship that.)
+- stream-stream join: both sides watermarked + an event-time range
+  predicate so the join state is evictable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    content_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First occurrence per content hash within the watermark horizon."""
+    return (
+        stream.withColumn("content_hash", F.md5(F.col(content_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Inner join of two event streams on key, where the right event
+    happened within [left.ts - max_lag, left.ts]. The time bound +
+    watermarks make the join state finite (Spark evicts rows whose
+    event time can no longer match)."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return l.join(r, cond, "inner")
