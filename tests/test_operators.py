@@ -114,3 +114,38 @@ def test_connected_components_known_graph(spark):
     got = {r["node"]: r["component"] for r in connected_components(edges, nodes).collect()}
     # {1,2,3,8,9} chain via 9-1; {5,6}; {42} singleton
     assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5, 42: 42}
+
+
+def test_kmeans_lloyd_improves_objective(spark):
+    """Lloyd iterations must not decrease the mean max-cosine objective,
+    and trained centroids must beat the first-k init."""
+    from pyspark.sql import functions as FF
+
+    from usda_food_data_pipeline_spark.operators.similarity import (
+        as_double_array,
+        cosine,
+        ivf_assign,
+        kmeans_lloyd,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def objective(centroids):
+        cent = FF.broadcast(
+            centroids.select(FF.col("centroid_id"), as_double_array("embedding").alias("cv"))
+        )
+        scored = emb.crossJoin(cent).select(
+            "vec_id", cosine(as_double_array("embedding"), FF.col("cv")).alias("s")
+        )
+        best = scored.groupBy("vec_id").agg(FF.max("s").alias("best"))
+        return best.agg(FF.avg("best")).collect()[0][0]
+
+    init = emb.orderBy("vec_id").limit(8).selectExpr(
+        "vec_id AS centroid_id", "embedding"
+    )
+    trained = kmeans_lloyd(emb, k=8, iters=2)
+    assert trained.count() == 8
+    assert objective(trained) >= objective(init) - 1e-9
+    # assignments cover every vector exactly once
+    assigned = ivf_assign(emb, trained)
+    assert assigned.count() == emb.count()

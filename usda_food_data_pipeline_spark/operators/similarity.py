@@ -195,3 +195,61 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for IVF centroid training, as pure DataFrame ops.
+
+    Deterministic init (first k vectors by id); each iteration assigns
+    every vector to its max-cosine centroid (broadcast) and recomputes
+    centroids as element-wise means via posexplode → groupBy(centroid,
+    dim) → rebuild array. Empty clusters keep their previous centroid.
+    The iterative-driver-loop pattern matches connected_components: a
+    fixed small number of distributed passes, no data ever collected.
+    Returns (centroid_id, embedding) — feed straight into ivf_topk.
+    """
+    from pyspark.sql import Window
+
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    ).persist()
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("centroid_id"),
+            as_double_array(vec_col).alias(vec_col),
+        )
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        ex = assigned.select(
+            "centroid_id", F.posexplode(as_double_array(vec_col)).alias("dim", "val")
+        )
+        means = (
+            ex.groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+                ).alias("new_vec")
+            )
+        )
+        centroids = (
+            centroids.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("new_vec", F.col(vec_col)).alias(vec_col),  # empty cluster
+            )
+            .persist()
+        )
+        centroids.count()  # materialize this generation
+    embeddings.unpersist()
+    return centroids
