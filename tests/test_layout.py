@@ -82,3 +82,29 @@ def test_csv_source_schema_on_read(spark, sf_dir, warehouse):
     a = li.agg(deterministic_sum("l_extendedprice").alias("s")).collect()[0]["s"]
     b = back.agg(deterministic_sum("l_extendedprice").alias("s")).collect()[0]["s"]
     assert a == b
+
+
+def test_orc_and_json_roundtrip(spark, sf_dir, warehouse):
+    """Source/sink matrix: ORC and JSON-lines round-trips with explicit
+    schemas produce identical deterministic aggregates to parquet."""
+    from usda_food_data_pipeline_spark.functions.cleaning import deterministic_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    want = orders.agg(deterministic_sum("o_totalprice").alias("s")).collect()[0]["s"]
+
+    orc_path = f"{warehouse}/orders_orc"
+    orders.write.mode("overwrite").orc(orc_path)
+    got_orc = (
+        spark.read.orc(orc_path).agg(deterministic_sum("o_totalprice").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got_orc == want
+
+    json_path = f"{warehouse}/orders_json"
+    orders.write.mode("overwrite").json(json_path)
+    got_json = (
+        spark.read.schema(orders.schema).json(json_path)
+        .agg(deterministic_sum("o_totalprice").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got_json == want
