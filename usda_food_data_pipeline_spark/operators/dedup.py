@@ -333,8 +333,15 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(F.col(node_col).alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    # Iterate ONLY over nodes that touch an edge — in a near-dup setting
+    # that's a tiny fraction of the corpus; singletons are trivially
+    # their own component and get attached after the loop, never paying
+    # per-iteration join cost.
+    labels = (
+        und.select(F.col("src").alias("node")).distinct().withColumn(
+            "component", F.col("node")
+        )
     )
     prev = None
     for _ in range(max_iter):
@@ -361,4 +368,7 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
-    return labels
+    # singletons: component = own id
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
