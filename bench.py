@@ -58,6 +58,9 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {ex}", file=sys.stderr)
+        # operators may persist() intermediates (minhash signature table,
+        # component labels); drop them so queries are measured standalone
+        spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
