@@ -595,3 +595,108 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_list(qty))).alias("quantities"),
         F.size(F.array_distinct(F.collect_list(qty))).alias("n_distinct_qty"),
     ).select(F.col("l_orderkey").alias("order_key"), "quantities", "n_distinct_qty")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional revenue share over a join
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q14_promo_share",
+    """
+    SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+               AS promo_revenue_pct,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "promo revenue share (conditional agg over join, TPC-H Q14 shape)",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_dec = rev.cast("decimal(30,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev_dec)).cast("double")
+                / F.sum(rev_dec).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-range predicate over a join
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q19_disjunctive",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+    "disjunctive range predicates across joined tables (TPC-H Q19 shape)",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, sz, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((b == "Brand#1") & q.between(1, 11) & sz.between(1, 5))
+        | ((b == "Brand#2") & q.between(10, 20) & sz.between(1, 10))
+        | ((b == "Brand#3") & q.between(20, 30) & sz.between(1, 15))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    return j.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-n sample per group (D4 extension, portable hashing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stratified_sample",
+    """
+    SELECT order_priority, order_key FROM (
+        SELECT o_orderpriority AS order_priority, o_orderkey AS order_key,
+               row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY md5('s42:' || CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 50
+    """,
+    "deterministic exact-n-per-group sample (md5-ordered row_number)",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit("s42:"), F.col("o_orderkey").cast("string")))
+    w = Window.partitionBy("o_orderpriority").orderBy(h, F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select(
+            F.col("o_orderpriority").alias("order_priority"),
+            F.col("o_orderkey").alias("order_key"),
+        )
+    )
