@@ -45,7 +45,10 @@ def warmup(spark, sf_dir: str) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:
+        sf = -1.0  # unknown scale dir name; still run the benchmark
     spark = get_spark("bench")
     warmup(spark, sf_dir)
 

@@ -85,3 +85,17 @@ def test_index_and_retrieve(spark, sf_dir, workdir):
     assert len(hits) == 5
     assert all({"doc_id", "score", "lang"} <= set(h) for h in hits)
     assert hits == sorted(hits, key=lambda h: (-h["score"], h["doc_id"]))
+
+
+def test_retrieve_empty_query_returns_nothing(spark, sf_dir, workdir):
+    """A whitespace-only query embeds to the zero vector; NaN cosine
+    scores must not surface as arbitrary 'top' matches."""
+    import os
+
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    index_path = f"{workdir}/index_empty_q"
+    if not os.path.exists(index_path):
+        docs = load_table(spark, sf_dir, "documents").limit(20)
+        api.build_index(spark, docs, "text", "doc_id", index_path, dim=16)
+    assert api.retrieve(spark, index_path, "   ", k=5, dim=16) == []

@@ -79,13 +79,15 @@ asof_rows = st.lists(
     ),
     min_size=1,
     max_size=25,
-    unique_by=lambda r: (r[0], r[1], r[2]),  # unique (key, ts) per side
 )
 
 
 @SLOW
 @given(rows=asof_rows)
 def test_asof_join_matches_naive(spark, rows):
+    """Includes duplicate (key, ts) right rows: the tie rule is
+    latest ts first, then greatest value (the documented deterministic
+    ordering)."""
     from usda_food_data_pipeline_spark.operators.asof import asof_join
 
     left = [(k, t, i) for i, (k, t, r, _v) in enumerate(rows)]
@@ -98,5 +100,5 @@ def test_asof_join_matches_naive(spark, rows):
     }
     for k, t, row_id in left:
         cands = [(rt, v) for (rk, rt, v) in (right or []) if rk == k and rt <= t]
-        want = max(cands)[1] if cands else None
+        want = max(cands)[1] if cands else None  # (max ts, then max value)
         assert got[row_id] == want, (k, t, got[row_id], want)

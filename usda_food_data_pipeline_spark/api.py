@@ -80,6 +80,9 @@ def retrieve(
         embed_text_batch(dim)(F.col("q")).alias("embedding")
     )
     top = cosine_topk(index, qdf, k=k, id_col=id_col)
+    # a zero-vector query (empty/whitespace text) yields NULL cosines
+    # (try_divide) — return nothing rather than k arbitrary rows
+    top = top.filter(F.col("score").isNotNull())
     if metadata_df is not None:
         top = top.join(metadata_df, id_col, "left")
     rows = top.orderBy(F.col("score").desc(), F.col(id_col)).collect()

@@ -44,7 +44,12 @@ def embed_text_batch(dim: int = 64):
     normalization arithmetic."""
 
     def embed_one(text: str) -> list[float]:
-        toks = [t for t in re.split(r"\s+", (text or "").strip().lower()) if t]
+        # re.ASCII: Java's \s (the expression path's tokenizer) is
+        # ASCII-only; Python's default \s is Unicode-aware and would
+        # split on U+00A0 etc., silently diverging from embed_text
+        toks = [
+            t for t in re.split(r"\s+", (text or "").strip().lower(), flags=re.ASCII) if t
+        ]
         counts = np.zeros(dim, dtype=np.float64)
         for t in toks:
             h = int(hashlib.md5(f"s{EMBED_SEED}:{t}".encode()).hexdigest()[:12], 16)

@@ -50,6 +50,10 @@ def asof_join(
     order = [F.col(ts_col), F.col("_side")]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc_nulls_first())
+    # deterministic pick among right rows sharing (key, ts): order by the
+    # carried values themselves (nulls last so left rows stay put) — the
+    # SQL twin must order identically
+    order.extend(F.col(f"_v_{c}").asc_nulls_last() for c in value_cols)
     w = (
         Window.partitionBy(*by_cols)
         .orderBy(*order)

@@ -310,7 +310,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     node_col: str = "node",
-    max_iter: int = 20,
+    max_iter: int = 100,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: the
     cluster step of a near-dup pipeline (pairs → clusters → one
@@ -344,6 +344,7 @@ def connected_components(
         )
     )
     prev = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
@@ -366,8 +367,16 @@ def connected_components(
         prev = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        # silent non-convergence would return WRONG components (and
+        # mismatch the exact recursive-CTE oracle) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds; "
+            "raise max_iter (rounds needed = longest component's diameter)"
+        )
     # singletons: component = own id
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")

@@ -44,7 +44,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: ANSI mode (Spark 4 default) makes /0 THROW; a zero
+    # vector should yield NULL score, not kill the job
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -149,7 +151,7 @@ def embedding_neardup_pairs(
         as_double_array(vec_col).alias("_v"),
     ).withColumn("_n", l2_norm(F.col("_v")))
     a, b = prepped.alias("a"), prepped.alias("b")
-    score = dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    score = F.try_divide(dot(F.col("a._v"), F.col("b._v")), F.col("a._n") * F.col("b._n"))
     return (
         a.join(
             b,

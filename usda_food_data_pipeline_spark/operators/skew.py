@@ -31,8 +31,14 @@ def salted_group_sum(
     whole row's value, which is enough to split a hot key's rows.
     Result: one column ``sum_<value_col>`` per key, bit-identical to the
     unsalted decimal sum (decimal addition is associative)."""
-    # pmod, not %: Spark's % takes the dividend's sign and xxhash64 is signed
-    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("_salt")
+    # Salt must come from a ROW-unique source: hashing the value would
+    # put a hot key whose rows share one value (duplicate records, 0.0
+    # defaults) into a single bucket — exactly the case salting exists
+    # for. pmod, not %: Spark's % takes the dividend's sign.
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).alias("_salt")
     partial = (
         df.select(*key_cols, F.col(value_col), salt)
         .groupBy(*key_cols, "_salt")

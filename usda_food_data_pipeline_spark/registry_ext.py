@@ -33,7 +33,7 @@ u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
 c AS (
     SELECT *,
            last_value(v IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side
+               PARTITION BY user_id ORDER BY ts, side, v ASC NULLS LAST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
     FROM u
 )

@@ -405,7 +405,7 @@ def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (md5_int(F.col("tok"), 11) % _EMBED_DIM).alias("bucket")
     )
     counts = buckets.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    return counts.groupBy("doc_id").agg(
+    stats = counts.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_nonzero"),
         (
             F.max("c").cast("double")
@@ -416,6 +416,14 @@ def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max_by(F.col("bucket"), F.struct(F.col("c"), -F.col("bucket"))) + 1).alias(
             "top_bucket"
         ),
+    )
+    # zero-token docs produce no exploded rows but the oracle still
+    # emits (0, 0.0, 1) for them — reattach with those defaults
+    return docs.select("doc_id").join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_nonzero", F.lit(0).cast("long")).alias("n_nonzero"),
+        F.coalesce("top_value", F.lit(0.0)).alias("top_value"),
+        F.coalesce("top_bucket", F.lit(1).cast("long")).alias("top_bucket"),
     )
 
 
