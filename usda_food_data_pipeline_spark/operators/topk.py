@@ -33,12 +33,17 @@ def seeded_sample(df: DataFrame, n: int, seed: int, key_col: str) -> DataFrame:
     return df.orderBy(h, F.col(key_col)).limit(n)
 
 
+def portable_hash_order(seed: int, key_col: str) -> Column:
+    """md5-of-key ordering expression reproducible in any engine — the
+    shared randomness source for seeded and stratified sampling."""
+    return F.md5(F.concat(F.lit(f"s{seed}:"), F.col(key_col).cast("string")))
+
+
 def seeded_sample_portable(df: DataFrame, n: int, seed: int, key_col: str) -> DataFrame:
     """Like :func:`seeded_sample` but ordered by md5 of the key — a hash
     any engine can reproduce, so the sample itself is oracle-checkable.
     xxhash64 (above) is cheaper when cross-engine parity isn't needed."""
-    h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col(key_col).cast("string")))
-    return df.orderBy(h, F.col(key_col)).limit(n)
+    return df.orderBy(portable_hash_order(seed, key_col), F.col(key_col)).limit(n)
 
 
 def densest_rows(df: DataFrame, k: int, tiebreak_cols: list[str]) -> DataFrame:

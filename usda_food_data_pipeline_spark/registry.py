@@ -274,7 +274,9 @@ def q_pivot_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "per-column threshold rule table: values above threshold become null",
 )
-def q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _capped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared projection for threshold_nullout and densest_rows (same
+    rule table on both sides of both oracles — single source of truth)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.select(
         F.col("l_orderkey").alias("order_key"),
@@ -282,6 +284,10 @@ def q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(F.col("l_extendedprice") <= 30000.0, F.col("l_extendedprice")), 2).alias("price_capped"),
         F.round(F.when(F.col("l_quantity") <= 25.0, F.col("l_quantity")), 2).alias("qty_capped"),
     )
+
+
+def q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _capped_lineitem(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -305,14 +311,7 @@ def q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-10 rows with fewest nulls (per-row null count + TakeOrdered)",
 )
 def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    capped = lineitem.select(
-        F.col("l_orderkey").alias("order_key"),
-        F.col("l_linenumber").alias("line_number"),
-        F.round(F.when(F.col("l_extendedprice") <= 30000.0, F.col("l_extendedprice")), 2).alias("price_capped"),
-        F.round(F.when(F.col("l_quantity") <= 25.0, F.col("l_quantity")), 2).alias("qty_capped"),
-    )
-    return densest_rows(capped, 10, ["order_key", "line_number"])
+    return densest_rows(_capped_lineitem(spark, sf_dir), 10, ["order_key", "line_number"])
 
 
 # ---------------------------------------------------------------------------

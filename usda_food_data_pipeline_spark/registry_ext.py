@@ -689,8 +689,10 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from .operators.topk import portable_hash_order
+
     orders = load_table(spark, sf_dir, "orders")
-    h = F.md5(F.concat(F.lit("s42:"), F.col("o_orderkey").cast("string")))
+    h = portable_hash_order(42, "o_orderkey")
     w = Window.partitionBy("o_orderpriority").orderBy(h, F.col("o_orderkey"))
     return (
         orders.withColumn("rn", F.row_number().over(w))
