@@ -149,3 +149,28 @@ def test_kmeans_lloyd_improves_objective(spark):
     # assignments cover every vector exactly once
     assigned = ivf_assign(emb, trained)
     assert assigned.count() == emb.count()
+
+
+def test_text_stats_tolerate_empty_documents(spark):
+    """Empty/whitespace-only docs must yield NULL stats, not a
+    DIVIDE_BY_ZERO job abort (Spark 4 ANSI default)."""
+    from usda_food_data_pipeline_spark.functions.textstats import (
+        quality_score,
+        token_count,
+    )
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count(FF.col("text")).alias("n"),
+            quality_score(FF.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 3 and rows[1]["q"] is not None
+    assert rows[2]["q"] is None  # 0 chars
+    assert rows[3]["n"] == 0 and rows[3]["q"] is not None  # chars>0, tokens=0 → band 0

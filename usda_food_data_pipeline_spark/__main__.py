@@ -4,7 +4,7 @@ Commands mirror how a reference user drives their repo:
   pipeline  — run the faithful USDA cleaning DAG over staged CSVs
   index     — build the embedding index from a parquet/CSV table
   retrieve  — top-k cosine retrieval against an index
-  bench     — alias for bench.py's behavior over the registry
+(benchmarks: use bench.py at the repo root)
 """
 
 from __future__ import annotations

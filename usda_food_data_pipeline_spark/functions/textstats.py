@@ -70,9 +70,11 @@ def quality_score(text: Column) -> Column:
     punct = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
     toks = tokenize(text)
     n_toks = F.size(toks)
-    alpha_ratio = alpha.cast("double") / n_chars
-    punct_ratio = punct.cast("double") / n_chars
-    mean_tok_len = alpha.cast("double") / n_toks
+    # try_divide: empty/whitespace-only docs have 0 chars or 0 tokens,
+    # and ANSI mode makes plain / throw — score becomes NULL instead
+    alpha_ratio = F.try_divide(alpha.cast("double"), n_chars)
+    punct_ratio = F.try_divide(punct.cast("double"), n_chars)
+    mean_tok_len = F.try_divide(alpha.cast("double"), n_toks)
     band = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), F.lit(1.0)).otherwise(
         F.lit(0.0)
     )

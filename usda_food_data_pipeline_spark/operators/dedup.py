@@ -155,7 +155,8 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # testdata parquet is single-row-group → 1 scan task; spread the
     # expression-heavy shingle/hash work across the cluster first
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import spread
+    df = spread(df)
     sig = df.select(
         F.col(id_col).alias("doc_id_"),
         word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
@@ -227,7 +228,8 @@ def ngram_jaccard_pairs(
     have near-equal length) to keep group sizes bounded.
     """
     block = F.col(block_col) if isinstance(block_col, str) else block_col
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import spread
+    df = spread(df)
     prepped = df.select(
         block.alias("block_"),
         F.col(id_col).alias("doc_id_"),
@@ -297,7 +299,8 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-document SimHash fingerprint table (near-dup docs get close
     fingerprints; pair generation = group by fingerprint bands)."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import spread
+    df = spread(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         simhash(tokenize(F.col(text_col)), bits).alias("simhash"),

@@ -142,9 +142,9 @@ def embedding_neardup_pairs(
     score), id_a < id_b, score >= threshold.
     """
     # precompute norms once per row — one fold per PAIR instead of three
-    embeddings = embeddings.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism
-    )
+    from ..sources.tables import spread
+
+    embeddings = spread(embeddings)
     prepped = embeddings.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
@@ -183,9 +183,9 @@ def knn_join(
             F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
         )
     )
-    embeddings = embeddings.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism
-    )
+    from ..sources.tables import spread
+
+    embeddings = spread(embeddings)
     scored = embeddings.crossJoin(q).filter(F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
@@ -218,9 +218,9 @@ def kmeans_lloyd(
     """
     from pyspark.sql import Window
 
-    embeddings = embeddings.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism
-    ).persist()
+    from ..sources.tables import spread
+
+    embeddings = spread(embeddings).persist()
     centroids = (
         embeddings.orderBy(id_col)
         .limit(k)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from .functions.cleaning import deterministic_avg, deterministic_sum
 from .operators.dedup import dedup_latest
 from .operators.pivot import group_avg_pivot
-from .operators.topk import densest_rows, seeded_sample
+from .operators.topk import densest_rows
 from .plans.flagship import FLAGSHIP_ORACLE_SQL, flagship_query
 from .sources.tables import load_table
 
@@ -274,6 +274,10 @@ def q_pivot_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "per-column threshold rule table: values above threshold become null",
 )
+def q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _capped_lineitem(spark, sf_dir)
+
+
 def _capped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared projection for threshold_nullout and densest_rows (same
     rule table on both sides of both oracles — single source of truth)."""
@@ -284,10 +288,6 @@ def _capped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(F.col("l_extendedprice") <= 30000.0, F.col("l_extendedprice")), 2).alias("price_capped"),
         F.round(F.when(F.col("l_quantity") <= 25.0, F.col("l_quantity")), 2).alias("qty_capped"),
     )
-
-
-def q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _capped_lineitem(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

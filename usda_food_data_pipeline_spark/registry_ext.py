@@ -150,9 +150,12 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("total_price"),
         F.col("o_custkey").cast("double").alias("customer_key_d"),
     )
-    return wide.unpivot(
-        ["o_orderkey"], ["total_price", "customer_key_d"], "metric", "val"
-    ).select(F.col("o_orderkey").alias("order_key"), "metric", "val")
+    return (
+        wide.unpivot(["o_orderkey"], ["total_price", "customer_key_d"], "metric", "val")
+        # DuckDB's UNPIVOT drops NULL measures; pin the same contract
+        .filter(F.col("val").isNotNull())
+        .select(F.col("o_orderkey").alias("order_key"), "metric", "val")
+    )
 
 
 # ---------------------------------------------------------------------------

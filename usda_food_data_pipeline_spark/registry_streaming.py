@@ -65,18 +65,20 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session",
     """
     WITH ordered AS (
-        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-               lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         FROM events
     ),
     flagged AS (
-        SELECT user_id, us,
+        SELECT user_id, event_id, us,
                CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
         FROM ordered
     ),
     sessions AS (
+        -- event_id tiebreak: duplicate (user, ts) rows must see the same
+        -- ordering in both window passes or tied events can split sessions
         SELECT user_id, us,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM flagged
     )

@@ -160,7 +160,7 @@ SELECT id_a, id_b, jaccard FROM mh_pairs
 @register(
     "dedup_minhash_lsh",
     _minhash_oracle(),
-    "MinHash(16)+LSH(8 bands) candidate pairs, verified by exact Jaccard",
+    f"MinHash({_NUM_HASHES})+LSH({_BANDS} bands x {_ROWS_PER_BAND} rows) pairs, verified by exact Jaccard",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -210,8 +210,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len({TOKS_SQL}) AS n_tokens,
            length(text) AS n_chars_actual,
-           CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)
-               / len({TOKS_SQL}) AS mean_token_len
+           CASE WHEN len({TOKS_SQL}) > 0 THEN
+               CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)
+               / len({TOKS_SQL}) END AS mean_token_len
     FROM documents
     """,
     "whitespace/BPE-ish token counting + mean token length",
@@ -223,9 +224,9 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(text).alias("n_tokens"),
         F.length(text).alias("n_chars_actual"),
-        (
-            F.length(F.regexp_replace(text, ALPHA_CLASS, "")).cast("double")
-            / token_count(text)
+        F.try_divide(
+            F.length(F.regexp_replace(text, ALPHA_CLASS, "")).cast("double"),
+            token_count(text),
         ).alias("mean_token_len"),
     )
 
@@ -238,10 +239,10 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     f"""
     SELECT doc_id,
-           0.5 * (CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE) / length(text))
-         + 0.3 * (1.0 - CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text))
-         + 0.2 * (CASE WHEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)
-                            / len({TOKS_SQL}) BETWEEN 3.0 AND 10.0
+           0.5 * (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE) / length(text) END)
+         + 0.3 * (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) END))
+         + 0.2 * (CASE WHEN (CASE WHEN len({TOKS_SQL}) > 0 THEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)
+                            / len({TOKS_SQL}) END) BETWEEN 3.0 AND 10.0
                        THEN 1.0 ELSE 0.0 END) AS quality
     FROM documents
     """,
@@ -480,10 +481,10 @@ def _training_pipeline_oracle() -> str:
     from .plans.training_pipeline import QUALITY_MIN, TOKENS_MIN
 
     quality = (
-        f"0.5 * (CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE) / length(text))"
-        f" + 0.3 * (1.0 - CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text))"
-        f" + 0.2 * (CASE WHEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)"
-        f" / len({TOKS_SQL}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)"
+        f"0.5 * (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE) / length(text) END)"
+        f" + 0.3 * (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) END))"
+        f" + 0.2 * (CASE WHEN (CASE WHEN len({TOKS_SQL}) > 0 THEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)"
+        f" / len({TOKS_SQL}) END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)"
     )
     return f"""
 WITH RECURSIVE enriched AS (
