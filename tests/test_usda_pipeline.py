@@ -80,3 +80,21 @@ def test_pipeline_faithful_nan_mode(spark, usda_inputs):
     rows = {r["FOOD_RECORD_ID"]: r for r in out.collect()}
     assert set(rows) == {"11", "20"}
     assert rows["20"]["FOOD_SERVING_SIZE"] == "nan ML"
+
+
+def test_duplicate_nutrient_labels_disambiguated(spark, usda_inputs):
+    """Two nutrients with identical (name, unit) → identical composite
+    labels; pandas would emit duplicate columns (ambiguous downstream),
+    sane mode suffixes the nutrient id."""
+    branded, food, nutrient, food_nutrient = usda_inputs
+    nutrient_dup = spark.createDataFrame(
+        [(1, "Protein", "G"), (2, "Energy", "KCAL"), (3, "Protein", "G")],
+        "id long, name string, unit_name string",
+    )
+    fn_extra = food_nutrient.union(
+        spark.createDataFrame([(11, 3, 7.0)], "fdc_id long, nutrient_id long, amount double")
+    )
+    out = usda_pipeline(branded, food, nutrient_dup, fn_extra)
+    assert "PROTEIN (G)" in out.columns and "PROTEIN (G) [3]" in out.columns
+    r = out.collect()[0]
+    assert r["PROTEIN (G)"] == 15.0 and r["PROTEIN (G) [3]"] == 7.0

@@ -154,6 +154,17 @@ def usda_pipeline(
     nutrient_labels = {
         r["NUTRIENT_ID"]: r["FOOD_NUTRIENT_NAME"] for r in labels_df.collect()
     }
+    # Distinct nutrients can share a composite label (same name+unit).
+    # pandas' dict-rename (:104-106) would emit duplicate column names;
+    # Spark's later select-by-name would raise AMBIGUOUS_REFERENCE.
+    # Sane mode: disambiguate with the nutrient id suffix.
+    seen: dict[str, int] = {}
+    for nid in sorted(nutrient_labels):
+        label = nutrient_labels[nid]
+        if label in seen:
+            nutrient_labels[nid] = f"{label} [{nid}]"
+        else:
+            seen[label] = nid
     nutrients_wide = clean_food_nutrient(food_nutrient, branded_keys, nutrient_labels)
 
     # :108-110 inner join chain; :111-114 fixed prefix + sorted nutrient cols

@@ -93,3 +93,27 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return session_window_agg(events, "30 minutes")
+
+
+@register(
+    "events_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    "per-type event rollup with JSON field extraction (P8 + A1 over events)",
+)
+def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .functions.cleaning import deterministic_sum
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        deterministic_sum("value").alias("sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    )
