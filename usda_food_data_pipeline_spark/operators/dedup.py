@@ -346,24 +346,24 @@ def connected_components(
             "component", F.col("node")
         )
     )
-    prev = None
-    converged = False
-    for _ in range(max_iter):
+    def propagate(lbls: DataFrame) -> DataFrame:
         neighbor_min = (
-            und.join(labels, und.dst == labels.node)
+            und.join(lbls, und.dst == lbls.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
-                (F.col("nmin") < F.col("component")).alias("_changed"),
-            )
-        ).persist()
+        return lbls.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nmin", F.col("component"))
+            ).alias("component"),
+            (F.col("nmin") < F.col("component")).alias("_changed"),
+        )
+
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        new_labels = propagate(labels).persist()
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         if prev is not None:
             prev.unpersist()  # superseded generation
