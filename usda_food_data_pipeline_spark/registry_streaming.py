@@ -117,3 +117,56 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         deterministic_sum("value").alias("sum_value"),
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'view'
+    ),
+    conv AS (
+        SELECT p.user_id, p.event_id,
+               EXISTS (SELECT 1 FROM v
+                       WHERE v.user_id = p.user_id
+                         AND v.ts <= p.ts
+                         AND v.ts >= p.ts - INTERVAL 30 MINUTE) AS converted
+        FROM p
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted
+    FROM conv GROUP BY user_id
+    """,
+    "view→purchase funnel: purchases preceded by a view within 30min per user",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    cond = (
+        (purchases.user_id == views.v_user)
+        & (views.v_ts <= purchases.ts)
+        & (views.v_ts >= purchases.ts - F.expr("INTERVAL 30 MINUTES"))
+    )
+    converted = purchases.join(views, cond, "left_semi")
+    totals = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_purchases"))
+    conv_counts = converted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    return totals.join(conv_counts, "user_id", "left").select(
+        "user_id",
+        "n_purchases",
+        F.coalesce("n_converted", F.lit(0).cast("long")).alias("n_converted"),
+    )
