@@ -705,3 +705,77 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("order_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING over an aggregate, joined back to detail
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q18_big_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    SELECT c_custkey AS customer_key, o_orderkey AS order_key,
+           round(o_totalprice, 2) AS order_total,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    """,
+    "large-volume orders: HAVING-filtered agg semi-joined back to detail (TPC-H Q18 shape)",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.cleaning import deterministic_sum
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(big, "o_orderkey", "left_semi")
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(deterministic_sum("l_quantity").alias("total_qty"))
+        .select(
+            F.col("c_custkey").alias("customer_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.round("o_totalprice", 2).alias("order_total"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-count aggregates (count_if / filtered counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "conditional_counts",
+    """
+    SELECT l_returnflag AS return_flag,
+           count_if(l_discount > 0.05) AS n_discounted,
+           count_if(l_quantity >= 40) AS n_bulk,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "filtered conditional counts per group (count_if)",
+)
+def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 40).alias("n_bulk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(F.col("l_returnflag").alias("return_flag"), "n_discounted", "n_bulk", "n_rows")
