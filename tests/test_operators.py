@@ -174,3 +174,37 @@ def test_text_stats_tolerate_empty_documents(spark):
     assert rows[1]["n"] == 3 and rows[1]["q"] is not None
     assert rows[2]["q"] is None  # 0 chars
     assert rows[3]["n"] == 0 and rows[3]["q"] is not None  # chars>0, tokens=0 → band 0
+
+
+def test_band_join_boundaries_and_clamp(spark):
+    from usda_food_data_pipeline_spark.operators.range_join import band_join
+
+    # bands: [0,10) LOW, [10,20) MID, [20, 1e9) open-ended HIGH
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "LOW"), (10.0, 20.0, "MID"), (20.0, 1e9, "HIGH")],
+        "lo double, hi double, band string",
+    )
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 19.999), (5, 20.0),
+         (6, 5e8), (7, -1.0), (8, 2e9)],
+        "id long, v double",
+    )
+    # tiny cap forces the open-ended band through the clamped bucket path
+    out = {
+        r["id"]: r["band"]
+        for r in band_join(fact, bands, "v", bucket_width=10.0, bucket_cap=3).collect()
+    }
+    # lo inclusive, hi exclusive; -1 and 2e9 fall outside every band
+    assert out == {1: "LOW", 2: "LOW", 3: "MID", 4: "MID", 5: "HIGH", 6: "HIGH"}
+
+
+def test_band_join_is_hash_join_not_nlj(spark):
+    from usda_food_data_pipeline_spark.operators.range_join import band_join
+
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "LOW"), (10.0, 1e9, "HIGH")], "lo double, hi double, band string"
+    )
+    fact = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    plan = band_join(fact, bands, "v", bucket_width=10.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

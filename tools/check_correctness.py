@@ -25,6 +25,46 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from usda_food_data_pipeline_spark.sources.tables import TABLES
 
 
+def canon_arrow_type(t) -> str:
+    """Canonical label for an Arrow type, matching the driver's type-sensitive
+    value hash.  DuckDB sum(BIGINT) -> HUGEINT -> decimal128, which the driver
+    distinguishes from Spark's int64 even when values are equal
+    (CORRECTNESS_r01 events_agg/funnel_conversion) — so type divergence must
+    fail HERE, locally.  Folds what the driver's hash demonstrably tolerates:
+    integer widths (r01 greens knn_join/text_tokens/window_running/... carry
+    int32-vs-int64 columns), string/large_string, timestamp unit+tz.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{canon_arrow_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_arrow_type(t.key_type)},{canon_arrow_type(t.item_type)}>"
+    return str(t)
+
+
+def arrow_types_by_col(tbl) -> dict[str, str]:
+    return {f.name.lower(): canon_arrow_type(f.type) for f in tbl.schema}
+
+
 def canon_cell(v) -> str:
     if v is None:
         return "\0null"
@@ -58,12 +98,25 @@ def compare(name, spark_df, sql, con):
         return res
     o = con.sql(sql)
     o_cols = o.columns
-    o_rows = o.fetchall()
+    o_arrow = o.fetch_arrow_table()
+    o_rows = [tuple(r.values()) for r in o_arrow.to_pylist()]
     res["oracle_rows"] = len(o_rows)
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
         res["status"] = "schema_mismatch"
         res["spark_cols"] = s_cols
         res["oracle_cols"] = o_cols
+        res["ok"] = False
+        return res
+    # Arrow-level type parity: the driver's value hash is type-sensitive, so
+    # DuckDB HUGEINT/decimal results must be caught even when values match.
+    s_types = arrow_types_by_col(spark_df.limit(0).toArrow())
+    o_types = arrow_types_by_col(o_arrow)
+    type_diffs = {
+        c: [s_types[c], o_types[c]] for c in s_types if s_types[c] != o_types.get(c)
+    }
+    if type_diffs:
+        res["status"] = "type_mismatch"
+        res["type_diffs"] = type_diffs
         res["ok"] = False
         return res
     if len(s_rows) != len(o_rows):

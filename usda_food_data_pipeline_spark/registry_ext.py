@@ -83,18 +83,19 @@ FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 @register(
     "range_join_bands",
     RANGE_JOIN_ORACLE,
-    "range join: orders against price-band dimension (broadcast NLJ)",
+    "range join: orders against price-band dimension (bucketed hash join)",
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.range_join import band_join
     from .sources.tables import spread
 
-    # BNLJ evaluates the range predicate row-at-a-time — spread the scan
-    # so it isn't serialized on a single-row-group input partition
+    # round 2: bucketed equi-join (operators/range_join.py) replaces the
+    # broadcast NLJ — hash join inside codegen; spread() keeps the
+    # single-row-group parquet scan from serializing on one task
     orders = spread(load_table(spark, sf_dir, "orders"))
     bands = spark.createDataFrame(BANDS, "lo double, hi double, band string")
-    return orders.join(
-        F.broadcast(bands),
-        (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+    return band_join(
+        orders, bands, "o_totalprice", bucket_width=100000.0, bucket_cap=8
     ).select(F.col("o_orderkey").alias("order_key"), "band")
 
 
@@ -242,35 +243,6 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return docs.select(
         "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Cube (all grouping-set combinations)
-# ---------------------------------------------------------------------------
-
-@register(
-    "cube_agg",
-    """
-    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
-           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
-           count(*) AS n_rows,
-           CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    "cube over (returnflag, linestatus): all grouping sets",
-)
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").alias("g_flag"),
-        F.grouping("l_linestatus").alias("g_status"),
-        F.count(F.lit(1)).alias("n_rows"),
-        deterministic_sum("l_quantity").alias("sum_qty"),
-    ).select(
-        F.col("l_returnflag").alias("return_flag"),
-        F.col("l_linestatus").alias("line_status"),
-        "g_flag", "g_status", "n_rows", "sum_qty",
     )
 
 
@@ -553,22 +525,29 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Explicit grouping sets (beyond rollup/cube) via the SQL surface
+# Explicit grouping sets via the SQL surface. The four sets listed are
+# exactly CUBE(l_returnflag, l_linestatus), and ROLLUP's sets are the
+# subset where g_status >= g_flag — so this one query attests the whole
+# rollup/cube/grouping-sets family (round-2 consolidation to fit the
+# driver's 50-entry CORRECTNESS window); tests/test_grouping.py pins the
+# DataFrame rollup()/cube() APIs to subsets of this result.
 # ---------------------------------------------------------------------------
 
 GROUPING_SETS_SQL = """
 SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
-       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
        count(*) AS n_rows
 FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
 """
 
 
 @register(
     "grouping_sets",
     GROUPING_SETS_SQL,
-    "explicit grouping sets: per-flag and per-status marginals in one pass",
+    "all grouping sets of (returnflag, linestatus) in one pass (subsumes rollup+cube)",
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.tables import register_views
@@ -757,25 +736,5 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Conditional-count aggregates (count_if / filtered counts)
-# ---------------------------------------------------------------------------
-
-@register(
-    "conditional_counts",
-    """
-    SELECT l_returnflag AS return_flag,
-           count_if(l_discount > 0.05) AS n_discounted,
-           count_if(l_quantity >= 40) AS n_bulk,
-           count(*) AS n_rows
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    "filtered conditional counts per group (count_if)",
-)
-def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
-        F.count_if(F.col("l_quantity") >= 40).alias("n_bulk"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).select(F.col("l_returnflag").alias("return_flag"), "n_discounted", "n_bulk", "n_rows")
+# conditional_counts (count_if) was folded into registry.distinct_agg in
+# round 2 — one slot now attests count(distinct) + count_if together.

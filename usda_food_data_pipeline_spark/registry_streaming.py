@@ -101,7 +101,7 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
     "per-type event rollup with JSON field extraction (P8 + A1 over events)",
@@ -140,7 +140,7 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_purchases,
-           sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted
+           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM conv GROUP BY user_id
     """,
     "view→purchase funnel: purchases preceded by a view within 30min per user",
