@@ -99,3 +99,24 @@ def test_retrieve_empty_query_returns_nothing(spark, sf_dir, workdir):
         docs = load_table(spark, sf_dir, "documents").limit(20)
         api.build_index(spark, docs, "text", "doc_id", index_path, dim=16)
     assert api.retrieve(spark, index_path, "   ", k=5, dim=16) == []
+
+
+def test_read_usda_csv_schema_by_name(spark, workdir):
+    """Explicit schema is bound by header NAME: extra columns and a
+    different column order must not shift types (the failure mode of
+    positional StructType over real USDA exports)."""
+    import os
+
+    from usda_food_data_pipeline_spark.sources.tables import read_usda_csv
+
+    d = f"{workdir}/landing2"
+    os.makedirs(d, exist_ok=True)
+    with open(f"{d}/food_nutrient.csv", "w") as f:
+        f.write("amount,extra_col,fdc_id,nutrient_id\n1.5,x,11,1\n")
+    df = read_usda_csv(spark, f"{d}/food_nutrient.csv", "food_nutrient")
+    assert dict(df.dtypes) == {
+        "amount": "double", "extra_col": "string",
+        "fdc_id": "bigint", "nutrient_id": "bigint",
+    }
+    r = df.collect()[0]
+    assert r["amount"] == 1.5 and r["fdc_id"] == 11

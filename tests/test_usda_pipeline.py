@@ -62,12 +62,16 @@ def test_pipeline_golden(spark, usda_inputs):
     assert r["FOOD_ID"] == "U1"
     assert r["FOOD_NAME"] == "CHOC BAR"
     assert r["FOOD_SERVING_SIZE"] == "12.5 G"
+    # SURVEY §1.2: typed pair exposed alongside the composite
+    assert r["FOOD_SERVING_SIZE_VALUE"] == 12.5
+    assert r["FOOD_SERVING_SIZE_UNIT"] == "G"
     assert r["FOOD_INGREDIENTS"] == "SUGAR, SALT"
     assert r["PROTEIN (G)"] == 15.0  # group-mean of duplicates
     assert r["ENERGY (KCAL)"] is None  # thresholded out
     # column order: fixed prefix then sorted nutrient labels (:111-114)
     assert out.columns == [
         "FOOD_RECORD_ID", "FOOD_ID", "FOOD_NAME", "FOOD_SERVING_SIZE",
+        "FOOD_SERVING_SIZE_VALUE", "FOOD_SERVING_SIZE_UNIT",
         "FOOD_INGREDIENTS", "ENERGY (KCAL)", "PROTEIN (G)",
     ]
 
@@ -80,6 +84,9 @@ def test_pipeline_faithful_nan_mode(spark, usda_inputs):
     rows = {r["FOOD_RECORD_ID"]: r for r in out.collect()}
     assert set(rows) == {"11", "20"}
     assert rows["20"]["FOOD_SERVING_SIZE"] == "nan ML"
+    # the typed pair stays honest in faithful mode: no fake 'nan' double
+    assert rows["20"]["FOOD_SERVING_SIZE_VALUE"] is None
+    assert rows["20"]["FOOD_SERVING_SIZE_UNIT"] == "ML"
 
 
 def test_duplicate_nutrient_labels_disambiguated(spark, usda_inputs):

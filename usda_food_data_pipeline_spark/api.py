@@ -24,6 +24,7 @@ from .functions.embed import embed_text_batch
 from .operators.similarity import cosine_topk
 from .plans.usda_pipeline import usda_pipeline
 from .sources.sinks import build_embedding_index, write_quoted_csv
+from .sources.tables import read_usda_csv
 
 
 def run_pipeline(
@@ -35,11 +36,10 @@ def run_pipeline(
     """Reference ``execute_pipeline``: read the four staged USDA CSVs
     from ``landing_dir``, run the cleaning DAG, write the wide table."""
     def read(name: str) -> DataFrame:
-        return (
-            spark.read.option("header", True)
-            .option("inferSchema", True)  # reference parity; prod: pass explicit schema
-            .csv(f"{landing_dir}/{name}.csv")
-        )
+        # explicit name-based schema (SURVEY §1.3; reference dtype override
+        # utils/upload_data_to_pinecone.py:8) — no inference job, no
+        # type drift between sampled and full reads
+        return read_usda_csv(spark, f"{landing_dir}/{name}.csv", name)
 
     out = usda_pipeline(
         read("branded_food"), read("food"), read("nutrient"), read("food_nutrient")

@@ -59,6 +59,8 @@ FIXED_COLUMNS = [
     "FOOD_ID",
     "FOOD_NAME",
     "FOOD_SERVING_SIZE",
+    "FOOD_SERVING_SIZE_VALUE",
+    "FOOD_SERVING_SIZE_UNIT",
     "FOOD_INGREDIENTS",
 ]
 
@@ -81,6 +83,11 @@ def clean_branded_food(branded_food: DataFrame, faithful_nan: bool = False) -> D
         F.upper(F.trim(F.col("gtin_upc"))).alias("FOOD_ID"),  # :73-74 normalize
         F.upper(F.trim(F.col("ingredients"))).alias("FOOD_INGREDIENTS"),
         composite.alias("FOOD_SERVING_SIZE"),  # :77-79 concat
+        # SURVEY §1.2: the typed pair alongside the composite string —
+        # the reference (:77-79) collapses to the string; downstream
+        # numeric use shouldn't have to re-parse it
+        size.alias("FOOD_SERVING_SIZE_VALUE"),
+        unit.alias("FOOD_SERVING_SIZE_UNIT"),
     ).orderBy("FOOD_RECORD_ID")  # :80 (cosmetic; joins don't rely on it)
 
 

@@ -73,3 +73,41 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Explicit schema-on-read for the four staged USDA CSVs (SURVEY §1.3).
+# Reference dtype override: utils/upload_data_to_pinecone.py:8 — the
+# reference re-reads with dtype=str; here every production read carries an
+# explicit type per known column (serving_size stays STRING: dirty values
+# are coerced later by safe_cast_round, like pandas to_numeric(coerce)).
+# Real USDA exports carry extra columns; the schema is built by NAME
+# against the file's header (one-row text read), unknown columns default
+# to STRING, so column order/width changes never silently shift types.
+# ---------------------------------------------------------------------------
+
+USDA_CSV_TYPES: dict[str, dict[str, str]] = {
+    "branded_food": {
+        "fdc_id": "bigint",
+        "gtin_upc": "string",
+        "ingredients": "string",
+        "serving_size": "string",
+        "serving_size_unit": "string",
+    },
+    "food": {"fdc_id": "bigint", "description": "string"},
+    "nutrient": {"id": "bigint", "name": "string", "unit_name": "string"},
+    "food_nutrient": {"fdc_id": "bigint", "nutrient_id": "bigint", "amount": "double"},
+}
+
+
+def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    dtypes = {"bigint": T.LongType(), "double": T.DoubleType(), "string": T.StringType()}
+    types = USDA_CSV_TYPES[table]
+    header = spark.read.text(path).first()["value"]
+    cols = [c.strip().strip('"') for c in header.split(",")]
+    schema = T.StructType(
+        [T.StructField(c, dtypes[types.get(c, "string")], True) for c in cols]
+    )
+    return spark.read.option("header", True).schema(schema).csv(path)
