@@ -208,3 +208,33 @@ def test_band_join_is_hash_join_not_nlj(spark):
     plan = band_join(fact, bands, "v", bucket_width=10.0)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_star_matches_label(spark):
+    from usda_food_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 5), (8, 9), (9, 8)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "node long")
+    want = {r["node"]: r["component"] for r in connected_components(edges, nodes).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes, algorithm="star").collect()
+    }
+    assert got == want
+    assert got[3] == 1 and got[7] == 5 and got[9] == 8 and got[10] == 10
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """A 1000-node chain has diameter 1000 — label propagation needs
+    ~1000 rounds, star contraction must finish in ~log rounds. max_iter
+    doubles as the round bound: convergence within 12 or it raises."""
+    from usda_food_data_pipeline_spark.operators.dedup import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    out = connected_components(edges, nodes, algorithm="star", max_iter=12)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}

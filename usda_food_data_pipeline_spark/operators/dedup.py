@@ -314,20 +314,33 @@ def connected_components(
     id_b: str = "id_b",
     node_col: str = "node",
     max_iter: int = 100,
+    algorithm: str = "label",
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation: the
-    cluster step of a near-dup pipeline (pairs → clusters → one
-    canonical doc per cluster).
+    """Connected components: the cluster step of a near-dup pipeline
+    (pairs → clusters → one canonical doc per cluster).
 
+    ``algorithm="label"`` (default): iterative min-label propagation.
     Each round every node takes min(own label, neighbors' labels);
     converges in O(component diameter) rounds — near-dup components are
-    shallow in practice. The driver loop only checks a changed-count per
-    round (an aggregate, not a collect of data). At extreme scale swap
-    the propagation step for the large-star/small-star algorithm; the
-    loop scaffold stays the same. Singleton nodes keep their own id.
+    shallow in practice, and one join+group per round is the cheapest
+    loop body. The driver loop only checks a changed-count per round
+    (an aggregate, not a collect of data).
+
+    ``algorithm="star"``: alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log^2 n) rounds even on adversarially long chains, the 100 TB
+    path when component diameter is unbounded. Same result contract.
+
+    Singleton nodes keep their own id in both variants.
 
     Returns (node, component) where component = min node id reachable.
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            edges, nodes, id_a, id_b, node_col, max_iter
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
     # persist the edge list: every iteration joins against it, and its
     # lineage (e.g. a full MinHash pipeline) must not replay per round
     und = (
@@ -363,7 +376,11 @@ def connected_components(
     prev = None
     converged = False
     for _ in range(max_iter):
-        new_labels = propagate(labels).persist()
+        # localCheckpoint: propagate() references the previous labels
+        # twice, so plain persist still doubles the logical plan per
+        # round and Catalyst re-optimization cost compounds; truncating
+        # lineage keeps every round O(1) planning work
+        new_labels = propagate(labels).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         if prev is not None:
             prev.unpersist()  # superseded generation
@@ -381,6 +398,97 @@ def connected_components(
             "raise max_iter (rounds needed = longest component's diameter)"
         )
     # singletons: component = own id
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Emitted per undirected neighborhood, so both
+    orientations of the input are considered."""
+    bidir = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = bidir.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+    return (
+        bidir.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge large→small; for each node u connect every
+    smaller neighbor (and u itself) to min(N(u) ∪ {u})."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    with_m = oriented.join(mins, "src")
+    links = with_m.where(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    centers = with_m.select("src", F.col("m").alias("dst"))
+    return links.union(centers).distinct()
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_a: str,
+    id_b: str,
+    node_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Two-phase star contraction. Converges when a large+small round
+    leaves the canonical edge set unchanged (count + order-insensitive
+    xxhash64 checksum — an aggregate probe, no collect); at the fixpoint
+    every component is a star centered on its min node."""
+    all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    e = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+
+    def fingerprint(df: DataFrame) -> tuple[int, int]:
+        canon = df.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        ).distinct()
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        # (edges are distinct, so xor cancellation can't occur)
+        row = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev_fp = fingerprint(e)
+    converged = False
+    for _ in range(max_iter):
+        # localCheckpoint (not persist): each round's plan references the
+        # previous round twice per star op, so the LOGICAL plan doubles
+        # every round and Catalyst re-optimization comes to dominate
+        # wall-clock (~70s/round by round 3 on a 999-edge chain);
+        # checkpointing truncates lineage so each round plans O(1) work
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp = fingerprint(new_e)
+        e.unpersist()
+        e = new_e
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            f"star connected_components did not converge within {max_iter} rounds"
+        )
+    # fixpoint edges are (child, center) stars; centers/singletons → self
+    labels = e.select(
+        F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("component")
+    ).distinct()
+    e.unpersist()
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
