@@ -123,3 +123,38 @@ def test_ingest_utilities(tmpdir):
     assert sorted(names) == ["drop.csv", "keep.csv"]
     staged = stage_files(out, os.path.join(tmpdir, "landing"), keep=["keep.csv"])
     assert len(staged) == 1 and staged[0].endswith("keep.csv")
+
+
+def test_custom_decoder_contract(spark):
+    """The decode seam: ANY callable bytes -> ndarray drops into
+    extract_features and its actual output (not the fake) must land in
+    the features column, batched through Arrow. This is the contract a
+    real codec implements; decode_image/decode_audio stay the only
+    declared-incomplete surface (test_real_decoder_is_stubbed)."""
+    import numpy as np
+
+    from usda_food_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [(1, "3.5,1.25"), (2, "0.5,-2.0")], "doc_id long, text string"
+        ),
+        "text",
+        mime="text/csv",
+    )
+
+    def csv_decoder(data: bytes) -> np.ndarray:
+        # a 'real' decoder stand-in with observable, payload-dependent
+        # output: parse the payload itself, not a hash of it
+        return np.array([float(x) for x in data.decode("utf-8").split(",")])
+
+    out = {
+        r["doc_id"]: r
+        for r in extract_features(df, decoder=csv_decoder).collect()
+    }
+    assert out[1]["features"] == [3.5, 1.25]
+    assert out[2]["features"] == [0.5, -2.0]
+    assert out[1]["n_bytes"] == len(b"3.5,1.25")

@@ -186,3 +186,42 @@ def test_stream_stream_join(spark, events_dir):
     )
     want = {(r["p"], r["v"]) for r in batch}
     assert got == want and len(want) > 0
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, events_dir):
+    """The true streaming funnel: time-bounded stream-stream semi join.
+    Every purchase the stream emits as converted must be converted in
+    the batch twin, and all but the watermark-tail purchases must be
+    emitted."""
+    from usda_food_data_pipeline_spark.streaming.dedup import streaming_funnel
+
+    stream = _stream(spark, events_dir)
+    q = (
+        streaming_funnel(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["event_id"] for r in spark.sql("SELECT event_id FROM funnel_out").collect()}
+    finally:
+        q.stop()
+
+    batch_events = spark.read.parquet(events_dir)
+    batch = streaming_funnel(batch_events, watermark=None)
+    want = {r["event_id"] for r in batch.collect()}
+    assert got, "streaming funnel emitted nothing"
+    assert got <= want  # no false conversions
+    # completeness: everything older than the final watermark must emit
+    import datetime
+
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=1, minutes=30)
+    old_want = {
+        r["event_id"]
+        for r in batch.filter(F.col("ts") < F.lit(horizon)).collect()
+    }
+    missing = old_want - got
+    assert not missing, f"{len(missing)} pre-watermark conversions not emitted"

@@ -148,19 +148,17 @@ def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from .streaming.dedup import streaming_funnel
+
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
-    views = events.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
-    )
-    cond = (
-        (purchases.user_id == views.v_user)
-        & (views.v_ts <= purchases.ts)
-        & (views.v_ts >= purchases.ts - F.expr("INTERVAL 30 MINUTES"))
-    )
-    converted = purchases.join(views, cond, "left_semi")
+    # the SAME time-bounded semi-join the streaming funnel runs —
+    # watermark=None yields the batch-equivalent plan
+    # (tests/test_streaming.py::test_streaming_funnel_matches_batch pins
+    # streaming output to this twin)
+    converted = streaming_funnel(events, max_lag="30 minutes", watermark=None)
     totals = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_purchases"))
     conv_counts = converted.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_converted")
