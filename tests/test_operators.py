@@ -238,3 +238,79 @@ def test_connected_components_star_long_chain_few_rounds(spark):
     out = connected_components(edges, nodes, algorithm="star", max_iter=12)
     comps = {r["component"] for r in out.collect()}
     assert comps == {0}
+
+
+def test_redact_pii_patterns_and_duckdb_parity(spark):
+    """The synthetic corpus contains no PII, so the oracle row is
+    near-vacuous for the regexes — this pins actual redaction behavior
+    AND that every pattern means the same thing in Java regex (Spark)
+    and RE2 (DuckDB oracle)."""
+    import duckdb
+
+    from usda_food_data_pipeline_spark.functions.textstats import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    samples = [
+        ("mail me at jane.doe+x@example.co.uk today", "mail me at <EMAIL> today"),
+        ("call +1 555-123-4567 or 555 123 4567", "call +1 <PHONE> or <PHONE>"),
+        ("ssn 123-45-6789 on file", "ssn <ID> on file"),
+        ("id 123-45-6789 email a@b.io phone 555-000-1111",
+         "id <ID> email <EMAIL> phone <PHONE>"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(samples)], "i long, text string")
+    got = {r["i"]: r["red"] for r in df.select("i", redact_pii(F.col("text")).alias("red")).collect()}
+    for i, (_, want) in enumerate(samples):
+        assert got[i] == want, (i, got[i])
+
+    expr = "text"
+    for pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    con = duckdb.connect()
+    for i, (s, want) in enumerate(samples):
+        duck = con.sql(f"SELECT {expr} AS red FROM (VALUES (?)) t(text)", params=[s]).fetchone()[0]
+        assert duck == want == got[i]
+
+
+def test_decontaminate_flags_overlap(spark):
+    from usda_food_data_pipeline_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words appear in this text"),
+            (3, "quick brown fox jumps high"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in decontaminate(corpus, bench, shingle_n=3, min_shared=2).collect()
+    }
+    # doc1 shares trigrams {the quick brown, quick brown fox, brown fox jumps};
+    # doc3 shares {quick brown fox, brown fox jumps}; doc2 shares none
+    assert out == {(1, 100): 3, (3, 100): 2}
+
+
+def test_repetition_stats(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "all words distinct here now"), (3, "x")],
+        "doc_id long, text string",
+    )
+    total, distinct, ratio = repetition_stats(F.col("text"), shingle_n=3)
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", total.alias("t"), distinct.alias("d"), ratio.alias("r")).collect()
+    }
+    # doc1: 6 trigrams, only 2 distinct ("a b a", "b a b") → ratio 2/3
+    assert rows[1]["t"] == 6 and rows[1]["d"] == 2
+    assert abs(rows[1]["r"] - (1 - 2 / 6)) < 1e-12
+    assert rows[2]["t"] == 3 and rows[2]["d"] == 3 and rows[2]["r"] == 0.0
+    assert rows[3]["t"] == 0 and rows[3]["r"] is None

@@ -100,3 +100,39 @@ def rolling_hash(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * ROLLING_MULT + h) % ROLLING_MOD,
     )
+
+
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB oracle): character classes, bounded repeats — no lookaround.
+# Replacement order matters: the id-number pattern is a substring shape
+# of the phone pattern, so it runs first.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"\d{3}-\d{2}-\d{4}", "<ID>"),
+    (r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Chained regexp_replace over the shared-syntax PII patterns —
+    pure codegen'd expressions, no UDF; the standard scrub pass before
+    training-data release."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def repetition_stats(text: Column, shingle_n: int = 3) -> tuple[Column, Column, Column]:
+    """(total n-grams, distinct n-grams, repetition ratio) — the
+    repeated-n-gram-fraction quality signal (a high ratio marks
+    boilerplate/spam). Expression-only: total = max(tokens-n+1, 0),
+    distinct = size of the deduped shingle array."""
+    from ..operators.dedup import word_shingles
+
+    toks = tokenize(text)
+    total = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0)).cast("long")
+    distinct = F.size(word_shingles(toks, shingle_n)).cast("long")
+    # 0 shingles → ratio null (try_divide), same as DuckDB x/0 under /
+    ratio = F.lit(1.0) - F.try_divide(distinct.cast("double"), total.cast("double"))
+    return total, distinct, ratio

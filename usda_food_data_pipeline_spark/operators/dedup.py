@@ -270,6 +270,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    shingle_n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Train/test contamination screen: corpus documents sharing at
+    least ``min_shared`` distinct word n-grams with any benchmark
+    document (the standard decontamination step before training-data
+    release).
+
+    Scale shape: the benchmark side is small by nature (eval suites are
+    thousands of docs, the corpus is billions) — its exploded shingle
+    index is BROADCAST, so the corpus side streams through a map-side
+    hash join with no shuffle of corpus data at all; the only shuffle
+    is the (doc, bench) match-count aggregation over join hits.
+
+    Returns (doc_id, bench_id, n_shared) for flagged pairs.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokenize(F.col(text_col)), shingle_n)).alias("s"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(tokenize(F.col(bench_text_col)), shingle_n)).alias("s"),
+    )
+    return (
+        c.join(F.broadcast(b), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # shingles are distinct per doc
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash(tokens: Column, bits: int = 16) -> Column:
     """SimHash fingerprint over distinct tokens.
 

@@ -105,8 +105,11 @@ _ORDER: list[str] = [
     "posexplode_tokens",
     "regexp_extract_unit",
     "topk_avg_retrieved",
-    "date_functions",
+    "decontaminate",
     # -------- beyond the window: shape variants of already-attested ops --------
+    "text_repetition",
+    "pii_scrub",
+    "date_functions",
     "tpch_q6",
     "tpch_q5",
     "tpch_q18_big_orders",

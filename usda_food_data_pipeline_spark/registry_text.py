@@ -97,6 +97,41 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (train/test n-gram overlap screen)
+# ---------------------------------------------------------------------------
+
+DECONTAMINATE_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, {shingles_sql(TOKS_SQL, 3)} AS sh
+    FROM documents WHERE doc_id % 7 <> 0
+),
+bench AS (
+    SELECT doc_id, {shingles_sql(TOKS_SQL, 3)} AS sh
+    FROM documents WHERE doc_id % 7 = 0
+)
+SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+       CAST(len(list_intersect(c.sh, b.sh)) AS BIGINT) AS n_shared
+FROM corpus c, bench b
+WHERE len(list_intersect(c.sh, b.sh)) >= 2
+"""
+
+
+@register(
+    "decontaminate",
+    DECONTAMINATE_ORACLE,
+    "flag corpus docs sharing >=2 word-trigrams with a benchmark doc (broadcast shingle index)",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import decontaminate
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 7 == 0)
+    return decontaminate(corpus, benchmark, shingle_n=3, min_shared=2)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
@@ -321,6 +356,59 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         bag_fingerprint(F.col("text")).alias("bag_fp"),
         rolling_hash(F.col("text")).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition quality signal (training-data release prep)
+# ---------------------------------------------------------------------------
+
+def _pii_oracle_sql() -> str:
+    from .functions.textstats import PII_PATTERNS
+
+    expr = "text"
+    for pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
+@register(
+    "pii_scrub",
+    _pii_oracle_sql(),
+    "chained regex PII redaction (id/phone/email), pure codegen — no UDF",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", redact_pii(F.col("text")).alias("redacted"))
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_shingles,
+           CAST(len({shingles_sql('toks', 3)}) AS BIGINT) AS n_distinct,
+           CASE WHEN len(toks) - 2 <= 0 THEN NULL
+                ELSE 1.0 - CAST(len({shingles_sql('toks', 3)}) AS DOUBLE)
+                         / CAST(greatest(len(toks) - 2, 0) AS DOUBLE)
+           END AS rep_ratio
+    FROM t
+    """,
+    "repeated-trigram fraction: the boilerplate/spam quality signal",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    total, distinct, ratio = repetition_stats(F.col("text"), shingle_n=3)
+    return docs.select(
+        "doc_id",
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        ratio.alias("rep_ratio"),
     )
 
 
