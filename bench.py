@@ -6,7 +6,10 @@ JSON line:
      "queries": {"q": sec, ...}, "sf": 0.1}
 
 Each query executes end-to-end via a noop write (full computation, no
-driver-side result materialization cost in the measurement).
+driver-side result materialization cost in the measurement). Each query
+runs $SPARK_GRAFT_BENCH_REPEATS times (default 2) and reports the MIN —
+single-run timings on this shared host carry ±30% noise (observed across
+rounds), and min-of-repeats measures the plan, not the scheduler hiccup.
 """
 
 from __future__ import annotations
@@ -52,18 +55,25 @@ def main() -> None:
     spark = get_spark("bench")
     warmup(spark, sf_dir)
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
-        t0 = time.time()
+        best = -1.0
         try:
-            run_query(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(repeats):
+                t0 = time.time()
+                run_query(fn(spark, sf_dir))
+                sec = round(time.time() - t0, 3)
+                best = sec if best < 0 else min(best, sec)
+                # operators may persist() intermediates (minhash signature
+                # table, component labels); drop them so every repeat is
+                # measured standalone
+                spark.catalog.clearCache()
         except Exception as ex:  # noqa: BLE001
-            timings[name] = -1.0
+            best = -1.0
             print(f"bench error in {name}: {ex}", file=sys.stderr)
-        # operators may persist() intermediates (minhash signature table,
-        # component labels); drop them so queries are measured standalone
-        spark.catalog.clearCache()
+            spark.catalog.clearCache()
+        timings[name] = best
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
@@ -74,6 +84,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
             }
         )
     )
