@@ -314,3 +314,33 @@ def test_repetition_stats(spark):
     assert abs(rows[1]["r"] - (1 - 2 / 6)) < 1e-12
     assert rows[2]["t"] == 3 and rows[2]["d"] == 3 and rows[2]["r"] == 0.0
     assert rows[3]["t"] == 0 and rows[3]["r"] is None
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from usda_food_data_pipeline_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 1.0]),
+            (2, [100.0, -100.0, 3.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector → all-zero codes
+        ],
+        "vec_id long, v array<double>",
+    )
+    scale, q = quantize_int8(F.col("v"))
+    out = df.select("vec_id", "v", scale.alias("s"), q.alias("q"),
+                    dequantize_int8(q, scale).alias("dq")).collect()
+    for r in out:
+        assert all(-127 <= x <= 127 for x in r["q"])
+        if r["vec_id"] == 3:
+            assert r["s"] == 0.0 and r["q"] == [0, 0, 0, 0]
+            continue
+        assert max(abs(x) for x in r["v"]) / 127.0 == r["s"]
+        for orig, back in zip(r["v"], r["dq"]):
+            assert abs(orig - back) <= r["s"] / 2 + 1e-12
+        # the max-magnitude element maps to ±127 exactly
+        mx = max(r["v"], key=abs)
+        assert r["q"][r["v"].index(mx)] in (127, -127)

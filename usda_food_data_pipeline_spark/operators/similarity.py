@@ -255,3 +255,37 @@ def kmeans_lloyd(
         centroids.count()  # materialize this generation
     embeddings.unpersist()
     return centroids
+
+
+def quantize_int8(vec: Column | str) -> tuple[Column, Column]:
+    """Per-vector symmetric int8 quantization: ``scale = max|v|/127``,
+    ``q_i = clamp(floor(v_i/scale + 0.5), -127, 127)``.
+
+    The storage-scale path for 100 TB embedding corpora: 4× smaller than
+    float32 (plus one double per vector), and int8 dot products SIMD-
+    vectorize. floor(x+0.5) instead of round(): identical half-up
+    behavior in Spark and the DuckDB oracle, no banker's-rounding
+    divergence. A zero vector quantizes to all zeros (scale 0 guard).
+
+    Returns (scale, quantized array<int>) column pair.
+    """
+    v = as_double_array(vec)
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.least(
+            F.lit(127.0),
+            F.greatest(
+                F.lit(-127.0),
+                F.when(scale == 0, F.lit(0.0)).otherwise(
+                    F.floor(x / scale + F.lit(0.5))
+                ),
+            ),
+        ).cast("int"),
+    )
+    return scale, q
+
+
+def dequantize_int8(q: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_int8`; max abs error <= scale/2."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

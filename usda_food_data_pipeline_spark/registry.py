@@ -107,8 +107,8 @@ _ORDER: list[str] = [
     "topk_avg_retrieved",
     "decontaminate",
     # -------- beyond the window: shape variants of already-attested ops --------
-    "text_repetition",
     "pii_scrub",
+    "quantize_embeddings",
     "date_functions",
     "tpch_q6",
     "tpch_q5",

@@ -247,14 +247,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text) AS n_chars_actual,
            CASE WHEN len({TOKS_SQL}) > 0 THEN
                CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)
-               / len({TOKS_SQL}) END AS mean_token_len
+               / len({TOKS_SQL}) END AS mean_token_len,
+           CAST(greatest(len({TOKS_SQL}) - 2, 0) AS BIGINT) AS n_shingles,
+           CAST(len({shingles_sql(TOKS_SQL, 3)}) AS BIGINT) AS n_distinct_shingles,
+           CASE WHEN len({TOKS_SQL}) - 2 <= 0 THEN NULL
+                ELSE 1.0 - CAST(len({shingles_sql(TOKS_SQL, 3)}) AS DOUBLE)
+                         / CAST(greatest(len({TOKS_SQL}) - 2, 0) AS DOUBLE)
+           END AS rep_ratio
     FROM documents
     """,
-    "whitespace/BPE-ish token counting + mean token length",
+    "token counts, mean token length + repeated-trigram fraction (boilerplate signal)",
 )
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import repetition_stats
+
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
+    total, distinct, ratio = repetition_stats(text, shingle_n=3)
     return docs.select(
         "doc_id",
         token_count(text).alias("n_tokens"),
@@ -263,6 +272,9 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.regexp_replace(text, ALPHA_CLASS, "")).cast("double"),
             token_count(text),
         ).alias("mean_token_len"),
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct_shingles"),
+        ratio.alias("rep_ratio"),
     )
 
 
@@ -384,32 +396,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redact_pii(F.col("text")).alias("redacted"))
 
 
-@register(
-    "text_repetition",
-    f"""
-    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
-    SELECT doc_id,
-           CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_shingles,
-           CAST(len({shingles_sql('toks', 3)}) AS BIGINT) AS n_distinct,
-           CASE WHEN len(toks) - 2 <= 0 THEN NULL
-                ELSE 1.0 - CAST(len({shingles_sql('toks', 3)}) AS DOUBLE)
-                         / CAST(greatest(len(toks) - 2, 0) AS DOUBLE)
-           END AS rep_ratio
-    FROM t
-    """,
-    "repeated-trigram fraction: the boilerplate/spam quality signal",
-)
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.textstats import repetition_stats
-
-    docs = load_table(spark, sf_dir, "documents")
-    total, distinct, ratio = repetition_stats(F.col("text"), shingle_n=3)
-    return docs.select(
-        "doc_id",
-        total.alias("n_shingles"),
-        distinct.alias("n_distinct"),
-        ratio.alias("rep_ratio"),
-    )
+# text_repetition was folded into text_tokens (round 2) so the
+# repetition signal sits inside the driver's verification window;
+# functions.textstats.repetition_stats keeps its own unit test.
 
 
 # ---------------------------------------------------------------------------

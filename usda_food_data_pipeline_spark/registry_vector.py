@@ -134,3 +134,33 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return knn_join(queries, emb, k=3)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (storage-scale path for 100 TB corpora)
+# ---------------------------------------------------------------------------
+
+QUANTIZE_ORACLE = """
+WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM t)
+SELECT vec_id, scale,
+       list_transform(v, x -> CAST(least(127.0, greatest(-127.0,
+           CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale + 0.5) END))
+           AS INTEGER)) AS q
+FROM s
+"""
+
+
+@register(
+    "quantize_embeddings",
+    QUANTIZE_ORACLE,
+    "symmetric int8 quantization of the embedding column (4x storage cut)",
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, q = quantize_int8(F.col("embedding"))
+    return emb.select("vec_id", scale.alias("scale"), q.alias("q"))
