@@ -108,3 +108,35 @@ def test_orc_and_json_roundtrip(spark, sf_dir, warehouse):
         .collect()[0]["s"]
     )
     assert got_json == want
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, sf_dir, warehouse):
+    """The IVF serving layout: index partitioned by centroid_id, probe
+    reads ONLY the matching partition (PartitionFilters, 1/C of files)
+    and returns exactly what the in-memory IVF path returns."""
+    from pyspark.sql import functions as F
+
+    from usda_food_data_pipeline_spark.operators.similarity import (
+        ivf_search_index,
+        ivf_topk,
+        write_ivf_index,
+    )
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    path = f"{warehouse}/ivf_index"
+    write_ivf_index(emb, centroids, path)
+
+    got = ivf_search_index(spark, path, centroids, query, k=10, nprobe=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+    want = [
+        (r["vec_id"], r["score"])
+        for r in ivf_topk(emb, centroids, query, k=10).collect()
+    ]
+    assert [(r["vec_id"], r["score"]) for r in got.collect()] == want

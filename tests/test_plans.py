@@ -34,3 +34,20 @@ def test_cosine_topk_is_heap_based(spark, sf_dir):
     plan = plan_of(spark, "cosine_topk", sf_dir)
     assert "TakeOrderedAndProject(limit=10" in plan
     assert "Exchange hashpartitioning" not in plan  # no data shuffle at all
+
+
+def test_range_join_is_bucketed_hash_join(spark, sf_dir):
+    plan = plan_of(spark, "range_join_bands", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # fact scan pruned to the two needed columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan  # benchmark shingle index broadcast
+    assert "SortMergeJoin" not in plan
+    # the only hash exchange is the (doc, bench) count agg — corpus
+    # text never shuffles
+    assert plan.count("Exchange hashpartitioning") == 1

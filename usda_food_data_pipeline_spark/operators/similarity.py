@@ -289,3 +289,48 @@ def quantize_int8(vec: Column | str) -> tuple[Column, Column]:
 def dequantize_int8(q: Column, scale: Column) -> Column:
     """Inverse of :func:`quantize_int8`; max abs error <= scale/2."""
     return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as parquet PARTITIONED BY centroid_id —
+    the serving layout: each cluster is its own directory, so a probe
+    reads 1/C of the corpus via partition pruning instead of scanning
+    and filtering. At 100 TB this is the difference between a pruned
+    ~100 GB scan and a full-corpus scan per query."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`write_ivf_index` layout: rank centroids against
+    the query (tiny: C rows, collected), then scan ONLY the nprobe
+    matching partitions — the centroid_id filter is a partition filter,
+    so unprobed clusters contribute zero input files."""
+    # rank ALL centroids for the query, take nprobe best (C is small —
+    # this collect is the sanctioned dimension collect)
+    cent = centroids.select(F.col("centroid_id").alias("_cid"), as_double_array(vec_col).alias("_cv"))
+    qv = query.select(as_double_array(vec_col).alias("_qv"))
+    scored = cent.crossJoin(F.broadcast(qv)).select(
+        "_cid", cosine(F.col("_cv"), F.col("_qv")).alias("_cs")
+    )
+    probe_ids = [
+        r["_cid"]
+        for r in scored.orderBy(F.col("_cs").desc(), F.col("_cid")).limit(nprobe).collect()
+    ]
+    cluster = spark.read.parquet(path).where(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(cluster, query, k, id_col, vec_col)
