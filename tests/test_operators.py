@@ -344,3 +344,25 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         # the max-magnitude element maps to ±127 exactly
         mx = max(r["v"], key=abs)
         assert r["q"][r["v"].index(mx)] in (127, -127)
+
+
+def test_quantized_search_recall(spark, sf_dir):
+    """End-to-end storage path: search over int8-dequantized vectors
+    must preserve the exact top-10 almost entirely (int8 keeps ~2.4
+    decimal digits per component — recall@10 >= 0.8 on this corpus)."""
+    from pyspark.sql import functions as FF
+
+    from usda_food_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_int8,
+        quantize_int8,
+    )
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, q = quantize_int8(FF.col("embedding"))
+    deq = emb.select("vec_id", dequantize_int8(q, scale).alias("embedding"))
+    query = emb.filter(FF.col("vec_id") == 0).select("embedding")
+    exact = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
+    quant = {r["vec_id"] for r in cosine_topk(deq, query, k=10).collect()}
+    assert len(exact & quant) >= 8

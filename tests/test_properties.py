@@ -102,3 +102,40 @@ def test_asof_join_matches_naive(spark, rows):
         cands = [(rt, v) for (rk, rt, v) in (right or []) if rk == k and rt <= t]
         want = max(cands)[1] if cands else None  # (max ts, then max value)
         assert got[row_id] == want, (k, t, got[row_id], want)
+
+
+band_edges = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=2, max_size=6, unique=True
+)
+band_values = st.lists(
+    st.floats(min_value=-60, max_value=60, allow_nan=False, width=32),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(edges=band_edges, values=band_values)
+def test_band_join_matches_naive_range_join(spark, edges, values):
+    """band_join (bucketed equi-join + residual) must equal the naive
+    per-row band lookup for arbitrary non-overlapping bands — including
+    boundary values, tiny caps forcing the clamped-bucket path, and
+    values outside every band."""
+    from usda_food_data_pipeline_spark.operators.range_join import band_join
+
+    edges = sorted(edges)
+    bands = [
+        (float(lo), float(hi), f"b{i}") for i, (lo, hi) in enumerate(zip(edges, edges[1:]))
+    ]
+    naive = {}
+    for i, v in enumerate(values):
+        for lo, hi, name in bands:
+            if lo <= v < hi:
+                naive[i] = name
+    bands_df = spark.createDataFrame(bands, "lo double, hi double, band string")
+    fact = spark.createDataFrame(list(enumerate(values)), "id long, v double")
+    got = {
+        r["id"]: r["band"]
+        for r in band_join(fact, bands_df, "v", bucket_width=7.0, bucket_cap=5).collect()
+    }
+    assert got == naive
