@@ -366,3 +366,43 @@ def test_quantized_search_recall(spark, sf_dir):
     exact = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
     quant = {r["vec_id"] for r in cosine_topk(deq, query, k=10).collect()}
     assert len(exact & quant) >= 8
+
+
+def test_asof_join_directions(spark):
+    """forward / nearest variants against hand-computed expectations
+    (backward stays pinned by the asof_join_events oracle row)."""
+    from usda_food_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, "l1"), ("k", 25, "l2"), ("k", 40, "l3"), ("q", 5, "l4")],
+        "key string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("k", 8, 100.0), ("k", 30, 200.0), ("k", 100, 300.0)],
+        "key string, t long, v double",
+    )
+
+    def run(direction):
+        return {
+            r["tag"]: r["asof_v"]
+            for r in asof_join(left, right, "t", ["key"], ["v"], direction=direction).collect()
+        }
+
+    # backward: latest right t' <= t
+    assert run("backward") == {"l1": 100.0, "l2": 100.0, "l3": 200.0, "l4": None}
+    # forward: earliest right t' >= t
+    assert run("forward") == {"l1": 200.0, "l2": 200.0, "l3": 300.0, "l4": None}
+    # nearest: min |t - t'|; l1: |10-8|=2 vs |30-10|=20 -> 100;
+    # l2: |25-8|=17 vs |30-25|=5 -> 200; l3: |40-30|=10 vs |100-40|=60 -> 200
+    assert run("nearest") == {"l1": 100.0, "l2": 200.0, "l3": 200.0, "l4": None}
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    from usda_food_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 20, "l")], "key string, t long, tag string")
+    right = spark.createDataFrame(
+        [("k", 10, 1.0), ("k", 30, 2.0)], "key string, t long, v double"
+    )
+    out = asof_join(left, right, "t", ["key"], ["v"], direction="nearest").collect()
+    assert out[0]["asof_v"] == 1.0  # |20-10| == |30-20| → backward wins

@@ -8,15 +8,33 @@ shuffle on the key; no pandas, no per-group collect — the same plan a
 hand-written merge_asof would need, but expressed so Catalyst/Tungsten
 run it columnar.
 
-Tie rule: a right row at exactly t is visible to a left row at t
-(asof <=) because right rows sort before left rows at equal
+Directions (pandas ``merge_asof`` parity):
+- ``backward`` (default): most recent right row with ts' <= ts.
+- ``forward``: earliest right row with ts' >= ts (same plan, window
+  ordered descending — still one shuffle).
+- ``nearest``: whichever of the two is closer in time; ties go
+  backward. Both candidate windows share the single partitioning
+  exchange (two sorts, no second shuffle).
+
+Tie rule within a direction: a right row at exactly t is visible to a
+left row at t because right rows sort before left rows at equal
 timestamps.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ts_number(col: Column, dtype) -> Column:
+    """Monotone numeric image of the event time for distance compares."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col)
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(col).cast("long")
+    return col.cast("double")
 
 
 def asof_join(
@@ -26,9 +44,12 @@ def asof_join(
     by_cols: list[str],
     value_cols: list[str],
     tiebreak_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent (ts' <= ts) right-side
-    ``value_cols`` within the same ``by_cols`` group; null if none."""
+    """For each left row, attach the as-of right-side ``value_cols``
+    per ``direction`` within the same ``by_cols`` group; null if none."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     left_cols = left.columns
     filled_names = [f"asof_{c}" for c in value_cols]
 
@@ -47,24 +68,64 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
         *[F.col(c) for c in left_cols if c not in by_cols and c != ts_col],
     )
-    order = [F.col(ts_col), F.col("_side")]
-    if tiebreak_col is not None:
-        order.append(F.col(tiebreak_col).asc_nulls_first())
-    # deterministic pick among right rows sharing (key, ts): order by the
-    # carried values themselves (nulls last so left rows stay put) — the
-    # SQL twin must order identically
-    order.extend(F.col(f"_v_{c}").asc_nulls_last() for c in value_cols)
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     unioned = r.unionByName(l.select(r.columns))
+    if direction == "nearest":
+        # carry the matched right timestamp alongside the values so the
+        # backward/forward candidates can be distance-compared
+        unioned = unioned.withColumn(
+            "_v_ts", F.when(F.col("_side") == 0, F.col(ts_col))
+        )
+
+    def window(desc: bool) -> Window:
+        # right rows sort before left rows at equal ts in BOTH scan
+        # directions: _side asc keeps a right row at exactly t visible
+        order = [F.col(ts_col).desc() if desc else F.col(ts_col).asc(), F.col("_side")]
+        if tiebreak_col is not None:
+            tb = F.col(tiebreak_col)
+            order.append(tb.desc_nulls_first() if desc else tb.asc_nulls_first())
+        # deterministic pick among right rows sharing (key, ts): order by
+        # the carried values themselves (nulls last so left rows stay
+        # put) — the SQL twin must order identically
+        order.extend(
+            (F.col(f"_v_{c}").desc_nulls_last() if desc else F.col(f"_v_{c}").asc_nulls_last())
+            for c in value_cols
+        )
+        return (
+            Window.partitionBy(*by_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    def carry(w: Window, suffix: str, with_ts: bool) -> list[Column]:
+        cols = [
+            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(f"{n}{suffix}")
+            for c, n in zip(value_cols, filled_names)
+        ]
+        if with_ts:
+            cols.append(F.last(F.col("_v_ts"), ignorenulls=True).over(w).alias(f"_mts{suffix}"))
+        return cols
+
+    if direction == "backward":
+        carried = unioned.select("*", *carry(window(desc=False), "", False))
+        return carried.filter(F.col("_side") == 1).select(*left_cols, *filled_names)
+    if direction == "forward":
+        carried = unioned.select("*", *carry(window(desc=True), "", False))
+        return carried.filter(F.col("_side") == 1).select(*left_cols, *filled_names)
+
+    # nearest: both directions over the SAME partitioning (one exchange,
+    # two in-partition sorts), then per-row distance pick; ties backward
     carried = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(n)
-            for c, n in zip(value_cols, filled_names)
-        ],
+        *carry(window(desc=False), "_b", True),
+        *carry(window(desc=True), "_f", True),
     )
-    return carried.filter(F.col("_side") == 1).select(*left_cols, *filled_names)
+    dtype = left.schema[ts_col].dataType
+    ts_n = _ts_number(F.col(ts_col), dtype)
+    b_dist = ts_n - _ts_number(F.col("_mts_b"), dtype)
+    f_dist = _ts_number(F.col("_mts_f"), dtype) - ts_n
+    use_backward = F.col("_mts_f").isNull() | (F.col("_mts_b").isNotNull() & (b_dist <= f_dist))
+    picked = [
+        F.when(use_backward, F.col(f"{n}_b")).otherwise(F.col(f"{n}_f")).alias(n)
+        for n in filled_names
+    ]
+    return carried.filter(F.col("_side") == 1).select(*left_cols, *picked)

@@ -109,6 +109,7 @@ _ORDER: list[str] = [
     # -------- beyond the window: shape variants of already-attested ops --------
     "pii_scrub",
     "quantize_embeddings",
+    "skew_salted_sum",
     "date_functions",
     "tpch_q6",
     "tpch_q5",

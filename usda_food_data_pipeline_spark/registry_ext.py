@@ -738,3 +738,31 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # conditional_counts (count_if) was folded into registry.distinct_agg in
 # round 2 — one slot now attests count(distinct) + count_if together.
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation: salting is semantically transparent (decimal
+# addition is associative), so the oracle is the PLAIN grouped sum — the
+# query attests that the two-stage salted plan returns bit-identical
+# results to the direct aggregation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "skew_salted_sum",
+    """
+    SELECT l_returnflag AS return_flag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_l_quantity,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "two-stage salted aggregation == plain grouped sum (hot-key mitigation)",
+)
+def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_group_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = salted_group_sum(li, ["l_returnflag"], "l_quantity", n_salts=16)
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return sums.join(counts, "l_returnflag").select(
+        F.col("l_returnflag").alias("return_flag"), "sum_l_quantity", "n_rows"
+    )
