@@ -406,3 +406,63 @@ def test_asof_nearest_tie_goes_backward(spark):
     )
     out = asof_join(left, right, "t", ["key"], ["v"], direction="nearest").collect()
     assert out[0]["asof_v"] == 1.0  # |20-10| == |30-20| → backward wins
+
+
+def test_udtf_split_sentences(spark):
+    from usda_food_data_pipeline_spark.functions.udtf_udaf import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "First one. Second two! Third?"), (2, "single"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = split_sentences(df, "text", "doc_id").collect()
+    got = {(r["doc_id"], r["sent_idx"]): r["sentence"] for r in rows}
+    assert got[(1, 0)] == "First one." and got[(1, 1)] == "Second two!" and got[(1, 2)] == "Third?"
+    assert got[(2, 0)] == "single"
+    assert all(r["n_chars"] == len(r["sentence"]) for r in rows if r["sentence"])
+    # null text emits no sentences (outer lateral join keeps no row here
+    # because select projects UDTF columns; doc 3 contributes nothing)
+    assert {r["doc_id"] for r in rows} == {1, 2, 3} or {r["doc_id"] for r in rows} == {1, 2}
+
+
+def test_pandas_udaf_geometric_mean(spark):
+    import math
+
+    from usda_food_data_pipeline_spark.functions.udtf_udaf import geometric_mean
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 5.0), ("c", -1.0)], "k string, v double"
+    )
+    got = {
+        r["k"]: r["gm"]
+        for r in df.groupBy("k").agg(geometric_mean("v").alias("gm")).collect()
+    }
+    assert abs(got["a"] - 4.0) < 1e-12  # sqrt(2*8)
+    assert abs(got["b"] - 5.0) < 1e-12
+    # NaN from the UDAF surfaces as SQL NULL through Arrow
+    assert got["c"] is None or math.isnan(got["c"])
+
+
+def test_pack_sequences_budget_invariants(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "x", t) for i, t in enumerate([30, 30, 30, 30, 50, 10, 100, 5])]
+        + [(100, "y", 25), (101, "y", 90)],
+        "doc_id long, lang string, n_toks long",
+    )
+    out = pack_sequences(df, "n_toks", "doc_id", 100, part_col="lang").collect()
+    packs = {}
+    for r in out:
+        packs.setdefault((r["lang"], r["pack_id"]), []).append((r["doc_id"], r["n_toks"]))
+    # every doc STARTS inside its pack's budget window
+    for r in out:
+        assert r["pack_id"] == r["cum_before"] // 100
+    # a pack overflows its 100-token budget by at most its last doc
+    for (lang, pid), docs in packs.items():
+        docs.sort()
+        total = sum(t for _, t in docs)
+        assert total - docs[-1][1] < 100
+    # streams are independent: y's packing unaffected by x
+    y = sorted((r["doc_id"], r["pack_id"]) for r in out if r["lang"] == "y")
+    assert y == [(100, 0), (101, 0)]  # 25 + starts-at-25 → same pack

@@ -136,3 +136,39 @@ def repetition_stats(text: Column, shingle_n: int = 3) -> tuple[Column, Column, 
     # 0 shingles → ratio null (try_divide), same as DuckDB x/0 under /
     ratio = F.lit(1.0) - F.try_divide(distinct.cast("double"), total.cast("double"))
     return total, distinct, ratio
+
+
+def pack_sequences(
+    df,
+    token_col: str,
+    order_col: str,
+    max_tokens: int,
+    part_col: str | None = None,
+):
+    """Assign each document to a training-sequence pack:
+    ``pack_id = floor(cumsum_before(tokens) / max_tokens)`` over a
+    deterministic ``order_col`` ordering (optionally per ``part_col``
+    stream, e.g. per language).
+
+    This is the window-expressible packing used at scale: one shuffle
+    (the window partition), no sequential scan. A pack may overflow
+    ``max_tokens`` by at most one document's tokens — the standard
+    approximation; exact greedy packing is order-sequential and would
+    serialize the corpus. Callers truncate or spill the tail doc
+    downstream.
+
+    ALWAYS pass ``part_col`` at scale (language, shard key): without it
+    the cumulative window is a single global partition — fine for tests,
+    a straggler at 100 TB.
+
+    Returns df + (cum_before, pack_id).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col) if part_col is not None else Window.partitionBy()
+    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("cum_before", cum_before).withColumn(
+        "pack_id", F.floor(F.col("cum_before") / F.lit(max_tokens)).cast("long")
+    )

@@ -1,0 +1,59 @@
+"""The rest of the Python-function surface (SURVEY §2.9): a UDTF and a
+grouped-agg pandas UDAF, completing the matrix alongside the scalar
+``pandas_udf`` (functions/embed.py) and ``mapInPandas``
+(operators/multimodal.py).
+
+Both follow the engine's UDF policy: Python only where built-ins can't
+express the semantics, Arrow-batched where the API allows, and never in
+a hot per-row path — the UDTF emits bounded rows per input, the UDAF is
+one Arrow batch per group.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+_SENTENCE_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+@udtf(returnType="sent_idx int, sentence string, n_chars int")
+class SplitSentences:
+    """Python UDTF: one output row per sentence of the input text.
+
+    Sentence segmentation is genuinely rule-based/iterative (abbrev
+    handling, quote tracking in a real segmenter) — the class of logic
+    that earns a UDTF instead of an expression. The Spark-side contract
+    (lateral join shape, bounded fan-out) is what matters at scale; the
+    segmentation rule here is the simple punctuation split.
+    """
+
+    def eval(self, text: str):  # noqa: A002 - UDTF contract
+        if not text:
+            return
+        for i, s in enumerate(p for p in _SENTENCE_SPLIT.split(text) if p.strip()):
+            yield i, s, len(s)
+
+
+def split_sentences(df, text_col: str, id_col: str):
+    """Lateral-join the UDTF against each row: (id, sent_idx, sentence,
+    n_chars) — the UDTF runs once per row, emitting its sentences."""
+    return df.lateralJoin(
+        SplitSentences(F.col(text_col).outer()).alias("s")
+    ).select(id_col, "s.sent_idx", "s.sentence", "s.n_chars")
+
+
+@pandas_udf("double")
+def geometric_mean(v: pd.Series) -> float:
+    """Grouped-agg pandas UDAF: exp(mean(log x)) over positive values —
+    a real UDAF shape (log-domain accumulation) that plain ``avg``
+    can't express. One Arrow batch per group, NaN on empty/nonpositive."""
+    import numpy as np
+
+    x = v[v > 0]
+    if len(x) == 0:
+        return float("nan")
+    return float(np.exp(np.log(x.astype("float64")).mean()))

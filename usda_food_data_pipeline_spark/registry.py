@@ -110,6 +110,7 @@ _ORDER: list[str] = [
     "pii_scrub",
     "quantize_embeddings",
     "skew_salted_sum",
+    "sequence_packing",
     "date_functions",
     "tpch_q6",
     "tpch_q5",

@@ -402,6 +402,41 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing: assign docs to fixed-token-budget training packs.
+# Window-cumsum semantics (pack may overflow by one tail doc — the
+# scale-safe approximation; see functions.textstats.pack_sequences).
+# ---------------------------------------------------------------------------
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (SELECT doc_id, lang, len({TOKS_SQL}) AS n_toks FROM documents),
+    c AS (
+        SELECT doc_id, lang, n_toks,
+               CAST(coalesce(sum(n_toks) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cum_before
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks, cum_before,
+           CAST(floor(cum_before / 512) AS BIGINT) AS pack_id
+    FROM c
+    """,
+    "pack docs into 512-token training sequences per language (window cumsum)",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import pack_sequences, token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    return pack_sequences(docs, "n_toks", "doc_id", 512, part_col="lang").select(
+        "doc_id", "lang", "n_toks", "cum_before", "pack_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal metadata plumbing (decode itself is stubbed — see
 # operators/multimodal.py; the metadata/framing contract is oracle-checked)
 # ---------------------------------------------------------------------------
