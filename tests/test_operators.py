@@ -466,3 +466,25 @@ def test_pack_sequences_budget_invariants(spark):
     # streams are independent: y's packing unaffected by x
     y = sorted((r["doc_id"], r["pack_id"]) for r in out if r["lang"] == "y")
     assert y == [(100, 0), (101, 0)]  # 25 + starts-at-25 → same pack
+
+
+def test_pack_sequences_exact_greedy(spark):
+    """applyInPandas greedy packing: packs NEVER exceed the budget
+    (except single oversized docs) — the exact-semantics companion to
+    the window-cumsum approximation."""
+    from usda_food_data_pipeline_spark.functions.textstats import pack_sequences_exact
+
+    df = spark.createDataFrame(
+        [(i, "x", t) for i, t in enumerate([30, 30, 30, 30, 50, 10, 150, 5])],
+        "doc_id long, lang string, n_toks long",
+    )
+    out = pack_sequences_exact(df, "n_toks", "doc_id", 100, "lang").collect()
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append((r["doc_id"], r["n_toks"]))
+    # greedy: [30,30,30] | [30,50,10] | [150] | [5]
+    got = {pid: [d for d, _ in sorted(docs)] for pid, docs in packs.items()}
+    assert got == {0: [0, 1, 2], 1: [3, 4, 5], 2: [6], 3: [7]}
+    for pid, docs in packs.items():
+        total = sum(t for _, t in docs)
+        assert total <= 100 or len(docs) == 1  # only oversized singletons exceed

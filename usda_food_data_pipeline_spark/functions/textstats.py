@@ -172,3 +172,50 @@ def pack_sequences(
     return df.withColumn("cum_before", cum_before).withColumn(
         "pack_id", F.floor(F.col("cum_before") / F.lit(max_tokens)).cast("long")
     )
+
+
+def pack_sequences_exact(
+    df,
+    token_col: str,
+    order_col: str,
+    max_tokens: int,
+    part_col: str,
+):
+    """Exact greedy packing: walk each ``part_col`` stream in
+    ``order_col`` order, open a new pack when adding the doc would
+    exceed ``max_tokens`` (oversized docs get a pack of their own).
+
+    Greedy is inherently order-sequential, so it runs per stream via
+    ``applyInPandas`` (one Arrow batch per group) — the sanctioned
+    Python path; parallelism = number of streams, which is why the
+    window-cumsum :func:`pack_sequences` is the default at scale and
+    this is the exact-semantics option for bounded stream sizes.
+    """
+    import pandas as pd
+
+    out_schema = f"{part_col} string, {order_col} long, {token_col} long, pack_id long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        pack_ids = []
+        pid, used = 0, 0
+        for t in pdf[token_col]:
+            if used > 0 and used + t > max_tokens:
+                pid += 1
+                used = 0
+            pack_ids.append(pid)
+            used += t
+        return pd.DataFrame(
+            {
+                part_col: pdf[part_col].values,
+                order_col: pdf[order_col].values,
+                token_col: pdf[token_col].values,
+                "pack_id": pack_ids,
+            }
+        )
+
+    return (
+        df.select(part_col, order_col, token_col)
+        .groupBy(part_col)
+        .applyInPandas(pack, schema=out_schema)
+    )
