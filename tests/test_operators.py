@@ -488,3 +488,38 @@ def test_pack_sequences_exact_greedy(spark):
     for pid, docs in packs.items():
         total = sum(t for _, t in docs)
         assert total <= 100 or len(docs) == 1  # only oversized singletons exceed
+
+
+def test_star_cc_matches_label_on_real_neardup_graph(spark, sf_dir):
+    """Both CC algorithms must agree on the actual MinHash-LSH pair
+    graph from the documents corpus — not just synthetic chains."""
+    from usda_food_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from usda_food_data_pipeline_spark.registry_text import (
+        _BANDS,
+        _MH_THRESHOLD,
+        _NUM_HASHES,
+        _SHINGLE_N,
+    )
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N,
+        jaccard_threshold=_MH_THRESHOLD,
+    ).persist()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    label = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, nodes, "id_a", "id_b").collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, nodes, "id_a", "id_b", algorithm="star").collect()
+    }
+    pairs.unpersist()
+    assert label == star
+    assert len({c for c in label.values()}) < len(label)  # real merges happened
