@@ -89,9 +89,74 @@ def test_multimodal_payload_and_features(spark, sf_dir):
     }
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+def test_codec_roundtrips():
+    import numpy as np
+
+    from usda_food_data_pipeline_spark.operators.multimodal import (
+        bmp_row_size,
+        decode_audio,
+        decode_image,
+        encode_bmp,
+        encode_wav_pcm16,
+        wav_meta,
+    )
+
+    rng = np.random.default_rng(7)
+    # BMP: odd widths exercise the 4-byte row padding path
+    for h, w in [(3, 4), (5, 5), (1, 1), (4, 7)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = encode_bmp(px)
+        assert len(data) == 54 + bmp_row_size(w) * h
+        assert (decode_image(data) == px).all()
+    # top-down BMP (negative height) decodes identically
+    import struct
+
+    d = bytearray(encode_bmp(px))
+    d[22:26] = struct.pack("<i", -4)
+    row = bmp_row_size(7)
+    rows = [bytes(d[54 + i * row : 54 + (i + 1) * row]) for i in range(4)]
+    d[54:] = b"".join(reversed(rows))
+    assert (decode_image(bytes(d)) == px).all()
+
+    for n, rate in [(64, 8000), (127, 11500), (1, 8000)]:
+        s = (rng.integers(0, 65536, size=n) - 32768).astype(np.int16)
+        data = encode_wav_pcm16(s, rate)
+        assert len(data) == 44 + 2 * n
+        back = decode_audio(data)
+        assert back.shape == (n, 1) and (back[:, 0] == s).all()
+        assert wav_meta(data) == (rate, 1, n)
+
+
+def test_codec_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG not a bmp")
+    from usda_food_data_pipeline_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFFgarbage")
+
+
+def test_decode_media_stats_roundtrip(spark, sf_dir):
+    from usda_food_data_pipeline_spark.operators.multimodal import (
+        decode_media_stats,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = decode_media_stats(synthesize_media(docs, "doc_id"), "doc_id").collect()
+    assert len(out) == 20
+    for r in out:
+        d = r["doc_id"]
+        n = 64 + d % 64
+        assert r["wav_n"] == n
+        assert r["wav_bytes"] == 44 + 2 * n
+        assert r["wav_rate"] == 8000 + (d % 8) * 500
+        assert r["wav_first"] == ((d * 31) % 65536) - 32768
+        w, h = 4 + d % 4, 3 + d % 3
+        assert (r["bmp_w"], r["bmp_h"]) == (w, h)
+        assert r["sum_r"] == sum(
+            (d + 3 * x + 7 * y) % 256 for x in range(w) for y in range(h)
+        )
 
 
 def test_sample_frames(spark, sf_dir):

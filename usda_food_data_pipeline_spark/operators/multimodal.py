@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (engine extension for training-data pipelines).
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` and the
-default feature extractor is a deterministic fake (md5-seeded vector).
-Everything Spark-side is real and tested: the schema, the Arrow batch
-shape through ``mapInPandas``, the partitioning, and the UDF signature a
-real decoder drops into.
+Decode is real, stdlib-only: ``decode_audio`` parses RIFF/PCM WAV
+containers via ``wave`` and ``decode_image`` parses uncompressed 24bpp
+BMP (bottom-up or top-down, 4-byte row padding) via ``struct`` — no
+third-party codec needed. Matching encoders (``encode_wav_pcm16`` /
+``encode_bmp``) exist so round-trips are testable end-to-end, and the
+``decoder=`` seam on :func:`extract_features` still accepts any other
+codec (JPEG/FLAC/...) a real deployment plugs in. ``fake_decode`` stays
+as the format-agnostic deterministic featurizer used where payloads are
+arbitrary bytes rather than media containers.
 
 Scale notes: payloads ride in the ``binary`` column — at 100 TB keep
 them in their own parquet files (or external object store with a
@@ -18,6 +21,9 @@ never materializing a partition in memory.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -27,16 +33,93 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 16
 
-
-def decode_image(data: bytes) -> "np.ndarray":
-    """Real image decode requires a codec library not present in this
-    container. Plug one in by passing ``decoder=`` to
-    :func:`extract_features`."""
-    raise NotImplementedError("no image codec in this environment; pass decoder=")
+_BMP_FILE_HEADER = 14
+_BMP_INFO_HEADER = 40
 
 
-def decode_audio(data: bytes) -> "np.ndarray":
-    raise NotImplementedError("no audio codec in this environment; pass decoder=")
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Serialize int16 samples into a standard mono RIFF/PCM WAV
+    container (44-byte header) using only the stdlib ``wave`` module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(data: bytes) -> np.ndarray:
+    """Decode a RIFF/PCM WAV payload to its raw samples.
+
+    Returns an ``(n_frames, n_channels)`` int array for 16-bit PCM (the
+    overwhelmingly common case); 8-bit PCM is returned as unsigned
+    bytes. Compressed WAV (non-PCM comptype) raises ``ValueError`` —
+    plug an external codec through the ``decoder=`` seam for those.
+    """
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            nch, sw, _rate, nframes = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+            frames = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a PCM WAV payload: {e}") from e
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2")
+    elif sw == 1:
+        arr = np.frombuffer(frames, dtype=np.uint8)
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return arr.reshape(-1, nch)
+
+
+def wav_meta(data: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, n_frames) from a WAV header — header
+    parse only, no frame read."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return w.getframerate(), w.getnchannels(), w.getnframes()
+
+
+def bmp_row_size(width: int) -> int:
+    """Bytes per 24bpp BMP pixel row, padded to a 4-byte boundary."""
+    return (width * 3 + 3) & ~3
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Serialize an ``(h, w, 3)`` uint8 RGB array as an uncompressed
+    24bpp bottom-up BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BGR pixel
+    order, rows padded to 4 bytes) — pure ``struct``, no codec."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = bmp_row_size(w)
+    img_size = row * h
+    offset = _BMP_FILE_HEADER + _BMP_INFO_HEADER
+    head = struct.pack("<2sIHHI", b"BM", offset + img_size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", _BMP_INFO_HEADER, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB->BGR
+    return head + info + body.tobytes()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24bpp BMP payload to an ``(h, w, 3)``
+    uint8 RGB array (top-down, padding stripped). Handles both
+    bottom-up (positive height) and top-down (negative height) files;
+    other bit depths / compressions raise ``ValueError`` — plug an
+    external codec through the ``decoder=`` seam for those."""
+    if len(data) < _BMP_FILE_HEADER + _BMP_INFO_HEADER or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, _BMP_FILE_HEADER)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = bmp_row_size(w)
+    flat = np.frombuffer(data, dtype=np.uint8, offset=offset, count=row * h)
+    px = flat.reshape(h, row)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return np.ascontiguousarray(px[::-1] if bottom_up else px)
 
 
 def fake_decode(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -46,6 +129,77 @@ def fake_decode(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     h = hashlib.md5(data).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     return (raw % 1_000_000).astype(np.float64) / 1_000_000.0
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize one WAV and one BMP payload per row
+    from the integer id (mapInPandas stage 1 of the decode round-trip).
+
+    The sample/pixel formulas are pure integer functions of the id, so a
+    SQL oracle can recompute every decoded statistic without parsing
+    binaries: n = 64 + id%64 samples of ((id*31 + i*7) % 65536) - 32768
+    at rate 8000 + (id%8)*500; a (3 + id%3) x (4 + id%4) RGB image with
+    r=(id+3x+7y)%256, g=(2id+5x+y)%256, b=(3id+x+11y)%256.
+    """
+    schema = f"{id_col} long, wav binary, bmp binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs, bmps = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                wavs.append(encode_wav_pcm16(samples, 8000 + (d % 8) * 500))
+                w, h = 4 + d % 4, 3 + d % 3
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = np.stack(
+                    [
+                        (d + 3 * x + 7 * y) % 256,
+                        (2 * d + 5 * x + y) % 256,
+                        (3 * d + x + 11 * y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                bmps.append(encode_bmp(px))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "wav": wavs, "bmp": bmps})
+
+    return df.select(id_col).mapInPandas(synth, schema=schema)
+
+
+def decode_media_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas stage 2: parse the binary WAV/BMP containers back
+    into exact integer statistics (sizes, dims, sample/channel sums).
+    The binaries cross a real Arrow boundary between the two stages, so
+    this attests container encode -> binary column -> container decode
+    end-to-end."""
+    schema = (
+        f"{id_col} long, wav_bytes long, wav_rate long, wav_n long, "
+        "wav_first long, wav_last long, wav_sum long, "
+        "bmp_bytes long, bmp_w long, bmp_h long, sum_r long, sum_g long, sum_b long"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, wav, bmp in zip(pdf[id_col], pdf["wav"], pdf["bmp"]):
+                wav, bmp = bytes(wav), bytes(bmp)
+                rate, _nch, _nf = wav_meta(wav)
+                s = decode_audio(wav)[:, 0].astype(np.int64)
+                px = decode_image(bmp).astype(np.int64)
+                rows.append(
+                    (
+                        int(d), len(wav), rate, len(s),
+                        int(s[0]), int(s[-1]), int(s.sum()),
+                        len(bmp), px.shape[1], px.shape[0],
+                        int(px[:, :, 0].sum()), int(px[:, :, 1].sum()), int(px[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.strip().split(" ")[0] for f in schema.split(",")])
+
+    return df.mapInPandas(dec, schema=schema)
 
 
 def attach_binary_payload(

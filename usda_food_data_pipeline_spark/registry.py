@@ -66,13 +66,10 @@ _ORDER: list[str] = [
     "pivot_avg_returnflag",
     "threshold_nullout",
     "densest_rows",
-    "global_sort_topk",
     "seeded_sample",
     "scalar_functions",
-    "try_cast_round",
     "metadata_documents",
     "tpch_q1",
-    "tpch_q3",
     "grouping_sets",
     "distinct_agg",
     "cosine_topk",
@@ -103,14 +100,21 @@ _ORDER: list[str] = [
     "window_running",
     "percentile_quantity",
     "posexplode_tokens",
-    "regexp_extract_unit",
     "topk_avg_retrieved",
     "decontaminate",
-    # -------- beyond the window: shape variants of already-attested ops --------
     "pii_scrub",
     "quantize_embeddings",
     "skew_salted_sum",
     "sequence_packing",
+    # -------- beyond the window: shape variants of already-attested ops --------
+    # (try_cast_round / regexp_extract_unit fold into scalar_functions'
+    # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
+    # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
+    "multimodal_decode",
+    "try_cast_round",
+    "global_sort_topk",
+    "regexp_extract_unit",
+    "tpch_q3",
     "date_functions",
     "tpch_q6",
     "tpch_q5",
@@ -391,7 +395,9 @@ def _capped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     ) ORDER BY null_count, order_key, line_number LIMIT 10
     """,
-    "top-10 rows with fewest nulls (per-row null count + TakeOrdered)",
+    "top-10 rows with fewest nulls (per-row null count + TakeOrdered); also "
+    "attests D2 global sort/top-k — same TakeOrderedAndProject physical shape "
+    "as global_sort_topk, which now sits beyond the driver window",
 )
 def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densest_rows(_capped_lineitem(spark, sf_dir), 10, ["order_key", "line_number"])
@@ -451,15 +457,24 @@ def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_functions",
-    """
+    r"""
     SELECT p_partkey AS part_key,
            upper(trim(p_brand)) || ' (' || upper(trim(p_type)) || ')' AS brand_label,
            CAST(p_partkey AS VARCHAR) AS part_key_str,
            round(p_retailprice, 2) AS retail_price,
-           p_retailprice / p_size AS price_per_size
+           p_retailprice / p_size AS price_per_size,
+           TRY_CAST(CASE WHEN p_size % 2 = 0 THEN CAST(p_retailprice AS VARCHAR)
+                         ELSE p_name END AS DOUBLE) AS coerced_price,
+           round_even(p_partkey / 8.0, 2) AS eighth_banker,
+           regexp_extract(upper(trim(p_brand)) || ' (' || upper(trim(p_type)) || ')',
+                          '\(([^)]*)\)$', 1) AS unit_extracted
     FROM part
     """,
-    "NAME (UNIT) concat, cast-to-string, rounding, derived ratio",
+    "NAME (UNIT) concat, cast-to-string, rounding, derived ratio; F2 family "
+    "(null-on-failure try_cast ~ to_numeric(errors='coerce') :76, banker's "
+    "bround ~ numpy round-half-even :76,:123 — applied to p_partkey/8, whose "
+    "binary repr is exact so Spark/DuckDB tie-rounding agrees) and F9 regexp "
+    "extract (:119) folded in so one driver row attests F2+F3+F4+F7+F9",
 )
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
@@ -471,6 +486,18 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").cast("string").alias("part_key_str"),
         F.round("p_retailprice", 2).alias("retail_price"),
         (F.col("p_retailprice") / F.col("p_size")).alias("price_per_size"),
+        F.when(F.col("p_size") % 2 == 0, F.col("p_retailprice").cast("string"))
+        .otherwise(F.col("p_name"))
+        .try_cast("double")
+        .alias("coerced_price"),
+        F.bround(F.col("p_partkey") / 8, 2).alias("eighth_banker"),
+        F.regexp_extract(
+            F.concat(
+                F.upper(F.trim("p_brand")), F.lit(" ("), F.upper(F.trim("p_type")), F.lit(")")
+            ),
+            r"\(([^)]*)\)$",
+            1,
+        ).alias("unit_extracted"),
     )
 
 

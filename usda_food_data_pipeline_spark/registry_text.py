@@ -464,6 +464,69 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal container decode round-trip: synthesize real WAV (RIFF/PCM
+# via stdlib wave) + BMP (24bpp via struct) binaries from doc_id in one
+# mapInPandas stage, decode them in a second — the payloads cross a real
+# Arrow binary-column boundary. Every decoded statistic is an integer
+# function of doc_id, so the oracle recomputes it exactly in SQL
+# (series cross-join: sample i < n, pixel (x,y) < (w,h)). Closes the
+# round-2 decode stubs (operators/multimodal.py decode_audio/
+# decode_image are now real parsers).
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_decode",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               64 + doc_id % 64 AS n,
+               8000 + (doc_id % 8) * 500 AS rate,
+               4 + doc_id % 4 AS w,
+               3 + doc_id % 3 AS h
+        FROM documents
+    ),
+    si AS (SELECT unnest(range(0, 128)) AS i),
+    wav AS (
+        SELECT d.doc_id,
+               CAST(sum(CASE WHEN si.i < d.n
+                    THEN ((d.doc_id*31 + si.i*7) % 65536) - 32768 END) AS BIGINT) AS wav_sum
+        FROM d CROSS JOIN si GROUP BY d.doc_id
+    ),
+    sx AS (SELECT unnest(range(0, 7)) AS x),
+    sy AS (SELECT unnest(range(0, 5)) AS y),
+    bmp AS (
+        SELECT d.doc_id,
+               CAST(sum(CASE WHEN sx.x < d.w AND sy.y < d.h
+                    THEN (d.doc_id + 3*sx.x + 7*sy.y) % 256 END) AS BIGINT) AS sum_r,
+               CAST(sum(CASE WHEN sx.x < d.w AND sy.y < d.h
+                    THEN (2*d.doc_id + 5*sx.x + sy.y) % 256 END) AS BIGINT) AS sum_g,
+               CAST(sum(CASE WHEN sx.x < d.w AND sy.y < d.h
+                    THEN (3*d.doc_id + sx.x + 11*sy.y) % 256 END) AS BIGINT) AS sum_b
+        FROM d CROSS JOIN sx CROSS JOIN sy GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           44 + 2 * d.n AS wav_bytes,
+           d.rate AS wav_rate,
+           d.n AS wav_n,
+           ((d.doc_id*31) % 65536) - 32768 AS wav_first,
+           ((d.doc_id*31 + (d.n-1)*7) % 65536) - 32768 AS wav_last,
+           wav.wav_sum,
+           54 + ((d.w*3 + 3) // 4) * 4 * d.h AS bmp_bytes,
+           d.w AS bmp_w,
+           d.h AS bmp_h,
+           bmp.sum_r, bmp.sum_g, bmp.sum_b
+    FROM d JOIN wav USING (doc_id) JOIN bmp USING (doc_id)
+    """,
+    "WAV/BMP container encode->decode round-trip; decoded stats vs pure-SQL recompute",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_media_stats, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_stats(synthesize_media(docs, "doc_id"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hashing embedder (V1 featurizer) — summary stats are
 # oracle-checked (full vectors aren't comparable through the harness)
 # ---------------------------------------------------------------------------
