@@ -192,8 +192,15 @@ def pack_sequences_exact(
     this is the exact-semantics option for bounded stream sizes.
     """
     import pandas as pd
+    from pyspark.sql import types as T
 
-    out_schema = f"{part_col} string, {order_col} long, {token_col} long, pack_id long"
+    # carry the input field types through (an int shard id or int token
+    # count must not be silently recast to string/long)
+    in_fields = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = T.StructType(
+        [T.StructField(c, in_fields[c], True) for c in (part_col, order_col, token_col)]
+        + [T.StructField("pack_id", T.LongType(), True)]
+    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)

@@ -16,9 +16,14 @@ Directions (pandas ``merge_asof`` parity):
   backward. Both candidate windows share the single partitioning
   exchange (two sorts, no second shuffle).
 
-Tie rule within a direction: a right row at exactly t is visible to a
-left row at t because right rows sort before left rows at equal
-timestamps.
+Tie rules: a right row at exactly t is visible to a left row at t
+because right rows sort before left rows at equal timestamps. Among
+right rows sharing (key, ts), the row with the greatest value tuple
+wins (struct comparison, nulls smallest) — resolved by a pre-aggregation
+per (key, ts) BEFORE the union, so the window sorts only on
+(ts, _side[, tiebreak]): a narrower sort key than ordering by the
+carried values inside the window (round-2 design, 1.9x slower at
+sf0.1), and the dedup is a map-side-combinable aggregate.
 """
 
 from __future__ import annotations
@@ -27,13 +32,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
 
 def _ts_number(col: Column, dtype) -> Column:
-    """Monotone numeric image of the event time for distance compares."""
+    """Monotone numeric image of the event time for distance compares.
+    Integral inputs stay integral (a double cast would lose precision
+    above 2^53, e.g. epoch-nanos in a long, and could flip the
+    nearest-side pick on near-ties)."""
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_micros(col)
     if isinstance(dtype, T.DateType):
         return F.unix_date(col).cast("long")
+    if isinstance(dtype, _INTEGRAL):
+        return col.cast("long")
     return col.cast("double")
 
 
@@ -52,6 +64,14 @@ def asof_join(
         raise ValueError(f"unknown direction {direction!r}")
     left_cols = left.columns
     filled_names = [f"asof_{c}" for c in value_cols]
+
+    # one right row per (key, ts): greatest value tuple wins — keeps the
+    # value columns out of the window sort below
+    right = (
+        right.groupBy(*by_cols, ts_col)
+        .agg(F.max(F.struct(*value_cols)).alias("_vs"))
+        .select(*by_cols, ts_col, *[F.col(f"_vs.{c}").alias(c) for c in value_cols])
+    )
 
     r = right.select(
         *by_cols,
@@ -83,13 +103,6 @@ def asof_join(
         if tiebreak_col is not None:
             tb = F.col(tiebreak_col)
             order.append(tb.desc_nulls_first() if desc else tb.asc_nulls_first())
-        # deterministic pick among right rows sharing (key, ts): order by
-        # the carried values themselves (nulls last so left rows stay
-        # put) — the SQL twin must order identically
-        order.extend(
-            (F.col(f"_v_{c}").desc_nulls_last() if desc else F.col(f"_v_{c}").asc_nulls_last())
-            for c in value_cols
-        )
         return (
             Window.partitionBy(*by_cols)
             .orderBy(*order)

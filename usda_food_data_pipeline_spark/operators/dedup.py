@@ -412,18 +412,19 @@ def connected_components(
             (F.col("nmin") < F.col("component")).alias("_changed"),
         )
 
-    prev = None
     converged = False
     for _ in range(max_iter):
         # localCheckpoint: propagate() references the previous labels
         # twice, so plain persist still doubles the logical plan per
         # round and Catalyst re-optimization cost compounds; truncating
-        # lineage keeps every round O(1) planning work
+        # lineage keeps every round O(1) planning work.
+        # DataFrame.unpersist() does NOT free localCheckpoint RDD blocks,
+        # so superseded generations are released by dropping their last
+        # reference (labels rebinds each round) and letting Spark's
+        # ContextCleaner evict the orphaned checkpoint RDD — prompt
+        # here because nothing else holds the old generation.
         new_labels = propagate(labels).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        if prev is not None:
-            prev.unpersist()  # superseded generation
-        prev = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True
@@ -503,6 +504,7 @@ def _connected_components_star(
         ).collect()[0]
         return row["n"], row["h"]
 
+    first_gen = e  # the persist()'d input edge list
     prev_fp = fingerprint(e)
     converged = False
     for _ in range(max_iter):
@@ -513,7 +515,11 @@ def _connected_components_star(
         # checkpointing truncates lineage so each round plans O(1) work
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         fp = fingerprint(new_e)
-        e.unpersist()
+        if e is first_gen:
+            e.unpersist()  # real persist() → real release
+        # superseded localCheckpoint generations can't be unpersist()'d
+        # (no-op on checkpoint blocks); rebinding e drops their last
+        # reference and ContextCleaner evicts the orphaned RDD
         e = new_e
         if fp == prev_fp:
             converged = True
@@ -524,10 +530,11 @@ def _connected_components_star(
             f"star connected_components did not converge within {max_iter} rounds"
         )
     # fixpoint edges are (child, center) stars; centers/singletons → self
+    # (the final checkpoint generation is released the same way once this
+    # frame returns and the last reference drops)
     labels = e.select(
         F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("component")
     ).distinct()
-    e.unpersist()
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )

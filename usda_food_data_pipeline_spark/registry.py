@@ -111,6 +111,8 @@ _ORDER: list[str] = [
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
     "multimodal_decode",
+    "split_sentences",
+    "geomean_quantity",
     "try_cast_round",
     "global_sort_topk",
     "regexp_extract_unit",

@@ -20,9 +20,12 @@ from .sources.tables import load_table
 
 ASOF_ORACLE = """
 WITH r AS (
+    -- one right row per (user_id, ts): greatest value wins, mirroring
+    -- the operator's pre-aggregated dedup (operators/asof.py)
     SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS side,
-           value AS v, NULL AS event_id
+           max(value) AS v, NULL AS event_id
     FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
 ),
 l AS (
     SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 1 AS side,
@@ -33,7 +36,7 @@ u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
 c AS (
     SELECT *,
            last_value(v IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side, v ASC NULLS LAST
+               PARTITION BY user_id ORDER BY ts, side
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
     FROM u
 )
@@ -783,3 +786,41 @@ def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.join(counts, "l_returnflag").select(
         F.col("l_returnflag").alias("return_flag"), "sum_l_quantity", "n_rows"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-agg pandas UDAF oracle row (SURVEY §2.9): geometric mean of
+# l_quantity per (returnflag, linestatus). Both sides compute
+# exp(mean(ln(x))) in float64; the 4-dp rounding absorbs the ~1e-13
+# summation-order divergence between numpy's pairwise mean and DuckDB's
+# streaming avg (an exact-decimal trick is impossible in the log
+# domain, so this is the one query that rounds an aggregate — the
+# margin between error (~1e-13) and the rounding grid (5e-5) is 9
+# orders of magnitude).
+# ---------------------------------------------------------------------------
+
+@register(
+    "geomean_quantity",
+    """
+    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+           round(exp(avg(ln(l_quantity))), 4) AS gm_quantity,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "grouped-agg pandas UDAF: per-group geometric mean of quantity",
+)
+def q_geomean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.udtf_udaf import geometric_mean
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = [
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+    ]
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run the count as its own grouped
+    # agg and broadcast-join the handful of group rows back together
+    gm = li.groupBy(*keys).agg(F.round(geometric_mean("l_quantity"), 4).alias("gm_quantity"))
+    counts = li.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_items"))
+    return gm.join(F.broadcast(counts), ["return_flag", "line_status"])

@@ -259,22 +259,34 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token counts, mean token length + repeated-trigram fraction (boilerplate signal)",
 )
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.textstats import repetition_stats
+    """Two-stage projection: stage 1 tokenizes once (`toks` is referenced
+    by several output columns, so CollapseProject keeps the boundary and
+    the regex split/filter runs once per row — the round-2 single-select
+    form re-evaluated it per derived column, 0.9s vs ~0.5s at sf0.1);
+    stage 2 derives all counts/ratios from the shared arrays."""
+    from .operators.dedup import tokenize, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
-    total, distinct, ratio = repetition_stats(text, shingle_n=3)
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        token_count(text).alias("n_tokens"),
         F.length(text).alias("n_chars_actual"),
-        F.try_divide(
-            F.length(F.regexp_replace(text, ALPHA_CLASS, "")).cast("double"),
-            token_count(text),
-        ).alias("mean_token_len"),
+        F.length(F.regexp_replace(text, ALPHA_CLASS, "")).alias("_n_alpha"),
+        tokenize(text).alias("_toks"),
+    )
+    n_toks = F.size("_toks")
+    total = F.greatest(n_toks - 2, F.lit(0)).cast("long")
+    distinct = F.size(word_shingles(F.col("_toks"), 3)).cast("long")
+    return base.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        "n_chars_actual",
+        F.try_divide(F.col("_n_alpha").cast("double"), n_toks).alias("mean_token_len"),
         total.alias("n_shingles"),
         distinct.alias("n_distinct_shingles"),
-        ratio.alias("rep_ratio"),
+        (F.lit(1.0) - F.try_divide(distinct.cast("double"), total.cast("double"))).alias(
+            "rep_ratio"
+        ),
     )
 
 
@@ -460,6 +472,49 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_bytes"),
         F.md5(F.encode("text", "UTF-8")).alias("checksum"),
         (F.greatest(F.floor((n - 1) / 64), F.lit(0)).cast("bigint") + 1).alias("frame_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF oracle row (SURVEY §2.9): sentence segmentation via the
+# SplitSentences UDTF lateral join. The DuckDB twin emulates the
+# lookbehind split (RE2 has no lookbehind) by marking each [.!?]+ws
+# boundary with chr(30) and splitting on it; documents are attested
+# ASCII-only so Python-\s (unicode) and RE2-\s (ascii) agree.
+# ---------------------------------------------------------------------------
+
+@register(
+    "split_sentences",
+    r"""
+    WITH parts AS (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'),
+                            chr(30)) AS arr
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS idx0, unnest(arr) AS sentence
+        FROM parts
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx0) - 1 AS BIGINT)
+               AS sent_idx,
+           sentence,
+           CAST(length(sentence) AS BIGINT) AS n_chars
+    FROM ex WHERE trim(sentence) <> ''
+    """,
+    "UDTF lateral join: one row per sentence (idx, text, char count)",
+)
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.udtf_udaf import split_sentences
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_sentences(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+        F.col("n_chars").cast("long").alias("n_chars"),
     )
 
 

@@ -105,8 +105,12 @@ def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
 
     dtypes = {"bigint": T.LongType(), "double": T.DoubleType(), "string": T.StringType()}
     types = USDA_CSV_TYPES[table]
-    header = spark.read.text(path).first()["value"]
-    cols = [c.strip().strip('"') for c in header.split(",")]
+    # header-only pass through the CSV source itself: quoted header names
+    # (commas inside quotes) parse correctly, and on a multi-file glob the
+    # source resolves the same leading file it will use for the real read —
+    # unlike a read.text(...).first() probe, which picks an arbitrary file
+    # and splits the header naively on ','.
+    cols = spark.read.option("header", True).csv(path).columns
     schema = T.StructType(
         [T.StructField(c, dtypes[types.get(c, "string")], True) for c in cols]
     )
