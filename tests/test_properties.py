@@ -139,3 +139,52 @@ def test_band_join_matches_naive_range_join(spark, edges, values):
         for r in band_join(fact, bands_df, "v", bucket_width=7.0, bucket_cap=5).collect()
     }
     assert got == naive
+
+
+overlap_bands = st.lists(
+    st.tuples(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        st.floats(min_value=0.1, max_value=200, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=6,
+)
+adversarial_width = st.one_of(
+    st.none(),  # auto-derive path
+    st.sampled_from([1e-6, 0.5, 3.0, 1e7]),  # tiny width forces the clamp path
+)
+
+
+@SLOW
+@given(bands=overlap_bands, values=band_values, width=adversarial_width)
+def test_band_join_overlapping_and_adversarial_width(spark, bands, values, width):
+    """Overlapping bands must yield one output row per (value, matching
+    band) pair, for any bucket_width — including widths so small every
+    bucket clamps to the cap, and the auto-derived width (None)."""
+    from usda_food_data_pipeline_spark.operators.range_join import band_join
+
+    bands = [(float(lo), float(lo + w), f"b{i}") for i, (lo, w) in enumerate(bands)]
+    naive = {
+        (i, name)
+        for i, v in enumerate(values)
+        for lo, hi, name in bands
+        if lo <= v < hi
+    }
+    bands_df = spark.createDataFrame(bands, "lo double, hi double, band string")
+    fact = spark.createDataFrame(list(enumerate(values)), "id long, v double")
+    out = band_join(fact, bands_df, "v", bucket_width=width, bucket_cap=16).collect()
+    got = {(r["id"], r["band"]) for r in out}
+    assert len(out) == len(got), "duplicate (value, band) pairs emitted"
+    assert got == naive
+
+
+def test_band_join_rejects_bad_width(spark):
+    import pytest
+
+    from usda_food_data_pipeline_spark.operators.range_join import band_join
+
+    bands_df = spark.createDataFrame([(0.0, 1.0, "b")], "lo double, hi double, band string")
+    fact = spark.createDataFrame([(1, 0.5)], "id long, v double")
+    for bad in (0.0, -1.0, float("inf")):
+        with pytest.raises(ValueError):
+            band_join(fact, bands_df, "v", bucket_width=bad)
