@@ -144,7 +144,7 @@ def test_band_join_matches_naive_range_join(spark, edges, values):
 overlap_bands = st.lists(
     st.tuples(
         st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
-        st.floats(min_value=0.1, max_value=200, allow_nan=False, width=32),
+        st.floats(min_value=0.125, max_value=200, allow_nan=False, width=32),
     ),
     min_size=1,
     max_size=6,

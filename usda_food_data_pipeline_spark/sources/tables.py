@@ -31,20 +31,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long (legacy conf, runtime-
-    settable) and expose ``ts`` as a microsecond timestamp (truncated,
-    matching DuckDB's ns→us cast) plus the raw ``ts_ns``."""
+    """Normalize the events scan across driver testdata generations: the
+    ``ts`` column has shipped both as TIMESTAMP(NANOS) (which Spark's
+    vectorized reader only accepts as long via the legacy conf) and as a
+    plain microsecond timestamp. Expose ``ts`` as a TimestampType
+    microsecond instant (session TZ is pinned UTC, so the NTZ→TZ cast is
+    identity on the wire) plus ``ts_ns`` as raw epoch nanos."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.select(
-        "event_id",
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
         # integer DIV, not double division: ns values ~1.7e18 exceed
         # double's 2^53 exact-integer range
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+        ts_ns = F.col("ts")
+    else:
+        ts = F.col("ts").cast("timestamp")
+        ts_ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+            "long"
+        )
+    return raw.select(
+        "event_id",
+        ts.alias("ts"),
+        ts_ns.alias("ts_ns"),
         "user_id",
         "event_type",
         "value",
