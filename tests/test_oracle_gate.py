@@ -1,0 +1,52 @@
+"""CI wiring for the full oracle gate (ADVICE r02, medium).
+
+The external driver only verifies the first 50 registered queries, so a
+regression in any beyond-window query would otherwise merge behind a
+green driver gate.  This test runs tools/check_correctness.py's compare
+over EVERY ``queries()`` entry — in-window and beyond — at the smoke
+scale on each ``pytest tests/`` run, making the local checker a required
+check rather than an optional tool.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from check_correctness import compare  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from usda_food_data_pipeline_spark.sources.tables import TABLES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = entry.queries()
+_ORACLES = entry.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    res = compare(name, _QUERIES[name](spark, SF_DIR), _ORACLES.get(name), duck)
+    spark.catalog.clearCache()
+    assert res.get("ok"), res
+
+
+def test_every_oracle_has_a_query():
+    dangling = set(_ORACLES) - set(_QUERIES)
+    assert not dangling, f"oracle_sql entries without queries(): {dangling}"
