@@ -84,7 +84,10 @@ _ORDER: list[str] = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
-    "multimodal_meta",
+    # decode subsumes meta's attestation: real mapInPandas binary plumbing
+    # (synthesize + decode stages) plus the WAV/BMP codecs; meta is
+    # expression-only metadata and keeps its local row beyond the window
+    "multimodal_decode",
     "text_embed",
     "dedup_clusters",
     "training_pipeline",
@@ -110,7 +113,7 @@ _ORDER: list[str] = [
     # (try_cast_round / regexp_extract_unit fold into scalar_functions'
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
-    "multimodal_decode",
+    "multimodal_meta",
     "split_sentences",
     "geomean_quantity",
     "try_cast_round",
