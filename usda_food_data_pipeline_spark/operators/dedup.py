@@ -250,7 +250,13 @@ def ngram_jaccard_pairs(
             b,
             (F.col("a.block_") == F.col("b.block_"))
             & (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id_") < F.col("b.doc_id_")),
+            & (F.col("a.doc_id_") < F.col("b.doc_id_"))
+            # lossless size filter: jaccard >= t forces t*|b| <= |a| <= |b|/t
+            # (max jaccard of two sets is min/max of their sizes), so
+            # size-incompatible pairs are pruned at the join, before any
+            # per-pair aggregation state exists
+            & (F.col("a.sz").cast("double") >= F.lit(threshold) * F.col("b.sz"))
+            & (F.col("b.sz").cast("double") >= F.lit(threshold) * F.col("a.sz")),
         )
         .groupBy(
             F.col("a.doc_id_").alias("id_a"),

@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/collect_set/percentile paths)
+        # falls back to sort-based aggregation after only 128 distinct keys
+        # by default — every high-cardinality array agg pays an external
+        # sort it doesn't need. 128k keys of small aggregation buffers fit
+        # comfortably per task; the sort fallback still protects the
+        # genuinely huge-group case beyond that. Measured 25% off
+        # array_agg_quantities at sf1 (6M rows, 1.5M groups).
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(128 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
