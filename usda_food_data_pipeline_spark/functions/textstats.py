@@ -226,3 +226,24 @@ def pack_sequences_exact(
         .groupBy(part_col)
         .applyInPandas(pack, schema=out_schema)
     )
+
+
+def vocab_topk(df, text_col: str, k: int = 100):
+    """Corpus vocabulary: global token frequencies, top-k with rank.
+
+    explode → two-level aggregate (partial counts map-side, one shuffle
+    on token) → TakeOrderedAndProject keeps a k-row heap per partition.
+    The rank window runs AFTER the limit, over k rows on one partition —
+    a constant-size step at any corpus scale. Total order is
+    (count DESC, token ASC) so ranks are deterministic.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokenize
+
+    toks = df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.select(F.row_number().over(w).alias("rank"), "token", "n")

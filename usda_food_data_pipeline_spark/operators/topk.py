@@ -59,3 +59,36 @@ def densest_rows(df: DataFrame, k: int, tiebreak_cols: list[str]) -> DataFrame:
     return with_counts.orderBy(
         F.col("null_count"), *[F.col(c) for c in tiebreak_cols]
     ).limit(k)
+
+
+def weighted_mix_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    key_col: str,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Training-mix construction: per-key Bernoulli sampling at the rate
+    given by the ``rates`` dimension (columns: ``key_col``, ``rate``).
+
+    The keep decision is content-derived — ``md5_int(id) < rate * 2^48``
+    — so the sampled set is identical under any partitioning, cluster
+    size, or retry (the property ``rand(seed)`` lacks), and a re-run
+    over changed data keeps exactly the still-present rows (stable
+    incremental mixes). Rates dimension is broadcast: one codegen'd
+    hash-join, no shuffle of the corpus. At 100 TB this is the standard
+    "upsample high-quality sources, downsample the crawl" step.
+
+    Exactness note: pass dyadic rates (k/2^n) and the threshold
+    ``rate * 2^48`` is an exact integer — engines that round and engines
+    that truncate double→int agree, so oracle twins hash-match.
+    """
+    from .dedup import md5_int
+
+    h = md5_int(F.col(id_col).cast("string"), seed)
+    threshold = (F.lit(2.0**48) * F.col("rate")).cast("long")
+    return (
+        df.join(F.broadcast(rates), key_col)
+        .filter(h < threshold)
+        .drop("rate")
+    )

@@ -134,6 +134,8 @@ _ORDER: list[str] = [
     "stratified_sample",
     "approx_distinct",
     "approx_quantiles",
+    "mix_sampling",
+    "vocab_topk",
 ]
 
 

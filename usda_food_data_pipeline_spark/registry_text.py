@@ -759,3 +759,73 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.training_pipeline import training_pipeline
 
     return training_pipeline(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Training-mix construction: per-source Bernoulli sampling at broadcast
+# rates, content-derived keep decision (operators/topk.weighted_mix_sample).
+# Rates are dyadic (k/2^n) so rate*2^48 is an exact integer on both
+# engines (DuckDB rounds double->int, Spark truncates; integers agree).
+# ---------------------------------------------------------------------------
+
+_MIX_SEED = 5
+
+
+@register(
+    "mix_sampling",
+    f"""
+    WITH rates AS (
+        SELECT source,
+               CASE CAST(substr(source, 4) AS INTEGER) % 4
+                   WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                   WHEN 2 THEN 0.25 ELSE 0.125 END AS rate
+        FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN rates r USING (source)
+    WHERE {oracle_md5_int_sql("CAST(doc_id AS VARCHAR)", 5)}
+          < CAST(r.rate * 2.0 ** 48 AS BIGINT)
+    """,
+    "training-mix sampling: per-source rates, deterministic content-hash keep",
+)
+def q_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.topk import weighted_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rates = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "rate",
+            F.when(src_num % 4 == 0, 1.0)
+            .when(src_num % 4 == 1, 0.5)
+            .when(src_num % 4 == 2, 0.25)
+            .otherwise(0.125),
+        )
+    )
+    out = weighted_mix_sample(docs, rates, "source", "doc_id", seed=_MIX_SEED)
+    return out.select("doc_id", "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: global token frequency top-k with deterministic rank
+# (functions/textstats.vocab_topk)
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_topk",
+    f"""
+    WITH toks AS (SELECT unnest({TOKS_SQL}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    top AS (SELECT * FROM counts ORDER BY n DESC, token LIMIT 100)
+    SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, token, n
+    FROM top
+    """,
+    "corpus vocabulary: global token counts, top-100 with rank",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", 100)
