@@ -247,3 +247,41 @@ def vocab_topk(df, text_col: str, k: int = 100):
     top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     return top.select(F.row_number().over(w).alias("rank"), "token", "n")
+
+
+def token_surprisal(df, id_col: str, text_col: str):
+    """CCNet-style LM-perplexity proxy: per-document mean token
+    self-information ``-avg(ln(n_tok / N))`` under the corpus's own
+    unigram frequencies. Low surprisal = typical text, high = rare-token
+    soup; the standard cheap stand-in for an LM perplexity quality gate
+    when filtering crawl-scale corpora.
+
+    Plan: explode -> token-count aggregate -> token-keyed equi-join back
+    to occurrences -> per-doc aggregate. The token join is Zipf-skewed
+    by nature ("the" carries billions of rows at corpus scale) — AQE
+    skew-join splits those partitions; no row is wider than (id, token,
+    count). ln(N) is folded in AFTER the per-doc average (ln(N) -
+    avg(ln(n))), so the join never carries the corpus total.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokenize
+
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("N"))
+    per_doc = (
+        toks.join(counts, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("n")).alias("_mean_ln_n"),
+        )
+    )
+    # 4-dp rounding absorbs libm/summation-order jitter (~1e-13) exactly
+    # as the geometric-mean oracle does; the grid is 9 orders coarser
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.log("N") - F.col("_mean_ln_n"), 4).alias("surprisal"),
+    )

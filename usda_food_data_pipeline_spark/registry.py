@@ -136,6 +136,7 @@ _ORDER: list[str] = [
     "approx_quantiles",
     "mix_sampling",
     "vocab_topk",
+    "text_surprisal",
 ]
 
 

@@ -829,3 +829,30 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_topk(docs, "text", 100)
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity proxy (functions/textstats.token_surprisal): mean token
+# self-information under the corpus's own unigram model — the cheap
+# stand-in for perplexity-based quality filtering at crawl scale.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_surprisal",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    tot AS (SELECT count(*) AS N FROM toks)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(ln((SELECT N FROM tot)) - avg(ln(c.n)), 4) AS surprisal
+    FROM toks t JOIN counts c USING (token)
+    GROUP BY t.doc_id
+    """,
+    "per-doc mean token self-information under corpus unigram frequencies",
+)
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import token_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_surprisal(docs, "doc_id", "text")
