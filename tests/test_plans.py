@@ -51,3 +51,23 @@ def test_decontaminate_broadcasts_benchmark_single_shuffle(spark, sf_dir):
     # the only hash exchange is the (doc, bench) count agg — corpus
     # text never shuffles
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mix_sampling_broadcasts_rates_no_corpus_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "mix_sampling", sf_dir)
+    assert "BroadcastHashJoin" in plan  # rates dim broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_is_heap_based_single_token_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "vocab_topk", sf_dir)
+    assert "TakeOrderedAndProject(limit=100" in plan
+    # one exchange for the token count agg; the rank window runs on the
+    # k-row result after the limit
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_chunk_documents_no_shuffle_no_udf(spark, sf_dir):
+    plan = plan_of(spark, "chunk_documents", sf_dir)
+    assert "Exchange hashpartitioning" not in plan  # scan-local explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

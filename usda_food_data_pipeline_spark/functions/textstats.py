@@ -285,3 +285,39 @@ def token_surprisal(df, id_col: str, text_col: str):
         F.col("n_tokens"),
         F.round(F.log("N") - F.col("_mean_ln_n"), 4).alias("surprisal"),
     )
+
+
+def chunk_documents(df, id_col: str, text_col: str, chunk_tokens: int = 64, stride: int = 48):
+    """RAG-prep chunking: split each document into overlapping token
+    windows (size ``chunk_tokens``, step ``stride``) — the standard
+    retrieval-indexing step between cleaning and embedding.
+
+    Expression-only: tokenize once, explode a chunk-index sequence, and
+    slice the token array per chunk — no UDF, no shuffle (the explode is
+    scan-local; downstream embedding/indexing supplies its own
+    partitioning). Chunk count per doc is 1 + max(0, ceil((n-C)/S)) via
+    integer arithmetic so engines agree exactly; empty documents yield
+    no chunks.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokenize
+
+    c, s = int(chunk_tokens), int(stride)
+    if c <= 0 or s <= 0:
+        raise ValueError(f"chunk_tokens and stride must be positive, got {c}, {s}")
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    last = F.expr(f"CAST(greatest(_n - {c} + {s} - 1, 0) DIV {s} AS INT)")
+    chunks = (
+        toks.filter(F.col("_n") > 0)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), last)))
+        .withColumn("_chunk", F.slice("_toks", F.col("chunk_idx") * s + 1, c))
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").alias("n_chunk_tokens"),
+    )

@@ -137,6 +137,7 @@ _ORDER: list[str] = [
     "mix_sampling",
     "vocab_topk",
     "text_surprisal",
+    "chunk_documents",
 ]
 
 

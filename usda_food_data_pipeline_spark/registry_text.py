@@ -856,3 +856,38 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_surprisal(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# RAG-prep chunking (functions/textstats.chunk_documents): overlapping
+# token windows, expression-only (no UDF, no shuffle)
+# ---------------------------------------------------------------------------
+
+_CHUNK_C, _CHUNK_S = 32, 24
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {TOKS_SQL} AS toks, len({TOKS_SQL}) AS n
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(greatest(n - {_CHUNK_C} + {_CHUNK_S} - 1, 0) // {_CHUNK_S} AS BIGINT) + 1)) AS chunk_idx
+        FROM t WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(toks, chunk_idx * {_CHUNK_S} + 1, chunk_idx * {_CHUNK_S} + {_CHUNK_C}), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1, chunk_idx * {_CHUNK_S} + {_CHUNK_C})) AS INTEGER) AS n_chunk_tokens
+    FROM idx
+    """,
+    "overlapping token-window chunks per document (RAG indexing prep)",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", _CHUNK_C, _CHUNK_S)
