@@ -120,3 +120,16 @@ def test_read_usda_csv_schema_by_name(spark, workdir):
     }
     r = df.collect()[0]
     assert r["amount"] == 1.5 and r["fdc_id"] == 11
+
+
+def test_cli_query_subcommand(spark, workdir):
+    from usda_food_data_pipeline_spark.__main__ import main
+
+    out = f"{workdir}/vocab_out"
+    rc = main(
+        ["query", "vocab_topk", "--sf-dir", "/root/testdata/sf0.001", "--output", out]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() > 0 and set(got.columns) == {"rank", "token", "n"}
+    assert main(["query", "not_a_query"]) == 2

@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--k", type=int, default=10)
     r.add_argument("--dim", type=int, default=64)
 
+    q = sub.add_parser("query", help="run a registered query by name (or list them)")
+    q.add_argument("name", nargs="?", help="query name; omit to list all")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--output", help="write result parquet here instead of showing")
+    q.add_argument("--limit", type=int, default=20, help="rows to show without --output")
+
     args = ap.parse_args(argv)
     spark = get_spark(f"cli-{args.cmd}")
 
@@ -56,6 +62,23 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.index, args.query, id_col=args.id_col, k=args.k, dim=args.dim
         )
         print(json.dumps(docs, default=str))
+    elif args.cmd == "query":
+        from . import registry
+
+        qs = registry.queries()
+        if not args.name:
+            for spec in registry.specs():
+                print(json.dumps({"name": spec.name, "doc": spec.doc}))
+            return 0
+        if args.name not in qs:
+            print(json.dumps({"error": f"unknown query {args.name!r}"}), file=sys.stderr)
+            return 2
+        df = qs[args.name](spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"status": "ok", "output": args.output}))
+        else:
+            df.show(args.limit, truncate=40)
     return 0
 
 
