@@ -188,3 +188,55 @@ def test_band_join_rejects_bad_width(spark):
     for bad in (0.0, -1.0, float("inf")):
         with pytest.raises(ValueError):
             band_join(fact, bands_df, "v", bucket_width=bad)
+
+
+chunk_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=60),
+    min_size=1,
+    max_size=8,
+)
+chunk_params = st.tuples(st.integers(1, 10), st.integers(1, 10)).filter(
+    lambda cs: cs[1] <= cs[0]  # stride <= chunk size (operator contract)
+)
+
+
+@SLOW
+@given(texts=chunk_texts, params=chunk_params)
+def test_chunk_documents_covers_every_token(spark, texts, params):
+    """Every token of every non-empty doc appears in >= 1 chunk at its
+    correct position; chunk starts advance by exactly the stride; chunk
+    lengths are full-size except possibly the tail."""
+    from usda_food_data_pipeline_spark.functions.textstats import chunk_documents
+
+    c, s = params
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_documents(df, "doc_id", "text", c, s).collect()
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in enumerate(texts)}
+    for i, tk in toks.items():
+        got = sorted(
+            (r["chunk_idx"], r["chunk_text"]) for r in rows if r["doc_id"] == i
+        )
+        if not tk:
+            assert got == []
+            continue
+        # no empty chunks ever emitted
+        assert all(text for _j, text in got)
+        # reconstruct: chunk j must equal tokens[j*s : j*s+c]
+        n_chunks = 1 + max(0, -(-(len(tk) - c) // s))
+        assert len(got) == n_chunks
+        covered = set()
+        for j, text in got:
+            expect = tk[j * s : j * s + c]
+            assert text.split() == expect if text else expect == []
+            covered.update(range(j * s, min(j * s + c, len(tk))))
+        assert covered == set(range(len(tk)))
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    import pytest
+
+    from usda_food_data_pipeline_spark.functions.textstats import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=2, stride=3)

@@ -306,6 +306,11 @@ def chunk_documents(df, id_col: str, text_col: str, chunk_tokens: int = 64, stri
     c, s = int(chunk_tokens), int(stride)
     if c <= 0 or s <= 0:
         raise ValueError(f"chunk_tokens and stride must be positive, got {c}, {s}")
+    if s > c:
+        # stride beyond the window skips tokens and the chunk-count
+        # formula would emit empty tail chunks — not a chunking, a
+        # subsample; reject loudly instead of silently dropping text
+        raise ValueError(f"stride ({s}) must be <= chunk_tokens ({c})")
     toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks")).withColumn(
         "_n", F.size("_toks")
     )
