@@ -71,3 +71,12 @@ def test_chunk_documents_no_shuffle_no_udf(spark, sf_dir):
     plan = plan_of(spark, "chunk_documents", sf_dir)
     assert "Exchange hashpartitioning" not in plan  # scan-local explode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_surprisal_token_stream_never_shuffles(spark, sf_dir):
+    plan = plan_of(spark, "text_surprisal", sf_dir)
+    assert "SortMergeJoin" not in plan  # counts table broadcasts (AQE)
+    assert "BroadcastHashJoin" in plan
+    # only the two partial-agg exchanges (token counts, per-doc stats);
+    # the exploded token stream itself stays map-side
+    assert plan.count("Exchange hashpartitioning") == 2
