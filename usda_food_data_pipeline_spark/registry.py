@@ -59,7 +59,11 @@ _ORDER: list[str] = [
     "flagship",
     "dedup_latest_order",
     "semi_join_orders",
-    "anti_join_customers",
+    # mix_sampling takes the complement-join slot: left_anti is the shape
+    # complement of the in-window semi-join (anti keeps local+CI rows);
+    # training-mix sampling is a distinct operator family that needs a
+    # driver row (r02 verdict: new ops locally-attested-only is the gap)
+    "mix_sampling",
     "project_rename_normalize",
     "filter_not_contains",
     "group_mean",
@@ -102,7 +106,10 @@ _ORDER: list[str] = [
     "unpivot_orders",
     "window_running",
     "percentile_quantity",
-    "posexplode_tokens",
+    # chunk_documents subsumes posexplode's lateral/Generate attestation
+    # (sequence explode WITH position + array slice); posexplode keeps
+    # its local+CI row
+    "chunk_documents",
     "topk_avg_retrieved",
     "decontaminate",
     "pii_scrub",
@@ -114,6 +121,8 @@ _ORDER: list[str] = [
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
     "multimodal_meta",
+    "anti_join_customers",
+    "posexplode_tokens",
     "split_sentences",
     "geomean_quantity",
     "try_cast_round",
@@ -134,10 +143,8 @@ _ORDER: list[str] = [
     "stratified_sample",
     "approx_distinct",
     "approx_quantiles",
-    "mix_sampling",
     "vocab_topk",
     "text_surprisal",
-    "chunk_documents",
 ]
 
 
