@@ -552,3 +552,30 @@ def test_mix_sample_partition_independent(spark, sf_dir):
         assert again == base
     n_docs = docs.count()
     assert 0 < len(base) < n_docs
+
+
+def test_incremental_dedup_semantics(spark):
+    """Incoming exact copy and near-dup of existing are dropped; novel
+    doc survives; existing rows never appear in the output."""
+    from usda_food_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus entry about spark plans")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base),                                   # exact dup -> dropped
+            (11, base + " extra"),                        # near dup  -> dropped
+            (12, "entirely novel text with no shared shingles whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in incremental_dedup(
+            existing, incoming, "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got == {12}

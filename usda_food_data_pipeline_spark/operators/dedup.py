@@ -544,3 +544,120 @@ def _connected_components_star(
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
+
+
+def minhash_lsh_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-table MinHash-LSH: near-dup pairs between two corpora (one
+    doc from each side), same banding scheme as :func:`minhash_lsh_pairs`
+    but an A×B bucket join instead of a self-join — the candidate step of
+    incremental dedup. Output: (id_a from left, id_b from right, jaccard
+    >= threshold)."""
+    rows_per_band = num_hashes // bands
+    from ..sources.tables import spread
+
+    def sig_of(df: DataFrame) -> DataFrame:
+        s = spread(df).select(
+            F.col(id_col).alias("doc_id_"),
+            word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
+        )
+        return s.select(
+            "doc_id_", "shingles", *minhash_signature(F.col("shingles"), num_hashes)
+        ).persist()
+
+    def banded_of(sig: DataFrame) -> DataFrame:
+        band_cols = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select("doc_id_", F.explode(band_cols).alias("bb")).select(
+            "doc_id_", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    sig_a, sig_b = sig_of(left), sig_of(right)
+    cand = (
+        banded_of(sig_a)
+        .alias("a")
+        .join(
+            banded_of(sig_b).alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.doc_id_").alias("id_a"), F.col("b.doc_id_").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        sig_a.select(F.col("doc_id_").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(
+        sig_b.select(F.col("doc_id_").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        verified.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Delta dedup for continuously-ingested corpora: drop incoming docs
+    that duplicate the EXISTING corpus — exact (content hash anti-join)
+    or near (cross-table MinHash-LSH at ``jaccard_threshold``) — and
+    return the surviving incoming rows. Internal dedup of the incoming
+    batch stays the batch operators' job (exact_dedup / clustering).
+
+    Scale shape: the existing side contributes only a distinct-hash set
+    and a signature/band table (both tiny next to its text); incoming
+    text never joins against existing text — candidates verify through
+    shingle arrays re-attached per side. This is the operational mode at
+    100 TB: signatures of the accumulated corpus persist as a table and
+    each ingest batch runs this plan against them.
+    """
+    ex_hashes = existing.select(
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h")
+    ).distinct()
+    no_exact = (
+        incoming.withColumn("_h", F.md5(F.encode(F.col(text_col), "UTF-8")))
+        .join(ex_hashes, "_h", "left_anti")
+        .drop("_h")
+    )
+    near = minhash_lsh_pairs_cross(
+        existing,
+        no_exact,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+    )
+    matched = near.select(F.col("id_b").alias(id_col)).distinct()
+    return no_exact.join(matched, id_col, "left_anti")

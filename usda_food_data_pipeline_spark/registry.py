@@ -145,6 +145,7 @@ _ORDER: list[str] = [
     "approx_quantiles",
     "vocab_topk",
     "text_surprisal",
+    "incremental_dedup",
 ]
 
 

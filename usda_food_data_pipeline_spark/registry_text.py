@@ -891,3 +891,96 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", _CHUNK_C, _CHUNK_S)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) dedup: incoming batch vs existing corpus
+# (operators/dedup.incremental_dedup). The query splits documents by
+# doc_id % 5 into existing (80%) / incoming (20%) and returns the
+# incoming survivors after exact + cross-LSH matching against existing.
+# ---------------------------------------------------------------------------
+
+_INC_THRESHOLD = 0.5
+
+
+def _cross_minhash_ctes(src_a: str, src_b: str, threshold: float) -> str:
+    """CTE chain for cross-table MinHash-LSH pairs (id_a from src_a,
+    id_b from src_b); final CTE is ``x_pairs``. Mirrors
+    minhash_pairs_ctes but bands two relations and joins A×B."""
+    from .operators.dedup import MINHASH_MOD, _mix_params
+
+    base = f"({oracle_md5_int_sql('s', 0)} % {MINHASH_MOD})"
+    mh_cols = ",\n        ".join(
+        f"list_min(list_transform(sh, s -> ({_mix_params(k)[0]} * {base} + {_mix_params(k)[1]}) % {MINHASH_MOD})) AS mh_{k}"
+        for k in range(_NUM_HASHES)
+    )
+
+    def bands_of(sig: str) -> str:
+        return "\n    UNION ALL\n".join(
+            f"    SELECT doc_id, sh, {b} AS band, "
+            + " || '_' || ".join(
+                f"CAST(mh_{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+            )
+            + f" AS bucket FROM {sig}"
+            for b in range(_BANDS)
+        )
+
+    return f"""xa_sh AS (
+    SELECT doc_id, {shingles_sql(TOKS_SQL, _SHINGLE_N)} AS sh FROM {src_a}
+),
+xb_sh AS (
+    SELECT doc_id, {shingles_sql(TOKS_SQL, _SHINGLE_N)} AS sh FROM {src_b}
+),
+xa_sigs AS (SELECT doc_id, sh, {mh_cols} FROM xa_sh),
+xb_sigs AS (SELECT doc_id, sh, {mh_cols} FROM xb_sh),
+xa_banded AS (
+{bands_of('xa_sigs')}
+),
+xb_banded AS (
+{bands_of('xb_sigs')}
+),
+x_cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM xa_banded a JOIN xb_banded b
+      ON a.band = b.band AND a.bucket = b.bucket
+),
+x_pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM x_cand c JOIN xa_sh x ON c.id_a = x.doc_id JOIN xb_sh y ON c.id_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {threshold}
+)"""
+
+
+def _incremental_oracle() -> str:
+    return f"""
+WITH existing AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+incoming AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+no_exact AS (
+    SELECT i.* FROM incoming i
+    WHERE md5(i.text) NOT IN (SELECT DISTINCT md5(text) FROM existing)
+),
+{_cross_minhash_ctes('existing', 'no_exact', _INC_THRESHOLD)}
+SELECT doc_id, lang, source
+FROM no_exact
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM x_pairs)
+"""
+
+
+@register(
+    "incremental_dedup",
+    _incremental_oracle(),
+    "delta dedup: incoming batch vs existing corpus (exact hash + cross-table MinHash-LSH)",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    out = incremental_dedup(
+        existing, incoming, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N,
+        jaccard_threshold=_INC_THRESHOLD,
+    )
+    return out.select("doc_id", "lang", "source")
