@@ -1,0 +1,149 @@
+"""Unit + plan tests for the lexical/hybrid retrieval operators
+(functions/retrieval, operators/similarity sign-bit sketch)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from usda_food_data_pipeline_spark.functions.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    rrf_fuse,
+    tfidf_keywords,
+)
+from usda_food_data_pipeline_spark.operators.similarity import (
+    hamming_topk,
+    sign_bitpack,
+)
+
+
+def test_sign_bitpack_known_bits(spark):
+    # 64-dim vector: positives exactly at indices 0, 1, 33, 63
+    vec = [0.0] * 64
+    for i in (0, 1, 33, 63):
+        vec[i] = 0.5
+    vec[2] = -1.0  # negative stays a 0-bit
+    df = spark.createDataFrame([(vec,)], "embedding: array<float>")
+    w0, w1 = sign_bitpack("embedding", 64)
+    row = df.select(w0.alias("w0"), w1.alias("w1")).first()
+    # fold is MSB-first over each 32-slice: index 0 is the highest bit of w0
+    assert row["w0"] == (1 << 31) | (1 << 30)
+    assert row["w1"] == (1 << 30) | 1  # index 33 -> bit 30 of word 1, 63 -> bit 0
+
+
+def test_hamming_topk_self_is_zero_and_order(spark):
+    vecs = [
+        (0, [1.0] * 64),
+        (1, [1.0] * 63 + [-1.0]),  # 1 bit away
+        (2, [-1.0] * 32 + [1.0] * 32),  # 32 bits away
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    out = hamming_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert [(r["vec_id"], r["hamming"]) for r in out] == [(0, 0), (1, 1), (2, 32)]
+
+
+def test_bm25_ranks_rarer_and_denser_matches_higher(spark):
+    rows = [
+        (0, "apple banana cherry durian elderberry fig"),
+        (1, "apple apple apple banana banana cherry"),  # denser in query terms
+        (2, "kiwi lime mango nectarine orange papaya"),  # no match
+        (3, "apple kiwi lime mango nectarine orange"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    scores = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, "doc_id", "text", ["apple", "banana"]).collect()
+    }
+    assert 2 not in scores  # unmatched docs never appear
+    assert scores[1] > scores[0] > scores[3] > 0
+    top = bm25_topk(df, "doc_id", "text", ["apple", "banana"], k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 0]
+
+
+def test_bm25_score_matches_hand_formula(spark):
+    # one doc, one term, all corpus stats trivial: N=1, df=1, dl=avgdl=4
+    df = spark.createDataFrame([(0, "a b c a")], "doc_id: long, text: string")
+    row = bm25_scores(df, "doc_id", "text", ["a"]).first()
+    idf = math.log(1.0 + (1.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    sat = (2 * 2.2) / (2 + 1.2 * (1.0 - 0.75 + 0.75 * 4.0 / 4.0))
+    assert abs(row["bm25"] - round(idf * sat, 9)) < 1e-12
+    assert row["n_terms_matched"] == 1
+
+
+def test_tfidf_rank_prefers_high_tf_then_rare(spark):
+    rows = [
+        (0, "common common rare common stop"),
+        (1, "common stop stop other other"),
+        (2, "common stop filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = tfidf_keywords(df, "doc_id", "text", k=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["tf"], r["df"]))
+    # doc 0: 'common' tf=3 wins; tie tf=1 between 'rare'(df=1) and 'stop'(df=3) -> rare
+    assert sorted(by_doc[0])[0][1] == "common"
+    assert sorted(by_doc[0])[1][1] == "rare"
+    # every doc emits at most k rows with contiguous ranks
+    for doc, rows_ in by_doc.items():
+        ranks = sorted(r[0] for r in rows_)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
+
+
+def test_tfidf_idf_value(spark):
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, "x z")], "doc_id: long, text: string"
+    )
+    out = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in tfidf_keywords(df, "doc_id", "text", k=3).collect()
+    }
+    # x: tf=1, df=2, N=2 -> ln(3/3)=0; y/z: tf=1, df=1 -> ln(3/2)
+    assert out[(0, "x")] == 0.0
+    assert out[(0, "y")] == round(math.log(3.0 / 2.0), 4)
+
+
+def test_rrf_fuse_missing_side_contributes_zero(spark):
+    lex = spark.createDataFrame([(10, 1), (11, 2)], "doc_id: long, rank: int")
+    vec = spark.createDataFrame([(11, 1), (12, 2)], "doc_id: long, rank: int")
+    out = {r["doc_id"]: r for r in rrf_fuse(lex, vec, "doc_id", k=10).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[11]["rrf"] == round(1.0 / 62 + 1.0 / 61, 9)
+    assert out[10]["rrf"] == round(1.0 / 61, 9)
+    assert out[10]["rank_vector"] is None and out[12]["rank_lexical"] is None
+    # both-lists candidate outranks single-list candidates
+    assert out[11]["rrf"] > out[10]["rrf"]
+
+
+# --- plan shape: the 100 TB properties ------------------------------------
+
+
+def test_hamming_topk_no_shuffle(spark, sf_dir):
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = hamming_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan  # scan-local pack + heap
+
+
+def test_bm25_corpus_text_never_shuffles(spark, sf_dir):
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = bm25_topk(docs, "doc_id", "text", ["spark", "join", "dup"], k=10)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every hash exchange is keyed on doc/token aggregate rows — the
+    # raw corpus text reaches only scans/projections, never a shuffle key
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
+        assert "doc_id#" in m.group(1) or "token#" in m.group(1)
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

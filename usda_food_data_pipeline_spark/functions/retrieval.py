@@ -1,0 +1,206 @@
+"""Lexical retrieval over the document corpus: TF-IDF keyword
+extraction, BM25 scoring, and reciprocal-rank fusion with the vector
+path (operators/similarity).
+
+Reference analog: the reference serves retrieval through a vector
+index only (utils/upload_data_to_pinecone.py, app.py index.query);
+these operators add the lexical/hybrid side a production corpus-serving
+stack pairs with it. All formulas are reproducible in ANSI SQL for the
+DuckDB oracle (registry_text / registry_vector).
+
+Scale notes (100 TB design point):
+
+- The exploded token stream is never shuffled raw: BM25 filters it to
+  the query's terms BEFORE any aggregation (a handful of matches per
+  doc), and TF-IDF aggregates map-side so each exchange carries one row
+  per distinct (doc, term) — bounded by distinct-pair count, not corpus
+  token count.
+- Corpus-level statistics (N, avgdl, per-term document frequency) are
+  tiny aggregates joined back by broadcast — the text_surprisal
+  pattern.
+- Cross-engine determinism: every ranking key is either pure-integer
+  ((tf DESC, df ASC, token) for keywords) or a decimal-summed score
+  (BM25 per-term scores round to a 9-dp decimal grid and sum exactly,
+  so per-doc totals are identical in Spark and DuckDB regardless of
+  aggregation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokenize
+
+# BM25 constants (standard Okapi defaults); dyadic b so b*dl/avgdl is
+# one multiply + one divide in both engines (no decimal drift).
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Per-term scores are rounded to this decimal grid and summed exactly
+# (decimal addition is associative), making per-doc totals independent
+# of aggregation order on both engines.
+SCORE_SCALE = 9
+RRF_K = 60
+
+
+def doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token, tf) — one row per distinct (doc, term).
+
+    explode → two-level aggregate: partial counts combine map-side, so
+    the single exchange carries distinct (doc, token) partial rows, not
+    the token stream.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
+    return toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Top-k keywords per document by TF-IDF.
+
+    score = tf * ln((N+1)/(df+1)) with smoothed idf. The per-doc rank
+    is (tf DESC, df ASC, token ASC) — an all-integer ordering key, so
+    the selected row set is bit-identical across engines; the float
+    score ships as a value column rounded to 4 dp (the text_surprisal
+    precision contract). WindowGroupLimit pushes the per-doc top-k
+    below the rank window's shuffle.
+    """
+    # tf feeds both the idf aggregate and the final score join; without
+    # persist each consumer re-derives it from a full corpus scan (Spark
+    # has no cross-branch subplan CSE). This is the posting-list
+    # materialization every tf-idf build pays once — at warehouse scale
+    # it would be a written table, in-session it's a MEMORY_AND_DISK
+    # cache of (doc, token, tf) rows.
+    tf = doc_term_freq(df, id_col, text_col).persist()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("N"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("N") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "df", "tfidf")
+    )
+
+
+def _bm25_term_score(k1: float, b: float) -> Column:
+    """Okapi BM25 per-(doc, term) contribution from columns
+    tf, df, dl, N, avgdl — rounded onto the decimal grid."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return F.round(idf * sat, SCORE_SCALE).cast(f"decimal(28,{SCORE_SCALE})")
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 score of every matching document for a bag-of-words query.
+
+    The token stream is filtered to the query's terms inside the scan
+    projection (array filter, codegen'd), so the only per-token rows
+    that ever leave a task are query-term matches; corpus stats (N,
+    avgdl) ride a 1-row broadcast and document frequencies come from
+    the already-tiny match table. Returns (id, n_terms_matched, bm25).
+    """
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    base = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks").cast("double"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("N"), F.avg("dl").alias("avgdl")
+    )
+    matched = base.select(
+        F.col(id_col),
+        "dl",
+        F.explode(F.filter(F.col("_toks"), lambda t: F.array_contains(qarr, t))).alias(
+            "token"
+        ),
+    )
+    # persist: tf (query-term matches only — tiny) feeds both the df
+    # aggregate and the score join; without it the corpus is re-scanned
+    # per consumer. The separate 1-row stats pass stays: N/avgdl need
+    # every doc, matches don't — in a serving deployment both N/avgdl
+    # and df are precomputed index metadata, not per-query scans.
+    tf = matched.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "token").crossJoin(F.broadcast(stats))
+    per_term = scored.withColumn("_s", _bm25_term_score(k1, b))
+    return per_term.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("_s").cast("double").alias("bm25"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k BM25 retrieval: scores + TakeOrderedAndProject (per-task
+    k-row heaps; only k rows per task reach the final ordering)."""
+    scores = bm25_scores(df, id_col, text_col, query_terms, k1=k1, b=b)
+    return scores.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    vector: DataFrame,
+    id_col: str,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists.
+
+    Inputs carry (id, rank) each; a candidate missing from one list
+    contributes nothing for it. rrf = sum(1/(rrf_k + rank)) — small
+    integer ratios, so the doubles are identical across engines. The
+    candidate lists are top-n products (driver-small by construction),
+    so the outer join broadcasts.
+    """
+    lex = lexical.select(F.col(id_col), F.col("rank").alias("_r_lex"))
+    vec = vector.select(F.col(id_col), F.col("rank").alias("_r_vec"))
+    fused = lex.join(vec, id_col, "full_outer").select(
+        id_col,
+        "_r_lex",
+        "_r_vec",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("_r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("_r_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.col("_r_lex").alias("rank_lexical"),
+            F.col("_r_vec").alias("rank_vector"),
+            F.round("rrf", SCORE_SCALE).alias("rrf"),
+        )
+    )

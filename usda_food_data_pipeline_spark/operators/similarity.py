@@ -334,3 +334,87 @@ def ivf_search_index(
     ]
     cluster = spark.read.parquet(path).where(F.col("centroid_id").isin(probe_ids))
     return cosine_topk(cluster, query, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) embedding sketch + Hamming-distance search
+# ---------------------------------------------------------------------------
+
+def sign_bitpack(vec_col: Column | str, dim: int, word_bits: int = 32) -> list[Column]:
+    """Pack the sign bits of a float vector into integer words:
+    bit i of the sketch is 1 iff vec[i] > 0.
+
+    A 64-dim float32 embedding becomes two 32-bit words — 256 bits →
+    8 bytes, a 32× storage cut — and Hamming distance over the words
+    approximates angular distance (the classic sign-random-projection
+    sketch; here the projection is the identity since the embeddings
+    are already dense and centered).
+
+    Each word is an integer fold ``acc*2 + (v>0)`` over a 32-element
+    slice — pure Catalyst expressions, exact integer arithmetic, so the
+    packed values are bit-identical in any engine (DuckDB oracle:
+    ``list_reduce`` over the same slice). Avoids pow()/shift-by-column
+    float hazards entirely.
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if dim % word_bits:
+        raise ValueError(f"dim {dim} not a multiple of word_bits {word_bits}")
+    words = []
+    for w in range(dim // word_bits):
+        sl = F.slice(c, w * word_bits + 1, word_bits)
+        words.append(
+            F.aggregate(
+                sl,
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+            )
+        )
+    return words
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over sign-bit sketches.
+
+    The corpus packs to words inside the scan projection; the 1-row
+    query's words broadcast; distance = sum of bit_count(xor(word
+    pairs)) — all integer ops inside whole-stage codegen, so ordering
+    is fully deterministic (no float near-ties). TakeOrderedAndProject
+    keeps a k-row heap per task: no shuffle, k rows per task reach the
+    driver. At scale the packed words are the stored index (8 bytes vs
+    256 bytes/vector); the float re-rank runs cosine_topk on the
+    Hamming candidates only.
+
+    Output: (id, words..., hamming) for the k nearest (the query vector
+    itself ranks first at distance 0 when it is part of the corpus).
+    """
+    n_words = dim // 32
+    corpus = embeddings.select(
+        F.col(id_col),
+        *[
+            w.alias(f"w{i}")
+            for i, w in enumerate(sign_bitpack(vec_col, dim))
+        ],
+    )
+    qw = query.select(
+        *[
+            w.alias(f"qw{i}")
+            for i, w in enumerate(sign_bitpack(vec_col, dim))
+        ]
+    )
+    dist = None
+    for i in range(n_words):
+        term = F.bit_count(F.col(f"w{i}").bitwiseXOR(F.col(f"qw{i}")))
+        dist = term if dist is None else dist + term
+    return (
+        corpus.crossJoin(F.broadcast(qw))
+        .select(id_col, *[f"w{i}" for i in range(n_words)], dist.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col))
+        .limit(k)
+    )

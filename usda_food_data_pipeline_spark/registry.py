@@ -85,9 +85,13 @@ _ORDER: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_tokens",
-    "text_quality",
-    "text_langid",
+    # text_signals = text_langid + text_quality merged (round 4): one
+    # per-doc row attests both formulas, freeing a slot for bm25_retrieval
+    "text_signals",
     "text_fingerprint",
+    # round-4 operator families: lexical retrieval + binary-sketch ANN
+    "bm25_retrieval",
+    "hamming_topk",
     # decode subsumes meta's attestation: real mapInPandas binary plumbing
     # (synthesize + decode stages) plus the WAV/BMP codecs; meta is
     # expression-only metadata and keeps its local row beyond the window
@@ -95,8 +99,9 @@ _ORDER: list[str] = [
     "text_embed",
     "dedup_clusters",
     "training_pipeline",
-    "window_tumbling",
-    "window_sliding",
+    # window_tumbling_sliding = tumbling + sliding merged (round 4):
+    # one unioned attestation, freeing a slot for hamming_topk
+    "window_tumbling_sliding",
     "window_session",
     "events_agg",
     "funnel_conversion",
@@ -146,6 +151,8 @@ _ORDER: list[str] = [
     "vocab_topk",
     "text_surprisal",
     "incremental_dedup",
+    "tfidf_keywords",
+    "rrf_fusion",
 ]
 
 

@@ -24,41 +24,56 @@ TS_US = "CAST(ts AS TIMESTAMP)"
 
 
 @register(
-    "window_tumbling",
+    "window_tumbling_sliding",
     f"""
-    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', {TS_US})) AS BIGINT) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    "tumbling 1h window count+sum per event_type",
-)
-def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return tumbling_window_agg(events, "1 hour")
-
-
-@register(
-    "window_sliding",
-    f"""
-    WITH expanded AS (
+    WITH tumb AS (
+        SELECT 'tumbling' AS w_kind,
+               CAST(epoch(time_bucket(INTERVAL '1 hour', {TS_US})) AS BIGINT) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 2, 3
+    ),
+    expanded AS (
         SELECT time_bucket(INTERVAL '30 minutes', {TS_US}) AS w, value FROM events
         UNION ALL
         SELECT time_bucket(INTERVAL '30 minutes', {TS_US}) - INTERVAL '30 minutes' AS w, value
         FROM events
+    ),
+    slid AS (
+        SELECT 'sliding' AS w_kind,
+               CAST(epoch(w) AS BIGINT) AS window_start,
+               CAST(NULL AS VARCHAR) AS event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM expanded GROUP BY 2
     )
-    SELECT CAST(epoch(w) AS BIGINT) AS window_start,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
-    FROM expanded GROUP BY 1
+    SELECT * FROM tumb UNION ALL SELECT * FROM slid
     """,
-    "sliding 1h/30m window count+sum (each event in 2 windows)",
+    "tumbling 1h per-type + sliding 1h/30m window aggs in one attestation "
+    "(merged round 4 to free a driver slot; both operators keep their own "
+    "streaming-path tests)",
 )
-def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     events = load_table(spark, sf_dir, "events")
-    return sliding_window_agg(events, "1 hour", "30 minutes")
+    tumb = tumbling_window_agg(events, "1 hour").select(
+        F.lit("tumbling").alias("w_kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    slid = sliding_window_agg(events, "1 hour", "30 minutes").select(
+        F.lit("sliding").alias("w_kind"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        "sum_value",
+    )
+    return tumb.unionAll(slid)
 
 
 @register(

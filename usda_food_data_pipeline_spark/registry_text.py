@@ -294,29 +294,18 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quality score
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_quality",
-    f"""
-    SELECT doc_id,
-           0.5 * (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE) / length(text) END)
+_QUALITY_SQL = f"""0.5 * (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE) / length(text) END)
          + 0.3 * (1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) END))
          + 0.2 * (CASE WHEN (CASE WHEN len({TOKS_SQL}) > 0 THEN CAST(length(regexp_replace(text, '{ALPHA_CLASS}', '', 'g')) AS DOUBLE)
                             / len({TOKS_SQL}) END) BETWEEN 3.0 AND 10.0
-                       THEN 1.0 ELSE 0.0 END) AS quality
-    FROM documents
-    """,
-    "length/punctuation/token-shape quality heuristic",
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+                       THEN 1.0 ELSE 0.0 END)"""
 
 
 # ---------------------------------------------------------------------------
 # Language ID
 # ---------------------------------------------------------------------------
 
-def _langid_oracle() -> str:
+def _langid_case_sql() -> str:
     langs = list(LANG_PROFILES)
     scores = {
         lang: (
@@ -335,24 +324,27 @@ def _langid_oracle() -> str:
             elif j > i:
                 conds.append(f"{scores[lang]} >= {scores[o]}")
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
-    return f"""
-WITH t AS (SELECT doc_id, lang AS labeled_lang, {TOKS_SQL} AS toks FROM documents)
-SELECT doc_id, labeled_lang, {case_sql} AS predicted_lang FROM t
-"""
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
 
 
 @register(
-    "text_langid",
-    _langid_oracle(),
-    "stopword-profile language-ID heuristic vs the labeled lang column",
+    "text_signals",
+    f"""
+    WITH t AS (SELECT doc_id, lang AS labeled_lang, text, {TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id, labeled_lang, {_langid_case_sql()} AS predicted_lang,
+           {_QUALITY_SQL} AS quality
+    FROM t
+    """,
+    "language-ID heuristic + quality heuristic in one per-doc signals row "
+    "(merged round 4 to free a driver slot; both formulas unchanged)",
 )
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         lang_id(F.col("text")).alias("predicted_lang"),
+        quality_score(F.col("text")).alias("quality"),
     )
 
 
@@ -984,3 +976,87 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=_INC_THRESHOLD,
     )
     return out.select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval: TF-IDF keyword extraction + BM25 search
+# (functions/retrieval.py; the lexical side of the serving stack —
+# reference serves vectors only via index.query, app.py:55-70)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "tfidf_keywords",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS N FROM documents),
+    ranked AS (
+        SELECT t.doc_id, t.token, t.tf, d.df,
+               round(t.tf * ln((CAST(n.N AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)), 4) AS tfidf,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY t.tf DESC, d.df ASC, t.token ASC) AS rank
+        FROM tf t JOIN dfreq d USING (token), n
+    )
+    SELECT doc_id, rank, token, tf, df, tfidf FROM ranked WHERE rank <= {_TFIDF_K}
+    """,
+    "top-3 TF-IDF keywords per doc (integer rank key; WindowGroupLimit pushdown)",
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.retrieval import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "doc_id", "text", k=_TFIDF_K)
+
+
+_BM25_TERMS = ["spark", "join", "dup"]
+
+
+def _bm25_scored_ctes(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB CTE chain mirroring functions/retrieval.bm25_scores.
+    Non-binary-exact float literals (k1, k1+1) are forced to DOUBLE so
+    decimal literal arithmetic can't diverge from Spark's doubles."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""base AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+                     avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+    matched AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+               unnest(list_filter(toks, t -> list_contains([{terms_sql}], t))) AS token
+        FROM base
+    ),
+    tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM matched GROUP BY doc_id, dl, token),
+    dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    per_term AS (
+        SELECT t.doc_id,
+               CAST(round(
+                   ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                   * ((t.tf * CAST({k1 + 1.0} AS DOUBLE))
+                      / (t.tf + CAST({k1} AS DOUBLE) * (1.0 - {b} + {b} * t.dl / s.avgdl))),
+                   9) AS DECIMAL(28,9)) AS s_term
+        FROM tf t JOIN dfreq d USING (token), stats s
+    ),
+    scores AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+               CAST(sum(s_term) AS DOUBLE) AS bm25
+        FROM per_term GROUP BY doc_id
+    )"""
+
+
+@register(
+    "bm25_retrieval",
+    f"""
+    WITH {_bm25_scored_ctes(_BM25_TERMS)}
+    SELECT doc_id, n_terms_matched, bm25
+    FROM scores ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    "Okapi BM25 top-10 for a 3-term query (decimal-grid term sum: order-independent)",
+)
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=10)

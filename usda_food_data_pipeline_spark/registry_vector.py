@@ -164,3 +164,110 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scale, q = quantize_int8(F.col("embedding"))
     return emb.select("vec_id", scale.alias("scale"), q.alias("q"))
+
+
+# ---------------------------------------------------------------------------
+# Binary sign-bit sketch + Hamming ANN (256-bit -> 64-bit index path)
+# ---------------------------------------------------------------------------
+
+def _pack_sql(lo: int, hi: int) -> str:
+    """DuckDB twin of operators/similarity.sign_bitpack for one word:
+    integer fold acc*2 + (v>0) over the 1-based inclusive slice."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(embedding[{lo}:{hi}], "
+        f"v -> CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+        f"(a, x) -> a * 2 + x)"
+    )
+
+
+HAMMING_ORACLE = f"""
+WITH packed AS (
+    SELECT vec_id, {_pack_sql(1, 32)} AS w0, {_pack_sql(33, 64)} AS w1
+    FROM embeddings
+),
+q AS (SELECT w0 AS qw0, w1 AS qw1 FROM packed WHERE vec_id = 0)
+SELECT p.vec_id, p.w0, p.w1,
+       bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1)) AS hamming
+FROM packed p, q
+ORDER BY hamming ASC, p.vec_id ASC LIMIT 10
+"""
+
+
+@register(
+    "hamming_topk",
+    HAMMING_ORACLE,
+    "sign-bit sketch (64 floats -> two 32-bit words) + Hamming top-10, all-integer ordering",
+)
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return hamming_topk(emb, query, k=10, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list and
+# the cosine vector list (functions/retrieval.rrf_fuse)
+# ---------------------------------------------------------------------------
+
+def _rrf_oracle() -> str:
+    from .registry_text import _BM25_TERMS, _bm25_scored_ctes
+
+    return f"""
+WITH {_bm25_scored_ctes(_BM25_TERMS)},
+lex AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r
+    FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+vec AS (
+    SELECT vec_id AS doc_id,
+           CAST(row_number() OVER (
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v)
+                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(q.v, q.v))) DESC, vec_id
+           ) AS INTEGER) AS r
+    FROM embeddings e, qv q
+    ORDER BY r LIMIT 20
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.r AS rank_lexical, v.r AS rank_vector,
+           COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r), CAST(0.0 AS DOUBLE)) AS rrf
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rank_lexical, rank_vector, round(rrf, 9) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "rrf_fusion",
+    _rrf_oracle(),
+    "hybrid retrieval: reciprocal-rank fusion of BM25 top-20 and cosine top-20",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+    from .registry_text import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse(lex, vec, "doc_id", k=10)
