@@ -579,3 +579,66 @@ def test_incremental_dedup_semantics(spark):
         ).collect()
     }
     assert got == {12}
+
+
+def test_scd2_history_compacts_and_intervals(spark):
+    from usda_food_data_pipeline_spark.operators.scd import scd2_history
+
+    rows = [
+        # key 1: A A B A  -> versions A[1,3) B[3,4) A[4,null)
+        (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "A"),
+        # key 2: single observation -> one open version
+        (2, 7, "X"),
+    ]
+    df = spark.createDataFrame(rows, "k: long, t: long, attr: string")
+    out = scd2_history(df, "k", "t", ["attr"], tiebreak_col="t")
+    got = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["attr"], r["is_current"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 1, 3, "A", False),
+        (1, 3, 4, "B", False),
+        (1, 4, None, "A", True),
+        (2, 7, None, "X", True),
+    ]
+
+
+def test_scd2_null_attr_transitions(spark):
+    from usda_food_data_pipeline_spark.operators.scd import scd2_history
+
+    # null->value and value->null are changes; null->null is not
+    rows = [(1, 1, None), (1, 2, None), (1, 3, "A"), (1, 4, None)]
+    df = spark.createDataFrame(rows, "k: long, t: long, attr: string")
+    out = sorted(
+        (r["valid_from"], r["attr"]) for r in scd2_history(df, "k", "t", ["attr"]).collect()
+    )
+    assert out == [(1, None), (3, "A"), (4, None)]
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    from usda_food_data_pipeline_spark.registry import queries
+
+    df = queries()["scd2_history"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both window passes (lag-compaction, lead-intervals) share one
+    # hash partitioning on the key
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_profile_columns_nulls_distinct_extrema(spark):
+    from usda_food_data_pipeline_spark.operators.profile import profile_columns
+
+    rows = [("a", 1), ("b", None), ("a", 3), (None, 3)]
+    df = spark.createDataFrame(rows, "s: string, v: int")
+    out = {
+        r["col_name"]: r
+        for r in profile_columns(df, {"s": F.col("s"), "v": F.col("v")}).collect()
+    }
+    assert out["s"]["n_rows"] == 4 and out["s"]["n_nulls"] == 1
+    assert out["s"]["n_distinct"] == 2
+    assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "b")
+    assert out["v"]["n_distinct"] == 2 and out["v"]["n_nulls"] == 1
+    # min/max are over the STRING form by design
+    assert out["v"]["min_value"] == "1" and out["v"]["max_value"] == "3"

@@ -223,3 +223,17 @@ def test_custom_decoder_contract(spark):
     assert out[1]["features"] == [3.5, 1.25]
     assert out[2]["features"] == [0.5, -2.0]
     assert out[1]["n_bytes"] == len(b"3.5,1.25")
+
+
+def test_resize_nearest_identity_and_upscale():
+    import numpy as np
+
+    from usda_food_data_pipeline_spark.operators.multimodal import resize_nearest
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (resize_nearest(px, 2, 3) == px).all()  # identity
+    up = resize_nearest(px, 4, 6)  # 2x upscale replicates each pixel
+    assert up.shape == (4, 6, 3)
+    assert (up[::2, ::2] == px).all() and (up[1::2, 1::2] == px).all()
+    down = resize_nearest(px, 1, 1)  # downscale picks the top-left source pixel
+    assert (down[0, 0] == px[0, 0]).all()

@@ -271,3 +271,46 @@ def sample_frames(
     return df.select(id_col, F.explode(frames).alias("f")).select(
         id_col, F.col("f.offset").alias("offset"), F.col("f.frame").alias("frame")
     )
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize: ``out[i, j] = px[(i*h)//out_h, (j*w)//out_w]``.
+
+    Pure integer index arithmetic (no float sampling grid), so the
+    resized pixels — and any statistic over them — are reproducible
+    exactly by an engine that can compute the same integer formula
+    (the SQL oracle recomputes resized-channel sums from the synthetic
+    pixel formula without touching a single byte of the BMP)."""
+    h, w, _ = px.shape
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[yi][:, xi]
+
+
+def resized_image_stats(
+    df: DataFrame, id_col: str = "doc_id", out_h: int = 8, out_w: int = 8
+) -> DataFrame:
+    """mapInPandas stage over a ``bmp`` binary column: decode → resize
+    to (out_h, out_w) → exact per-channel sums. The standard
+    image-normalization step (thumbnail to a fixed training shape)
+    with the decode seam and Arrow batching of the other multimodal
+    ops; emits integer stats so the result is oracle-comparable."""
+    schema = f"{id_col} long, out_h long, out_w long, sum_r long, sum_g long, sum_b long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, bmp in zip(pdf[id_col], pdf["bmp"]):
+                px = decode_image(bytes(bmp))
+                rs = resize_nearest(px, out_h, out_w).astype(np.int64)
+                rows.append(
+                    (
+                        int(d), out_h, out_w,
+                        int(rs[:, :, 0].sum()), int(rs[:, :, 1].sum()), int(rs[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "out_h", "out_w", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(run, schema=schema)

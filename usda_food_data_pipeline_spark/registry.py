@@ -153,6 +153,9 @@ _ORDER: list[str] = [
     "incremental_dedup",
     "tfidf_keywords",
     "rrf_fusion",
+    "scd2_history",
+    "multimodal_resize",
+    "profile_orders",
 ]
 
 

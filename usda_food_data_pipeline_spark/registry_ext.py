@@ -824,3 +824,96 @@ def q_geomean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gm = li.groupBy(*keys).agg(F.round(geometric_mean("l_quantity"), 4).alias("gm_quantity"))
     counts = li.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_items"))
     return gm.join(F.broadcast(counts), ["return_flag", "line_status"])
+
+
+# ---------------------------------------------------------------------------
+# SCD2 temporal versioning (operators/scd.py): event stream -> validity
+# intervals per key, consecutive-unchanged rows compacted
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_history",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        FROM e
+    ),
+    changes AS (
+        SELECT * FROM flagged WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    versions AS (
+        SELECT user_id, event_type, us AS valid_from_us,
+               lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        FROM changes
+    )
+    SELECT user_id, event_type, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM versions
+    """,
+    "SCD2 history of each user's event_type: change compaction + validity intervals",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_history
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    hist = scd2_history(events, "user_id", "ts", ["event_type"], tiebreak_col="event_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (operators/profile.py): exact per-column summary via
+# unpivot + two-level aggregation, no Expand
+# ---------------------------------------------------------------------------
+
+@register(
+    "profile_orders",
+    """
+    WITH stacked AS (
+        SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS value FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+    )
+    SELECT col_name,
+           count(*) AS n_rows,
+           count(*) - count(value) AS n_nulls,
+           count(DISTINCT value) AS n_distinct,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM stacked GROUP BY col_name
+    """,
+    "per-column profile of orders: rows/nulls/exact distinct/extrema in one pass",
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        {
+            "o_orderkey": F.col("o_orderkey"),
+            "o_orderstatus": F.col("o_orderstatus"),
+            # decimal first: raw double->string formats differ across engines
+            "o_totalprice": F.col("o_totalprice").cast("decimal(18,2)"),
+            "o_orderdate": F.col("o_orderdate").cast("date"),
+            "o_orderpriority": F.col("o_orderpriority"),
+        },
+    )

@@ -1060,3 +1060,39 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize: decode -> nearest-neighbor thumbnail -> channel
+# sums; the oracle recomputes every resized pixel from the synthetic
+# formula with pure integer SQL (no byte ever parsed oracle-side)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_resize",
+    """
+    WITH g AS (SELECT unnest(range(0, 8)) AS i),
+    px AS (
+        SELECT d.doc_id,
+               (d.doc_id + 3 * ((gx.i * (4 + d.doc_id % 4)) // 8)
+                         + 7 * ((gy.i * (3 + d.doc_id % 3)) // 8)) % 256 AS r,
+               (2 * d.doc_id + 5 * ((gx.i * (4 + d.doc_id % 4)) // 8)
+                             + ((gy.i * (3 + d.doc_id % 3)) // 8)) % 256 AS gch,
+               (3 * d.doc_id + ((gx.i * (4 + d.doc_id % 4)) // 8)
+                             + 11 * ((gy.i * (3 + d.doc_id % 3)) // 8)) % 256 AS b
+        FROM documents d CROSS JOIN g gy CROSS JOIN g gx
+    )
+    SELECT doc_id, CAST(8 AS BIGINT) AS out_h, CAST(8 AS BIGINT) AS out_w,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(gch) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    "decode -> 8x8 nearest-neighbor resize -> channel sums vs integer-SQL recompute",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resized_image_stats, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id")
+    return resized_image_stats(media.select("doc_id", "bmp"), "doc_id", 8, 8)
