@@ -642,3 +642,28 @@ def test_profile_columns_nulls_distinct_extrema(spark):
     assert out["v"]["n_distinct"] == 2 and out["v"]["n_nulls"] == 1
     # min/max are over the STRING form by design
     assert out["v"]["min_value"] == "1" and out["v"]["max_value"] == "3"
+
+
+def test_split_assign_stable_and_partition_independent(spark):
+    from usda_food_data_pipeline_spark.operators.topk import split_assign
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    fr = {"train": 8, "val": 1, "test": 1}
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id", fr, seed=3).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df.repartition(7), "doc_id", fr, seed=3).collect()
+    }
+    assert a == b  # partitioning-independent
+    # growing the corpus never reassigns existing ids
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    c = {r["doc_id"]: r["split"] for r in split_assign(big, "doc_id", fr, seed=3).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    counts = {s: sum(1 for v in a.values() if v == s) for s in fr}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert set(a.values()) == {"train", "val", "test"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", {"train": 5, "val": 1}, seed=3)

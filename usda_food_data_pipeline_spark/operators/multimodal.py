@@ -131,7 +131,9 @@ def fake_decode(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (raw % 1_000_000).astype(np.float64) / 1_000_000.0
 
 
-def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", modalities: tuple[str, ...] = ("wav", "bmp")
+) -> DataFrame:
     """Deterministically synthesize one WAV and one BMP payload per row
     from the integer id (mapInPandas stage 1 of the decode round-trip).
 
@@ -141,30 +143,40 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     at rate 8000 + (id%8)*500; a (3 + id%3) x (4 + id%4) RGB image with
     r=(id+3x+7y)%256, g=(2id+5x+y)%256, b=(3id+x+11y)%256.
     """
-    schema = f"{id_col} long, wav binary, bmp binary"
+    want_wav, want_bmp = "wav" in modalities, "bmp" in modalities
+    schema = f"{id_col} long" + (", wav binary" if want_wav else "") + (
+        ", bmp binary" if want_bmp else ""
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             wavs, bmps = [], []
             for d in pdf[id_col]:
                 d = int(d)
-                n = 64 + d % 64
-                i = np.arange(n, dtype=np.int64)
-                samples = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
-                wavs.append(encode_wav_pcm16(samples, 8000 + (d % 8) * 500))
-                w, h = 4 + d % 4, 3 + d % 3
-                x = np.arange(w, dtype=np.int64)[None, :]
-                y = np.arange(h, dtype=np.int64)[:, None]
-                px = np.stack(
-                    [
-                        (d + 3 * x + 7 * y) % 256,
-                        (2 * d + 5 * x + y) % 256,
-                        (3 * d + x + 11 * y) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                bmps.append(encode_bmp(px))
-            yield pd.DataFrame({id_col: pdf[id_col].values, "wav": wavs, "bmp": bmps})
+                if want_wav:
+                    n = 64 + d % 64
+                    i = np.arange(n, dtype=np.int64)
+                    samples = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                    wavs.append(encode_wav_pcm16(samples, 8000 + (d % 8) * 500))
+                if want_bmp:
+                    w, h = 4 + d % 4, 3 + d % 3
+                    x = np.arange(w, dtype=np.int64)[None, :]
+                    y = np.arange(h, dtype=np.int64)[:, None]
+                    px = np.stack(
+                        [
+                            (d + 3 * x + 7 * y) % 256,
+                            (2 * d + 5 * x + y) % 256,
+                            (3 * d + x + 11 * y) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    bmps.append(encode_bmp(px))
+            out = {id_col: pdf[id_col].values}
+            if want_wav:
+                out["wav"] = wavs
+            if want_bmp:
+                out["bmp"] = bmps
+            yield pd.DataFrame(out)
 
     return df.select(id_col).mapInPandas(synth, schema=schema)
 

@@ -92,3 +92,36 @@ def weighted_mix_sample(
         .filter(h < threshold)
         .drop("rate")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, int],
+    seed: int = 0,
+    denominator: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: bucket =
+    ``md5_int(id) % denominator``; each split owns ``fractions[name]``
+    consecutive buckets (fractions must sum to ``denominator``).
+
+    Content-derived like :func:`weighted_mix_sample` — the assignment
+    is identical under any partitioning/cluster size/retry, documents
+    keep their split across incremental re-runs (no test-set leakage
+    when the corpus grows), and integer bucket arithmetic is exact on
+    any engine. Pure expressions: no shuffle, no UDF.
+
+    Returns df + ``split`` column.
+    """
+    from .dedup import md5_int
+
+    if sum(fractions.values()) != denominator:
+        raise ValueError(f"fractions {fractions} must sum to denominator {denominator}")
+    bucket = md5_int(F.col(id_col).cast("string"), seed) % denominator
+    expr = None
+    lo = 0
+    for name, width in fractions.items():
+        cond = (bucket >= lo) & (bucket < lo + width)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += width
+    return df.withColumn("split", expr)

@@ -156,6 +156,7 @@ _ORDER: list[str] = [
     "scd2_history",
     "multimodal_resize",
     "profile_orders",
+    "dataset_split",
 ]
 
 

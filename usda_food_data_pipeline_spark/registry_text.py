@@ -1094,5 +1094,38 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import resized_image_stats, synthesize_media
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs, "doc_id")
-    return resized_image_stats(media.select("doc_id", "bmp"), "doc_id", 8, 8)
+    media = synthesize_media(docs, "doc_id", modalities=("bmp",))
+    return resized_image_stats(media, "doc_id", 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split assignment (operators/topk.split_assign):
+# content-hash buckets -> stable splits, no leakage on corpus growth
+# ---------------------------------------------------------------------------
+
+_SPLIT_SEED = 3
+
+
+@register(
+    "dataset_split",
+    f"""
+    WITH assigned AS (
+        SELECT source,
+               CASE WHEN {oracle_md5_int_sql("CAST(doc_id AS VARCHAR)", _SPLIT_SEED)} % 10 < 8 THEN 'train'
+                    WHEN {oracle_md5_int_sql("CAST(doc_id AS VARCHAR)", _SPLIT_SEED)} % 10 < 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs
+    FROM assigned GROUP BY split, source
+    """,
+    "deterministic 80/10/10 content-hash split: per (split, source) counts",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.topk import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = split_assign(
+        docs, "doc_id", {"train": 8, "val": 1, "test": 1}, seed=_SPLIT_SEED
+    )
+    return assigned.groupBy("split", "source").agg(F.count(F.lit(1)).alias("n_docs"))
