@@ -140,3 +140,46 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, sf_dir, warehouse):
         for r in ivf_topk(emb, centroids, query, k=10).collect()
     ]
     assert [(r["vec_id"], r["score"]) for r in got.collect()] == want
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Co-located join via bucketing: both sides bucketed by the join
+    key into the same bucket count -> SortMergeJoin with no Exchange on
+    either side (the 100 TB repeated-join layout)."""
+    from pyspark.sql import functions as F
+
+    from usda_food_data_pipeline_spark.sources.sinks import write_bucketed_table
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed_table(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+                         "orders_b", "o_custkey")
+    write_bucketed_table(customer.select("c_custkey", "c_name"), "customer_b", "c_custkey")
+    try:
+        ob, cb = spark.table("orders_b"), spark.table("customer_b")
+        joined = ob.join(
+            cb.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        ).groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total"))
+        # broadcast would hide the bucketing property — force SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined.write.format("noop").mode("overwrite").save()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan
+        # the join itself needs no shuffle; the only exchange permitted
+        # is the final single-partition collect-side agg (none keyed on
+        # the bucket column's join)
+        assert plan.count("Exchange hashpartitioning") == 0
+        # sanity: same result as the plain-parquet join
+        expect = (
+            orders.join(
+                customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+            ).groupBy("o_custkey").count().count()
+        )
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")

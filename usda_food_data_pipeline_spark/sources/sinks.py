@@ -112,3 +112,25 @@ def build_embedding_index(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> None:
+    """Materialize a table bucketed (and sorted) by the join key.
+
+    Bucketing is the shuffle-amortization layout for repeatedly-joined
+    facts at 100 TB: two tables bucketed by the same key into the same
+    bucket count sort-merge-join with ZERO exchange on either side —
+    the shuffle is paid once at write time, never per query
+    (test_layout.test_bucketed_join_no_exchange pins the plan).
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
