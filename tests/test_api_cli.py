@@ -133,3 +133,27 @@ def test_cli_query_subcommand(spark, workdir):
     got = spark.read.parquet(out)
     assert got.count() > 0 and set(got.columns) == {"rank", "token", "n"}
     assert main(["query", "not_a_query"]) == 2
+
+
+def test_retrieve_hybrid_fuses_both_sides(spark, sf_dir, workdir):
+    import os
+
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    index_path = f"{workdir}/index_hybrid"
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    if not os.path.exists(index_path):
+        api.build_index(spark, docs, "text", "doc_id", index_path, dim=16)
+    out = api.retrieve_hybrid(
+        spark, index_path, docs, "spark join dup", dim=16, k=5, candidates=10
+    )
+    assert 0 < len(out) <= 5
+    # fused order is by descending rrf; every hit carries its text and
+    # at least one side's rank
+    rrfs = [r["rrf"] for r in out]
+    assert rrfs == sorted(rrfs, reverse=True)
+    for r in out:
+        assert r["text"] is not None
+        assert r["rank_lexical"] is not None or r["rank_vector"] is not None
+    # empty query -> no candidates, not k arbitrary rows
+    assert api.retrieve_hybrid(spark, index_path, docs, "   ", dim=16) == []

@@ -240,3 +240,74 @@ def test_chunk_documents_rejects_gapping_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=2, stride=3)
+
+
+# --- BM25 vs a naive pure-Python reference --------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(docs=docs_strategy, query=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3, unique=True))
+def test_bm25_matches_naive(spark, docs, query):
+    import math
+
+    from usda_food_data_pipeline_spark.functions.retrieval import bm25_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["bm25"])
+        for r in bm25_scores(df, "doc_id", "text", query).collect()
+    }
+
+    # naive reference
+    k1, b = 1.2, 0.75
+    N = len(docs)
+    avgdl = sum(len(d) for d in docs) / N
+    dfreq = {t: sum(1 for d in docs if t in d) for t in query}
+    expected = {}
+    for i, d in enumerate(docs):
+        terms = [t for t in query if t in d]
+        if not terms:
+            continue
+        total = 0
+        for t in terms:
+            tf = d.count(t)
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            sat = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(d) / avgdl))
+            total += round(idf * sat, 9)
+        expected[i] = (len(terms), round(total, 9))
+    assert set(got) == set(expected)
+    for i, (n, s) in expected.items():
+        assert got[i][0] == n
+        assert abs(got[i][1] - s) < 1e-9
+
+
+@SLOW
+@given(
+    vec=st.lists(
+        st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+        min_size=64,
+        max_size=64,
+    )
+)
+def test_sign_bitpack_matches_naive(spark, vec):
+    from usda_food_data_pipeline_spark.operators.similarity import sign_bitpack
+
+    df = spark.createDataFrame([(vec,)], "embedding: array<float>")
+    w0, w1 = sign_bitpack("embedding", 64)
+    row = df.select(w0.alias("w0"), w1.alias("w1")).first()
+    import struct as _struct
+
+    f32 = [_struct.unpack("f", _struct.pack("f", v))[0] for v in vec]
+    exp0 = exp1 = 0
+    for i in range(32):
+        exp0 = exp0 * 2 + (1 if f32[i] > 0 else 0)
+    for i in range(32, 64):
+        exp1 = exp1 * 2 + (1 if f32[i] > 0 else 0)
+    assert (row["w0"], row["w1"]) == (exp0, exp1)

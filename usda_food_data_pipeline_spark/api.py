@@ -89,3 +89,57 @@ def retrieve(
     return [
         {kk: vv for kk, vv in r.asDict().items() if vv is not None} for r in rows
     ]
+
+
+def retrieve_hybrid(
+    spark: SparkSession,
+    index_path: str,
+    docs_df: DataFrame,
+    query_text: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    dim: int = 64,
+    candidates: int = 20,
+) -> list[dict]:
+    """Hybrid retrieval: the reference's vector-only ``similarity_search``
+    paired with a lexical BM25 side, fused by reciprocal rank.
+
+    The query text is used twice — embedded for cosine over the index,
+    whitespace-tokenized for BM25 over the corpus — and the two top-
+    ``candidates`` lists merge via :func:`rrf_fuse`. A term or vector
+    miss on one side only weakens, never excludes, a candidate. Returns
+    the fused top-k with both ranks and the document text attached.
+    """
+    from pyspark.sql import Window
+
+    from .functions.retrieval import bm25_topk, rrf_fuse
+
+    terms = [t for t in query_text.lower().split() if t]
+    if not terms:
+        return []
+    lex = bm25_topk(docs_df, id_col, text_col, terms, k=candidates).select(
+        id_col,
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col)))
+        .alias("rank"),
+    )
+    index = spark.read.parquet(index_path)
+    qdf = spark.createDataFrame([(query_text,)], "q string").select(
+        embed_text_batch(dim)(F.col("q")).alias("embedding")
+    )
+    vec = (
+        cosine_topk(index, qdf, k=candidates, id_col=id_col)
+        .filter(F.col("score").isNotNull())
+        .select(
+            id_col,
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col(id_col)))
+            .alias("rank"),
+        )
+    )
+    fused = rrf_fuse(lex, vec, id_col, k=k).join(
+        docs_df.select(id_col, text_col), id_col, "left"
+    )
+    rows = fused.orderBy(F.col("rrf").desc(), F.col(id_col)).collect()
+    return [r.asDict() for r in rows]

@@ -42,8 +42,21 @@ def lang_id(text: Column) -> Column:
     """Stopword-profile language classifier: the language whose profile
     hits the most tokens; 'und' (undetermined) when no profile hits.
     Ties resolve in LANG_PROFILES declaration order (first wins)."""
-    toks = tokenize(text)
+    return lang_id_tokens(tokenize(text))
+
+
+def lang_id_tokens(toks: Column) -> Column:
+    """:func:`lang_id` over a pre-tokenized column — lets callers that
+    derive several signals share one tokenize() projection."""
     scores = {lang: stopword_hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    return lang_id_from_scores(scores)
+
+
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """Argmax-with-declaration-order-ties CASE over per-language
+    stopword-hit counts. Taking the scores as columns lets callers
+    materialize each count once in a projection; inlined, every score
+    expression is re-evaluated in ~|langs| CASE branches."""
     langs = list(LANG_PROFILES)
     expr = F.lit("und")
     # Build CASE from last to first so earlier languages win ties.
@@ -65,11 +78,19 @@ def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0,1]: mix of alphabetic ratio,
     punctuation sparsity, and mean token length band. The exact formula
     is arbitrary but deterministic — identical expression tree in SQL."""
-    n_chars = F.length(text)
-    alpha = F.length(F.regexp_replace(text, ALPHA_CLASS, ""))
-    punct = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
-    toks = tokenize(text)
-    n_toks = F.size(toks)
+    return quality_score_parts(
+        F.length(text),
+        F.length(F.regexp_replace(text, ALPHA_CLASS, "")),
+        F.length(F.regexp_replace(text, PUNCT_CLASS, "")),
+        F.size(tokenize(text)),
+    )
+
+
+def quality_score_parts(
+    n_chars: Column, alpha: Column, punct: Column, n_toks: Column
+) -> Column:
+    """:func:`quality_score` from precomputed length/token counts —
+    the shared-projection variant (identical expression tree)."""
     # try_divide: empty/whitespace-only docs have 0 chars or 0 tokens,
     # and ANSI mode makes plain / throw — score becomes NULL instead
     alpha_ratio = F.try_divide(alpha.cast("double"), n_chars)

@@ -339,12 +339,44 @@ def _langid_case_sql() -> str:
     "(merged round 4 to free a driver slot; both formulas unchanged)",
 )
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage projection (the text_tokens pattern): tokenize and the
+    two regex length-scans run once in stage 1; stage 2 derives both
+    signals from the shared columns — the single-select form
+    re-evaluated tokenize per signal."""
+    from .functions.textstats import (
+        lang_id_from_scores,
+        quality_score_parts,
+        stopword_hits,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    text = F.col("text")
+    base = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        lang_id(F.col("text")).alias("predicted_lang"),
-        quality_score(F.col("text")).alias("quality"),
+        tokenize(text).alias("_toks"),
+        F.length(text).alias("_n_chars"),
+        F.length(F.regexp_replace(text, ALPHA_CLASS, "")).alias("_alpha"),
+        F.length(F.regexp_replace(text, PUNCT_CLASS, "")).alias("_punct"),
+    )
+    # each per-language hit count computes once here; the CASE in the
+    # next projection only compares column references
+    scored = base.select(
+        "*",
+        *[
+            stopword_hits(F.col("_toks"), words).alias(f"_s_{lang}")
+            for lang, words in LANG_PROFILES.items()
+        ],
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        lang_id_from_scores(
+            {lang: F.col(f"_s_{lang}") for lang in LANG_PROFILES}
+        ).alias("predicted_lang"),
+        quality_score_parts(
+            F.col("_n_chars"), F.col("_alpha"), F.col("_punct"), F.size("_toks")
+        ).alias("quality"),
     )
 
 
