@@ -147,3 +147,34 @@ def test_bm25_corpus_text_never_shuffles(spark, sf_dir):
         assert "doc_id#" in m.group(1) or "token#" in m.group(1)
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark):
+    from usda_food_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = [1.0, -1.0] * 4  # 8-dim bucket pattern 10101010
+    near = [0.9, -0.9] * 4  # same signs, cosine 1.0 with base
+    other = [-1.0, 1.0] * 4  # different bucket entirely
+    df = spark.createDataFrame(
+        [(10, base), (11, near), (12, near), (20, other)],
+        "vec_id: long, embedding: array<float>",
+    )
+    out = semantic_dedup(df, threshold=0.9, bucket_bits=8)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # 11 and 12 collapse onto 10 (lowest id of the bucket group); 20
+    # sits alone in its bucket and survives
+    assert kept == [10, 20]
+
+
+def test_semantic_dedup_below_threshold_keeps_all(spark):
+    from usda_food_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    # same bucket (same sign pattern) but nearly orthogonal beyond the
+    # sign: dims 9.. diverge — cosine < 0.5 -> no drops at tau=0.95
+    a = [1.0] * 8 + [10.0] + [0.0] * 55
+    b = [1.0] * 8 + [0.0] * 54 + [10.0]
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "vec_id: long, embedding: array<float>"
+    )
+    out = semantic_dedup(df, threshold=0.95, bucket_bits=8)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 2]

@@ -418,3 +418,56 @@ def hamming_topk(
         .orderBy(F.col("hamming").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    bucket_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop every vector whose
+    cosine similarity to a LOWER-id vector in the same sign-bit bucket
+    is >= ``threshold``; the lowest id of each near-dup group survives.
+
+    The bucket is the sign pattern of the first ``bucket_bits``
+    embedding dimensions (an integer fold — the :func:`sign_bitpack`
+    sketch), standing in for the k-means cluster id the SemDeDup paper
+    uses: near-identical embeddings share the pattern, so candidate
+    pairs come from a bucketed equi-join, never an all-pairs product.
+    At 100 TB the bucket key is also the storage partition key
+    (write_ivf_index layout), so the self-join is co-located; more
+    bits → smaller buckets → the quadratic term stays bounded.
+
+    Greedy keep-lowest-id (not transitive closure): a survivor set
+    computable in ONE join pass. For full transitive clustering use
+    ``operators.dedup.connected_components`` on the pair output of
+    :func:`embedding_neardup_pairs`.
+
+    Reference analog: the reference uploads every embedding row to its
+    index (utils/upload_data_to_pinecone.py:21-34); this prunes
+    near-identical rows first so the index holds one copy per
+    semantic group.
+    """
+    from ..sources.tables import spread
+
+    prepped = spread(embeddings).select(
+        F.col(id_col).alias("_id"),
+        as_double_array(vec_col).alias("_v"),
+        sign_bitpack(F.col(vec_col), dim=bucket_bits, word_bits=bucket_bits)[0].alias(
+            "_bkt"
+        ),
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    a, b = prepped.alias("a"), prepped.alias("b")
+    score = F.try_divide(dot(F.col("a._v"), F.col("b._v")), F.col("a._n") * F.col("b._n"))
+    dropped = (
+        a.join(b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")))
+        .filter(score >= threshold)
+        .select(F.col("b._id").alias("_drop"))
+        .distinct()
+    )
+    return (
+        prepped.join(dropped, prepped["_id"] == dropped["_drop"], "left_anti")
+        .select(F.col("_id").alias(id_col), F.col("_bkt").alias("bucket"))
+    )

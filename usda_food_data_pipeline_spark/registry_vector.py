@@ -271,3 +271,34 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return rrf_fuse(lex, vec, "doc_id", k=10)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (operators/similarity.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH p AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, {_pack_sql(1, 8)} AS bkt
+    FROM embeddings
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM p a JOIN p b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    WHERE {_cos('a.v', 'b.v')} >= 0.3
+)
+SELECT vec_id, bkt AS bucket FROM p
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@register(
+    "semantic_dedup",
+    SEMANTIC_DEDUP_ORACLE,
+    "SemDeDup: sign-bit bucket blocking + intra-bucket cosine pruning, keep-lowest-id",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, bucket_bits=8)
