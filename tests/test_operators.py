@@ -667,3 +667,40 @@ def test_split_assign_stable_and_partition_independent(spark):
 
     with pytest.raises(ValueError):
         split_assign(df, "doc_id", {"train": 5, "val": 1}, seed=3)
+
+
+def test_boilerplate_scrub_removes_repeated_chunks(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import boilerplate_scrub
+
+    footer = "all rights reserved contact us now"  # exactly 6 tokens
+    docs = [
+        (1, f"alpha beta gamma delta epsilon zeta {footer}"),
+        (2, f"one two three four five six {footer}"),
+        (3, f"seven eight nine ten eleven twelve {footer}"),
+        (4, "unique text with no footer at all"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in boilerplate_scrub(df, "doc_id", "text", 6, 3).collect()}
+    assert len(out) == 5
+    # the footer chunk (3 occurrences) is gone; leading chunks survive
+    for i in (1, 2, 3):
+        assert footer not in out[i]["clean_text"]
+        assert out[i]["n_removed"] == 1 and out[i]["n_chunks"] == 2
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta"
+    # doc 4: 7 tokens -> 2 chunks (6 + tail of 1), nothing removed
+    assert out[4]["n_chunks"] == 2 and out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == "unique text with no footer at all"
+    # empty doc: zero chunks, empty output
+    assert out[5]["n_chunks"] == 0 and out[5]["clean_text"] == ""
+
+
+def test_boilerplate_scrub_no_boilerplate_is_identity(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import boilerplate_scrub
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id: long, text: string"
+    )
+    out = boilerplate_scrub(df, "doc_id", "text", 2, 3).collect()
+    assert {r["doc_id"]: r["clean_text"] for r in out} == {1: "a b c", 2: "d e f"}
+    assert all(r["n_removed"] == 0 for r in out)

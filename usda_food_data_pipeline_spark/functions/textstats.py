@@ -347,3 +347,70 @@ def chunk_documents(df, id_col: str, text_col: str, chunk_tokens: int = 64, stri
         F.array_join("_chunk", " ").alias("chunk_text"),
         F.size("_chunk").alias("n_chunk_tokens"),
     )
+
+
+def boilerplate_scrub(df, id_col: str, text_col: str, chunk_tokens: int = 6, min_count: int = 3):
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb dedup-at-
+    chunk-granularity step): delete every non-overlapping
+    ``chunk_tokens``-token chunk whose exact text occurs >= ``min_count``
+    times across the corpus (headers, footers, license blurbs), and
+    reassemble each document from its surviving chunks in order.
+
+    Two passes, neither of which shuffles document text:
+
+    1. Boilerplate set: explode chunk md5s, two-level count (map-side
+       partial combine — the exchange carries (hash, partial_count)
+       rows), HAVING >= min_count, collapse to ONE sorted-array row.
+       Boilerplate is by definition few distinct values with high
+       counts, so this array is small and broadcasts.
+    2. Rebuild each doc's chunk array scan-locally (a sequence/transform
+       expression — no explode), drop chunks whose md5 is in the
+       broadcast array, array_join the rest. Documents never leave
+       their scan task.
+
+    Output: (id, clean_text, n_chunks, n_removed) for every document.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokenize
+    from ..sources.tables import spread
+
+    k = int(chunk_tokens)
+    if k <= 0 or int(min_count) < 2:
+        raise ValueError(f"need chunk_tokens > 0 and min_count >= 2, got {k}, {min_count}")
+    df = spread(df)
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    chunks_expr = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), ((n + F.lit(k - 1)) / F.lit(k)).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        )
+    )
+    # the chunk arrays feed both the boilerplate aggregate and the
+    # rebuild pass; persist so tokenize+chunk runs once (the tf-idf
+    # posting-list pattern — at warehouse scale this is a written
+    # intermediate table, in-session a MEMORY_AND_DISK cache)
+    chunked = df.select(F.col(id_col), chunks_expr.alias("_chunks")).persist()
+    bp = (
+        chunked.select(F.explode("_chunks").alias("_c"))
+        .groupBy(F.md5("_c").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .agg(F.sort_array(F.collect_list("_h")).alias("_bp"))
+    )
+    # materialize the filtered array ONCE in its own projection: the
+    # lambda re-hashes every chunk, and inlining it into both
+    # clean_text and n_removed would double that work (CollapseProject
+    # keeps non-cheap multi-use aliases in a separate project)
+    kept = F.filter("_chunks", lambda c: ~F.array_contains("_bp", F.md5(c)))
+    return (
+        chunked.crossJoin(F.broadcast(bp))
+        .select(F.col(id_col), F.size("_chunks").cast("long").alias("n_chunks"), kept.alias("_kept"))
+        .select(
+            F.col(id_col),
+            F.array_join("_kept", " ").alias("clean_text"),
+            F.col("n_chunks"),
+            (F.col("n_chunks") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )

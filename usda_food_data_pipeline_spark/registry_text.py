@@ -1161,3 +1161,43 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", {"train": 8, "val": 1, "test": 1}, seed=_SPLIT_SEED
     )
     return assigned.groupBy("split", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate chunk removal (functions/textstats.boilerplate_scrub)
+# ---------------------------------------------------------------------------
+
+_BP_K = 6
+_BP_MIN = 3
+
+BOILERPLATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+ch AS (
+    SELECT doc_id,
+           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+             list_transform(range(0, CAST((len(t) + {_BP_K - 1}) // {_BP_K} AS BIGINT)),
+                            i -> array_to_string(t[i*{_BP_K}+1 : i*{_BP_K}+{_BP_K}], ' '))
+           END AS cs
+    FROM toks
+),
+ex AS (SELECT unnest(cs) AS c FROM ch),
+bp AS (SELECT md5(c) AS h FROM ex GROUP BY md5(c) HAVING count(*) >= {_BP_MIN}),
+bpl AS (SELECT coalesce(list(h ORDER BY h), CAST([] AS VARCHAR[])) AS l FROM bp)
+SELECT ch.doc_id,
+       coalesce(array_to_string(list_filter(cs, c -> NOT list_contains(l, md5(c))), ' '), '') AS clean_text,
+       CAST(len(cs) AS BIGINT) AS n_chunks,
+       CAST(len(cs) - len(list_filter(cs, c -> NOT list_contains(l, md5(c)))) AS BIGINT) AS n_removed
+FROM ch, bpl
+"""
+
+
+@register(
+    "boilerplate_scrub",
+    BOILERPLATE_ORACLE,
+    "corpus-level boilerplate removal: drop 6-token chunks occurring >= 3 times, reassemble",
+)
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import boilerplate_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_scrub(docs, "doc_id", "text", chunk_tokens=_BP_K, min_count=_BP_MIN)
