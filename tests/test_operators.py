@@ -704,3 +704,46 @@ def test_boilerplate_scrub_no_boilerplate_is_identity(spark):
     out = boilerplate_scrub(df, "doc_id", "text", 2, 3).collect()
     assert {r["doc_id"]: r["clean_text"] for r in out} == {1: "a b c", 2: "d e f"}
     assert all(r["n_removed"] == 0 for r in out)
+
+
+def test_nb_classifier_separable_corpus(spark):
+    from usda_food_data_pipeline_spark.functions.classify import (
+        nb_confusion,
+        nb_score,
+        nb_train,
+    )
+
+    rows = [
+        (1, "ham", "offer meeting notes agenda meeting"),
+        (2, "ham", "agenda notes project meeting"),
+        (3, "spam", "win prize money win win"),
+        (4, "spam", "free money prize claim now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, y: string, text: string")
+    classes = ["ham", "spam"]
+    model, stats = nb_train(df, "y", "text", classes)
+    scored = nb_score(df, "doc_id", "text", model, stats, classes)
+    pred = {r["doc_id"]: r["predicted"] for r in scored.collect()}
+    assert pred == {1: "ham", 2: "ham", 3: "spam", 4: "spam"}
+    # unseen-vocab doc: all tokens unknown -> unseen-lp * n + prior
+    # decides; priors are equal (2 docs each) and ham has fewer total
+    # training tokens -> larger (less negative) unseen-lp -> ham wins
+    new = spark.createDataFrame([(9, "zzz qqq")], "doc_id: long, text: string")
+    p9 = nb_score(new, "doc_id", "text", model, stats, classes).first()["predicted"]
+    assert p9 == "ham"
+    conf = {
+        (r["y"], r["predicted"]): r["n_docs"]
+        for r in nb_confusion(df, "doc_id", "y", "text", classes).collect()
+    }
+    assert conf == {("ham", "ham"): 2, ("spam", "spam"): 2}
+
+
+def test_nb_score_tie_resolves_in_class_order(spark):
+    from usda_food_data_pipeline_spark.functions.classify import nb_score, nb_train
+
+    # perfectly symmetric training data -> identical totals per class
+    rows = [(1, "a", "x"), (2, "b", "x")]
+    df = spark.createDataFrame(rows, "doc_id: long, y: string, text: string")
+    model, stats = nb_train(df, "y", "text", ["a", "b"])
+    p = nb_score(df, "doc_id", "text", model, stats, ["a", "b"]).collect()
+    assert all(r["predicted"] == "a" for r in p)

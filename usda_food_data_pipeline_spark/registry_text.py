@@ -1201,3 +1201,84 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_scrub(docs, "doc_id", "text", chunk_tokens=_BP_K, min_count=_BP_MIN)
+
+
+# ---------------------------------------------------------------------------
+# In-engine Naive-Bayes classifier (functions/classify): train on the
+# labeled corpus, score it back, emit the confusion matrix
+# ---------------------------------------------------------------------------
+
+_NB_CLASSES = ["de", "en", "es", "fr", "zh"]
+
+
+def _nb_oracle(classes: list[str]) -> str:
+    dec = "DECIMAL(18,9)"
+    lp = ",\n       ".join(
+        f"max(CASE WHEN _y='{c}' THEN CAST(round(ln((_c+1.0)/(_t+_V)),9) AS {dec}) END) AS lp_{c}"
+        for c in classes
+    )
+    un = ",\n       ".join(
+        f"max(CASE WHEN _y='{c}' THEN CAST(round(ln(1.0/(_t+_V)),9) AS {dec}) END) AS un_{c}"
+        for c in classes
+    )
+    nd = ",\n       ".join(f"max(CASE WHEN _y='{c}' THEN _nd END) AS _nd_{c}" for c in classes)
+    pr = ",\n       ".join(
+        f"CAST(round(ln(CAST(_nd_{c} AS DOUBLE)/_nd_all),9) AS {dec}) AS pr_{c}" for c in classes
+    )
+    sm = ",\n       ".join(
+        f"sum(lp_{c}) AS s_{c}, count(lp_{c}) AS m_{c}" for c in classes
+    )
+    tot = ",\n       ".join(
+        f"coalesce(s_{c}, CAST(0 AS {dec})) + (_n - m_{c})*un_{c} + pr_{c} AS t_{c}"
+        for c in classes
+    )
+    g = ", ".join(f"t_{c}" for c in classes)
+    case = " ".join(f"WHEN t_{c} = g THEN '{c}'" for c in classes)
+    return f"""
+WITH toks AS (SELECT doc_id, lang AS _y, unnest({TOKS_SQL}) AS token FROM documents),
+tc AS (SELECT _y, token, count(*) AS _c FROM toks GROUP BY 1, 2),
+totals AS (SELECT _y, sum(_c) AS _t FROM tc GROUP BY 1),
+vocab AS (SELECT count(DISTINCT token) AS _V FROM tc),
+model AS (
+    SELECT token,
+       {lp}
+    FROM tc JOIN totals USING (_y) CROSS JOIN vocab GROUP BY token
+),
+ndocs AS (SELECT lang AS _y, count(*) AS _nd FROM documents GROUP BY 1),
+stats0 AS (
+    SELECT {un},
+       {nd},
+       sum(_nd) AS _nd_all
+    FROM totals CROSS JOIN vocab JOIN ndocs USING (_y)
+),
+stats AS (SELECT *, {pr} FROM stats0),
+scored AS (
+    SELECT doc_id, _y, count(*) AS _n,
+       {sm}
+    FROM toks LEFT JOIN model USING (token) GROUP BY 1, 2
+),
+tot AS (
+    SELECT doc_id, _y,
+       {tot}
+    FROM scored CROSS JOIN stats
+),
+pred AS (
+    SELECT _y, CASE {case} END AS predicted
+    FROM (SELECT *, greatest({g}) AS g FROM tot)
+)
+SELECT _y AS lang, predicted, count(*) AS n_docs FROM pred GROUP BY 1, 2
+"""
+
+
+@register(
+    "nb_classifier",
+    _nb_oracle(_NB_CLASSES),
+    "in-engine multinomial Naive Bayes: train per-lang token log-likelihoods, "
+    "score the corpus back, confusion matrix",
+)
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.classify import nb_confusion
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return nb_confusion(docs, "doc_id", "lang", "text", _NB_CLASSES)
