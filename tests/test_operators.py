@@ -747,3 +747,36 @@ def test_nb_score_tie_resolves_in_class_order(spark):
     model, stats = nb_train(df, "y", "text", ["a", "b"])
     p = nb_score(df, "doc_id", "text", model, stats, ["a", "b"]).collect()
     assert all(r["predicted"] == "a" for r in p)
+
+
+def test_temperature_mix_flattens_skew_and_rates_are_dyadic(spark):
+    from usda_food_data_pipeline_spark.operators.topk import temperature_mix_rates
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = {r["source"]: r for r in temperature_mix_rates(df, "source", 0.5).collect()}
+    big, small = out["big"], out["small"]
+    assert big["n"] == 900 and small["n"] == 100
+    # alpha=0.5 weights: sqrt(900):sqrt(100) = 3:1 -> small source is
+    # sampled at a HIGHER per-doc rate than the big one (flattening)
+    assert small["rate"] > big["rate"]
+    # weights 3:1 -> big gets 375 of the 500-doc budget (rate 375/900);
+    # small's uncapped rate would be 1.25 -> capped at 1.0, so the
+    # realized budget is 375 + 100 = 475 (caps under-fill, never over)
+    assert small["rate"] == 1.0
+    expected = big["rate"] * 900 + small["rate"] * 100
+    assert abs(expected - 475) < 1
+    # rates sit on the dyadic 2^-20 grid -> rate * 2^48 is an exact int
+    for r in (big["rate"], small["rate"]):
+        assert (r * 2**20) == int(r * 2**20)
+
+
+def test_temperature_mix_rate_caps_at_one(spark):
+    from usda_food_data_pipeline_spark.operators.topk import temperature_mix_rates
+
+    # tiny source + huge budget: uncapped rate would exceed 1
+    rows = [(i, "big") for i in range(999)] + [(2000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = {r["source"]: r["rate"] for r in temperature_mix_rates(df, "source", 1.0).collect()}
+    assert out["tiny"] == 1.0
+    assert out["big"] <= 1.0

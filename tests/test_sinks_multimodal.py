@@ -237,3 +237,37 @@ def test_resize_nearest_identity_and_upscale():
     assert (up[::2, ::2] == px).all() and (up[1::2, 1::2] == px).all()
     down = resize_nearest(px, 1, 1)  # downscale picks the top-left source pixel
     assert (down[0, 0] == px[0, 0]).all()
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    from usda_food_data_pipeline_spark.sources.sinks import read_jsonl, write_jsonl
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_jsonl_read_is_schema_bound_not_inferred(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from usda_food_data_pipeline_spark.sources.sinks import read_jsonl
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"id": 1, "text": "a"}\n{"id": 2}\nnot json at all\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    rows = read_jsonl(spark, str(p), schema).collect()
+    # 2 parsed rows (missing field -> null), 1 malformed -> all-null row
+    assert len(rows) == 3
+    assert sorted([(r["id"], r["text"]) for r in rows], key=lambda t: (t[0] is None, t)) == [
+        (1, "a"),
+        (2, None),
+        (None, None),
+    ]

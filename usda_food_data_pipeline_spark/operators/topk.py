@@ -125,3 +125,44 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += width
     return df.withColumn("split", expr)
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    key_col: str,
+    budget_frac: float = 0.5,
+    grid_bits: int = 20,
+) -> DataFrame:
+    """Temperature-scaled source weighting at alpha = 0.5 (the
+    Gopher/LLaMA-style mixture: sample source i with probability
+    proportional to n_i^alpha, flattening the crawl-dominated
+    distribution): returns (key, n, rate) where ``rate`` is the
+    per-source Bernoulli keep-rate that realizes a corpus budget of
+    ``budget_frac * N`` docs in expectation under those weights.
+
+    Cross-engine exactness without giving up data-dependent rates:
+
+    - alpha is FIXED at 0.5 because sqrt is IEEE-correctly-rounded on
+      every engine (pow(x, a) is not) — sqrt(n_i) is bit-identical.
+    - the weight denominator sums sqrt(n_i) rounded to a 9-dp DECIMAL,
+      so the total is aggregation-order-independent.
+    - the final rate snaps to a dyadic grid (floor(x * 2^grid_bits) /
+      2^grid_bits), making rate * 2^48 an exact integer for
+      :func:`weighted_mix_sample`'s content-hash threshold.
+
+    One aggregation over the corpus (map-side combined, one row per
+    source) + a 1-row broadcast — the rates table is |sources| rows.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    cs = counts.withColumn("_sq", F.round(F.sqrt("n"), 9).cast("decimal(28,9)"))
+    tot = cs.agg(F.sum("_sq").alias("_S"), F.sum("n").alias("_N"))
+    grid = float(2**grid_bits)
+    raw = (
+        (F.col("_N") * F.lit(float(budget_frac)) / F.col("n"))
+        * (F.col("_sq").cast("double") / F.col("_S").cast("double"))
+    )
+    return cs.crossJoin(F.broadcast(tot)).select(
+        F.col(key_col),
+        F.col("n"),
+        F.least(F.lit(1.0), F.floor(F.lit(grid) * raw) / F.lit(grid)).alias("rate"),
+    )

@@ -78,9 +78,20 @@ _ORDER: list[str] = [
     "distinct_agg",
     "cosine_topk",
     "ivf_topk",
-    "embedding_neardup",
-    "knn_join",
-    "dedup_exact",
+    # semantic_dedup subsumes embedding_neardup's attestation (round 5):
+    # same blocked cosine self-join shape, plus the sign-bit bucket
+    # blocking and keep-lowest-id survivor selection on top; neardup
+    # keeps its local+CI row beyond the window
+    "semantic_dedup",
+    # boilerplate_scrub takes knn_join's slot: V2 ANN stays attested by
+    # cosine_topk + ivf_topk; corpus-level boilerplate removal is a new
+    # operator family that needs a driver row
+    "boilerplate_scrub",
+    # nb_classifier takes dedup_exact's slot: the md5-groupBy exact-dedup
+    # stage is attested inside training_pipeline's composite oracle (and
+    # dedup_exact keeps its local+CI row); the trainable classifier is a
+    # new operator family
+    "nb_classifier",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -126,6 +137,9 @@ _ORDER: list[str] = [
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
     "multimodal_meta",
+    "embedding_neardup",
+    "knn_join",
+    "dedup_exact",
     "anti_join_customers",
     "posexplode_tokens",
     "split_sentences",

@@ -1282,3 +1282,60 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return nb_confusion(docs, "doc_id", "lang", "text", _NB_CLASSES)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture (operators/topk.temperature_mix_rates):
+# data-dependent per-source rates at alpha=0.5, realized by the same
+# content-hash Bernoulli sampler as mix_sampling
+# ---------------------------------------------------------------------------
+
+_TMIX_SEED = 7
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+cs AS (SELECT source, n, CAST(round(sqrt(n), 9) AS DECIMAL(28,9)) AS sq FROM counts),
+tot AS (SELECT sum(sq) AS s_all, sum(n) AS n_all FROM cs),
+rates AS (
+    SELECT source, n,
+           least(CAST(1.0 AS DOUBLE),
+                 floor(1048576.0 * ((n_all * 0.5 / n) * (CAST(sq AS DOUBLE) / CAST(s_all AS DOUBLE))))
+                 / 1048576.0) AS rate
+    FROM cs CROSS JOIN tot
+),
+kept AS (
+    SELECT d.source, count(*) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    WHERE {oracle_md5_int_sql("CAST(doc_id AS VARCHAR)", 7)}
+          < CAST(r.rate * 2.0 ** 48 AS BIGINT)
+    GROUP BY 1
+)
+SELECT r.source, r.n AS n_total, r.rate, coalesce(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
+@register(
+    "temperature_mix",
+    TEMPERATURE_MIX_ORACLE,
+    "temperature-scaled (alpha=0.5) source mixture: data-dependent dyadic rates + content-hash sampling",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.topk import temperature_mix_rates, weighted_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = temperature_mix_rates(docs, "source", budget_frac=0.5)
+    kept = (
+        weighted_mix_sample(docs, rates.select("source", "rate"), "source", "doc_id", seed=_TMIX_SEED)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_total"),
+            "rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

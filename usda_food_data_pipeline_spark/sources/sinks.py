@@ -134,3 +134,28 @@ def write_bucketed_table(
         .sortBy(bucket_col)
         .saveAsTable(table)
     )
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-Lines sink — the interchange format training corpora ship
+    in (one JSON object per line; gzip-splittable-per-file). Spark's
+    json writer IS jsonl: one object per line, one file per partition,
+    so writes scale with the upstream partitioning.
+    """
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema) -> DataFrame:
+    """Schema-explicit JSONL read (SURVEY §1.3 discipline: never infer).
+
+    Passing the schema skips Spark's inference pre-pass — at 100 TB
+    that pass is a full extra scan of the corpus — and pins types
+    (inference would e.g. widen an int column to bigint on one shard
+    and conflict on merge). Malformed lines go to PERMISSIVE null rows
+    rather than failing the scan; count them with a notNull filter on
+    a required column.
+    """
+    return spark.read.schema(schema).json(path)
