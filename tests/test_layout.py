@@ -183,3 +183,56 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_zorder_write_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order clustering bounds every output file to a tight
+    hyper-rectangle: per-file min/max spans on BOTH clustered columns
+    shrink far below the unclustered layout's, which is exactly what
+    parquet footer-stats pruning consumes at scan time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from usda_food_data_pipeline_spark.sources.sinks import write_zorder
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    cols = ["o_custkey", "o_totalprice"]
+    write_zorder(orders, zpath, cols, n_files=16)
+    orders.repartition(16).write.parquet(rpath)
+
+    bounds = {
+        c: (v0, v1)
+        for c, v0, v1 in (
+            (c, *orders.agg(F.min(c), F.max(c)).first()) for c in cols
+        )
+    }
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            g0, g1 = bounds[col]
+            spans.append((hi - lo) / (g1 - g0))
+        return sum(spans) / len(spans)
+
+    for c in cols:
+        z, r = mean_span(zpath, c), mean_span(rpath, c)
+        # random layout: every file spans ~the full domain (~1.0);
+        # z-ordered: 16 files over a 2-D morton curve -> each axis
+        # span should at least halve
+        assert r > 0.9, f"{c}: baseline unexpectedly clustered ({r})"
+        assert z < 0.55, f"{c}: z-order span {z} not clustered"
+
+
+def test_zorder_requires_two_columns(spark):
+    from usda_food_data_pipeline_spark.sources.sinks import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key(["only_one"], {"only_one": (0, 1)})
