@@ -780,3 +780,50 @@ def test_temperature_mix_rate_caps_at_one(spark):
     out = {r["source"]: r["rate"] for r in temperature_mix_rates(df, "source", 1.0).collect()}
     assert out["tiny"] == 1.0
     assert out["big"] <= 1.0
+
+
+def test_dedup_intra_doc_keeps_first_occurrence(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import dedup_intra_doc
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c d a b"), (2, ""), (3, "x y x z")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in dedup_intra_doc(df, "doc_id", "text", 2).collect()}
+    # doc 1: chunks [a b, a b, c d, a b] -> [a b, c d]
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[1]["n_chunks"] == 4 and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "" and out[2]["n_chunks"] == 0
+    # doc 3: chunks [x y, x z] differ -> untouched
+    assert out[3]["clean_text"] == "x y x z" and out[3]["n_removed"] == 0
+
+
+def test_group_cap_keeps_best_per_key_and_pushes_limit(spark):
+    from usda_food_data_pipeline_spark.operators.topk import group_cap
+
+    rows = [(k, i, float(i % 7)) for k in ("a", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "src: string, doc_id: long, q: double")
+    out = group_cap(df, "src", [F.col("q").desc(), F.col("doc_id")], 3)
+    got = sorted((r["src"], r["doc_id"]) for r in out.collect())
+    # per key: q=6.0 at ids 6,13 then q=5.0 at id 5 (doc_id tiebreak)
+    assert got == [("a", 5), ("a", 6), ("a", 13), ("b", 5), ("b", 6), ("b", 13)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the per-key limit must run BEFORE the exchange (partial mode)
+    assert "WindowGroupLimit" in plan
+
+
+def test_boilerplate_scrub_join_path_matches_broadcast_path(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import boilerplate_scrub
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        map(tuple, boilerplate_scrub(docs, "doc_id", "text", 6, 3).collect())
+    )
+    # max_broadcast_set=0 forces the large-set hash-join rebuild
+    b = sorted(
+        map(
+            tuple,
+            boilerplate_scrub(docs, "doc_id", "text", 6, 3, max_broadcast_set=0).collect(),
+        )
+    )
+    assert a == b and len(a) == docs.count()

@@ -166,3 +166,24 @@ def temperature_mix_rates(
         F.col("n"),
         F.least(F.lit(1.0), F.floor(F.lit(grid) * raw) / F.lit(grid)).alias("rate"),
     )
+
+
+def group_cap(df: DataFrame, key_col: str, order_cols: list, cap: int) -> DataFrame:
+    """Per-group cap: keep at most ``cap`` rows per ``key_col``, chosen
+    by ``order_cols`` rank (e.g. quality DESC) — the
+    "cap the crawl-dominating domain, keep its best pages" step.
+
+    row_number + filter compiles to WindowGroupLimit: each input
+    partition keeps only its per-key top-``cap`` BEFORE the exchange,
+    so the shuffle moves at most cap x |keys| x |partitions| rows,
+    independent of how skewed the big groups are. ``order_cols`` must
+    end in a unique tiebreaker for a deterministic boundary.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -1339,3 +1339,75 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document chunk dedup (functions/textstats.dedup_intra_doc)
+# ---------------------------------------------------------------------------
+
+_INTRA_K = 2  # bigram chunks: the synthetic corpus repeats at this granularity
+
+INTRA_DOC_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+ch AS (
+    SELECT doc_id,
+           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+             list_transform(range(0, CAST((len(t) + {_INTRA_K - 1}) // {_INTRA_K} AS BIGINT)),
+                            i -> array_to_string(t[i*{_INTRA_K}+1 : i*{_INTRA_K}+{_INTRA_K}], ' '))
+           END AS cs
+    FROM toks
+),
+kept AS (
+    SELECT doc_id, cs, list_filter(cs, (c, i) -> list_position(cs, c) = i) AS ks
+    FROM ch
+)
+SELECT doc_id,
+       coalesce(array_to_string(ks, ' '), '') AS clean_text,
+       CAST(len(cs) AS BIGINT) AS n_chunks,
+       CAST(len(cs) - len(ks) AS BIGINT) AS n_removed
+FROM kept
+"""
+
+
+@register(
+    "intra_doc_dedup",
+    INTRA_DOC_ORACLE,
+    "within-document repetition scrub: drop repeated 6-token chunks, keep first occurrence",
+)
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import dedup_intra_doc
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return dedup_intra_doc(docs, "doc_id", "text", chunk_tokens=_INTRA_K)
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality cap (operators/topk.group_cap)
+# ---------------------------------------------------------------------------
+
+_CAP_N = 10
+
+DOMAIN_CAP_ORACLE = f"""
+WITH q AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents)
+SELECT source, doc_id, quality FROM (
+    SELECT source, doc_id, quality,
+           row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+    FROM q
+) WHERE rn <= {_CAP_N}
+"""
+
+
+@register(
+    "domain_cap",
+    DOMAIN_CAP_ORACLE,
+    f"per-source cap: keep the top-{_CAP_N} docs per source by quality (WindowGroupLimit shape)",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.topk import group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", quality_score(F.col("text")).alias("quality"))
+    return group_cap(
+        scored, "source", [F.col("quality").desc(), F.col("doc_id")], _CAP_N
+    ).select("source", "doc_id", "quality")
