@@ -271,3 +271,33 @@ def test_jsonl_read_is_schema_bound_not_inferred(spark, tmp_path):
         (2, None),
         (None, None),
     ]
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
+    from usda_food_data_pipeline_spark.sources.sinks import compact_parquet
+    import glob
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+    n = compact_parquet(spark, frag, out, target_mb=128)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n < 64
+    assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_read_parquet_evolved_merges_added_column(spark, tmp_path):
+    from usda_food_data_pipeline_spark.sources.sinks import read_parquet_evolved
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame([(1, "a")], "id: long, text: string").write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id: long, text: string, quality: double"
+    ).write.parquet(new)
+    df = read_parquet_evolved(spark, old, new)
+    assert set(df.columns) == {"id", "text", "quality"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["quality"] is None and rows[2]["quality"] == 0.9

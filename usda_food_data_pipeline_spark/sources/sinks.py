@@ -219,3 +219,45 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark, src_path: str, out_path: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_mb) files. Returns the file count.
+
+    The operational fix for the many-small-files problem streaming and
+    incremental sinks accumulate (every scan pays per-file open/footer
+    overhead; HDFS/S3 listing cost scales with file count). Uses
+    coalesce when shrinking — a partition-merge with NO exchange —
+    and repartition (one round-robin exchange) only when the source
+    has fewer partitions than the target.
+    """
+    import glob
+    import os
+
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    )
+    n = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    cur = df.rdd.getNumPartitions()
+    df = df.coalesce(n) if cur >= n else df.repartition(n)
+    df.write.mode("overwrite").parquet(out_path)
+    return n
+
+
+def read_parquet_evolved(spark, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet files whose schemas drifted
+    (added columns) into the merged superset schema, missing columns
+    null-filled — the append-only table whose producer gained fields.
+
+    ``mergeSchema`` reads every file footer (cheap: footers only, no
+    data pages) instead of trusting the first file, so a column that
+    exists only in newer files isn't silently dropped. At 100 TB pin
+    the merged schema in a catalog once rather than re-merging per
+    scan.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
