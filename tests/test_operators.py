@@ -827,3 +827,12 @@ def test_boilerplate_scrub_join_path_matches_broadcast_path(spark):
         )
     )
     assert a == b and len(a) == docs.count()
+
+
+def test_bpe_pair_counts_known_corpus(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "low lower lowest x")], "id: long, text: string")
+    got = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, "text", 3).collect()]
+    # lo/ow appear in all 3 'low*' words; single-char word contributes none
+    assert got == [("lo", 3), ("ow", 3), ("we", 2)]

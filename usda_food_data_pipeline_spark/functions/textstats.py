@@ -509,3 +509,39 @@ def dedup_intra_doc(df, id_col: str, text_col: str, chunk_tokens: int = 6):
             (F.col("n_chunks") - F.size("_kept")).cast("long").alias("n_removed"),
         )
     )
+
+
+def bpe_pair_counts(df, text_col: str, k: int = 20):
+    """One BPE-tokenizer-training iteration in-engine: corpus-wide
+    counts of adjacent character pairs inside words, ranked — the
+    aggregation a byte-pair-encoding trainer runs to pick its next
+    merge (Sennrich et al.; GPT-2/SentencePiece lineage).
+
+    Plan shape (the 100 TB contract): the exploded (word, char-pair)
+    stream never shuffles raw — pairs pre-aggregate per task
+    (map-side combine), so the one exchange carries (pair,
+    partial_count) rows bounded by the pair alphabet, not corpus
+    size. Top-k is a TakeOrderedAndProject heap. Pure expressions:
+    split to chars via regex, zip the array against its own tail.
+
+    Returns (pair, n) — the k most frequent merges, count-desc with a
+    lexicographic tiebreak.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokenize
+
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("_w"))
+    chars = F.split(F.col("_w"), "")
+    pairs = F.zip_with(
+        F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+        F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, b),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(k)
+    )

@@ -471,3 +471,37 @@ def semantic_dedup(
         prepped.join(dropped, prepped["_id"] == dropped["_drop"], "left_anti")
         .select(F.col("_id").alias(id_col), F.col("_bkt").alias("bucket"))
     )
+
+
+def quantize_embeddings_df(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """:func:`quantize_int8` as a two-stage projection: ``scale``
+    (an O(dim) array fold) materializes ONCE per row in stage 1, and
+    the per-element quantize lambda in stage 2 references the column.
+    Inlined single-select use re-evaluates the scale fold inside every
+    element's lambda — O(dim^2) per row, ~3x slower at dim 64.
+    Returns (id, scale, q).
+    """
+    from ..sources.tables import spread
+
+    pre = spread(df).select(
+        F.col(id_col), as_double_array(vec_col).alias("_v")
+    ).select(
+        F.col(id_col),
+        F.col("_v"),
+        (F.array_max(F.transform("_v", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.least(
+            F.lit(127.0),
+            F.greatest(
+                F.lit(-127.0),
+                F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+                    F.floor(x / F.col("scale") + F.lit(0.5))
+                ),
+            ),
+        ).cast("int"),
+    )
+    return pre.select(F.col(id_col), F.col("scale"), q.alias("q"))

@@ -1411,3 +1411,31 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_cap(
         scored, "source", [F.col("quality").desc(), F.col("doc_id")], _CAP_N
     ).select("source", "doc_id", "quality")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (functions/textstats.bpe_pair_counts)
+# ---------------------------------------------------------------------------
+
+BPE_PAIRS_ORACLE = f"""
+WITH words AS (SELECT unnest({TOKS_SQL}) AS w FROM documents),
+pairs AS (
+    SELECT unnest(list_transform(range(1, greatest(length(w) - 1, 0) + 1),
+                                 i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+    FROM words
+)
+SELECT pair, count(*) AS n FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@register(
+    "bpe_pairs",
+    BPE_PAIRS_ORACLE,
+    "BPE tokenizer-training iteration: top-20 adjacent character-pair counts corpus-wide",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import bpe_pair_counts
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_pair_counts(docs, "text", k=20)

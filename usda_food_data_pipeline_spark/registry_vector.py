@@ -159,11 +159,10 @@ FROM s
     "symmetric int8 quantization of the embedding column (4x storage cut)",
 )
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import quantize_int8
+    from .operators.similarity import quantize_embeddings_df
 
     emb = load_table(spark, sf_dir, "embeddings")
-    scale, q = quantize_int8(F.col("embedding"))
-    return emb.select("vec_id", scale.alias("scale"), q.alias("q"))
+    return quantize_embeddings_df(emb)
 
 
 # ---------------------------------------------------------------------------
