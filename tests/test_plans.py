@@ -80,3 +80,47 @@ def test_text_surprisal_token_stream_never_shuffles(spark, sf_dir):
     # only the two partial-agg exchanges (token counts, per-doc stats);
     # the exploded token stream itself stays map-side
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_semantic_dedup_is_bucketed_join_not_allpairs(spark, sf_dir):
+    """The candidate join must key on the sign-bit bucket — no
+    cartesian/nested-loop pair generation."""
+    from usda_food_data_pipeline_spark.operators.similarity import semantic_dedup
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = semantic_dedup(emb, threshold=0.3, bucket_bits=8)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_small_path_never_shuffles_text(spark, sf_dir):
+    """Small-set path: the only exchanges carry (hash, count) aggregate
+    rows; document text stays scan-local."""
+    import re
+
+    from usda_food_data_pipeline_spark.functions.textstats import boilerplate_scrub
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = boilerplate_scrub(docs, "doc_id", "text", 6, 3)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1) and "_chunks#" not in m.group(1)
+
+
+def test_nb_model_joins_by_broadcast(spark, sf_dir):
+    """Scoring joins the vocab-sized model by broadcast; the corpus
+    token stream is never the build side of a shuffle join."""
+    from usda_food_data_pipeline_spark.functions.classify import nb_confusion
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = nb_confusion(docs, "doc_id", "lang", "text", ["de", "en", "es", "fr", "zh"])
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -311,3 +311,43 @@ def test_sign_bitpack_matches_naive(spark, vec):
     for i in range(32, 64):
         exp1 = exp1 * 2 + (1 if f32[i] > 0 else 0)
     assert (row["w0"], row["w1"]) == (exp0, exp1)
+
+
+@SLOW
+@given(texts=chunk_texts, k=st.integers(1, 6))
+def test_boilerplate_and_intra_doc_reference_semantics(spark, texts, k):
+    """Both scrubbers must match a straight Python reference on random
+    corpora: chunking is non-overlapping k-token windows (tail kept),
+    boilerplate = chunks with corpus count >= 3, intra-doc keeps first
+    occurrences only."""
+    from collections import Counter
+
+    from usda_food_data_pipeline_spark.functions.textstats import (
+        boilerplate_scrub,
+        dedup_intra_doc,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in enumerate(texts)}
+    chunks = {
+        i: [" ".join(tk[j : j + k]) for j in range(0, len(tk), k)]
+        for i, tk in toks.items()
+    }
+    counts = Counter(c for cs in chunks.values() for c in cs)
+
+    bp = {r["doc_id"]: r for r in boilerplate_scrub(df, "doc_id", "text", k, 3).collect()}
+    for i, cs in chunks.items():
+        keep = [c for c in cs if counts[c] < 3]
+        assert bp[i]["clean_text"] == " ".join(keep)
+        assert bp[i]["n_chunks"] == len(cs)
+        assert bp[i]["n_removed"] == len(cs) - len(keep)
+
+    intra = {r["doc_id"]: r for r in dedup_intra_doc(df, "doc_id", "text", k).collect()}
+    for i, cs in chunks.items():
+        seen, keep = set(), []
+        for c in cs:
+            if c not in seen:
+                seen.add(c)
+                keep.append(c)
+        assert intra[i]["clean_text"] == " ".join(keep)
+        assert intra[i]["n_removed"] == len(cs) - len(keep)
