@@ -225,3 +225,48 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, events_dir):
     }
     missing = old_want - got
     assert not missing, f"{len(missing)} pre-watermark conversions not emitted"
+
+
+def test_stream_static_enrich_matches_batch_and_is_stateless(spark, sf_dir, events_dir):
+    """Events enriched with the customer dim on the stream must equal
+    the batch join, and the running plan must carry no streaming state
+    (stream-static joins are stateless by construction)."""
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+    from usda_food_data_pipeline_spark.streaming.dedup import stream_static_enrich
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = _stream(spark, events_dir)
+    q = (
+        stream_static_enrich(stream, dim, "user_id", ["c_mktsegment"])
+        .groupBy("c_mktsegment")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["c_mktsegment"]: r["count"]
+            for r in spark.sql("SELECT * FROM enrich_out").collect()
+        }
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    batch = {
+        r["c_mktsegment"]: r["count"]
+        for r in spark.read.parquet(events_dir)
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    }
+    assert got == batch and got
+    # the only stateful operator is the aggregation itself — the join
+    # contributes no state rows beyond it
+    ops = progress["stateOperators"] if progress else []
+    assert all("join" not in (op.get("operatorName") or "") for op in ops)

@@ -79,3 +79,25 @@ def streaming_funnel(
     return stream_stream_join(
         purchases, views, "user_id", ts_col, watermark, max_lag, how="left_semi"
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static enrichment: join a stream to a batch dimension
+    table — the lookup-join every event pipeline runs (user profile,
+    product catalog) before windowing/aggregation.
+
+    Stream-static inner joins are STATELESS in Structured Streaming
+    (no watermark, no join state: each micro-batch joins against the
+    static relation as of that batch), and the static side broadcasts
+    when it fits — so enrichment adds zero state store pressure and no
+    shuffle of the stream. The dimension is re-resolved per batch: a
+    dim table refreshed in place (overwrite of the same path) is
+    picked up on the next micro-batch without restarting the query.
+    """
+    d = dim if dim_cols is None else dim.select(key_col, *dim_cols)
+    return stream.join(F.broadcast(d), key_col, "inner")
