@@ -117,12 +117,20 @@ def _mix_params(k: int) -> tuple[int, int]:
     return 2 * k + 3, 7919 * (k + 1)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature via min-over-affine-mixes of a single md5-derived
-    base hash per shingle. All codegen'd array expressions; the base-hash
-    transform is shared across the k output columns (deterministic →
-    subexpression-eliminated)."""
-    base = F.transform(shingles, lambda s: md5_int(s, 0) % MINHASH_MOD)
+def minhash_base(shingles: Column) -> Column:
+    """md5-derived base hash array, one value per shingle — materialize
+    this ONCE in its own projection before fanning out to the k mixes:
+    Spark's subexpression elimination skips expressions containing
+    lambda variables, so inlining it into every mix re-runs the md5
+    transform per hash function (k x the cost)."""
+    return F.transform(shingles, lambda s: md5_int(s, 0) % MINHASH_MOD)
+
+
+def minhash_signature(base: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature: min-over-affine-mixes of the
+    :func:`minhash_base` hash array. Each mix is an O(|shingles|)
+    integer fold over the shared base column — pure codegen'd array
+    expressions."""
 
     def mix(k: int) -> Column:
         # closure, not default args — PySpark counts lambda params
@@ -157,10 +165,14 @@ def minhash_lsh_pairs(
     # expression-heavy shingle/hash work across the cluster first
     from ..sources.tables import spread
     df = spread(df)
-    sig = df.select(
-        F.col(id_col).alias("doc_id_"),
-        word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
-    ).select("doc_id_", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc_id_"),
+            word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
+        )
+        .select("doc_id_", "shingles", minhash_base(F.col("shingles")).alias("_mhbase"))
+        .select("doc_id_", "shingles", *minhash_signature(F.col("_mhbase"), num_hashes))
+    )
     # the signature table feeds three plan branches (banding + two
     # candidate-verify attaches); persist it so shingling/hashing runs
     # once — at cluster scale this is a materialized intermediate table
@@ -569,9 +581,11 @@ def minhash_lsh_pairs_cross(
             F.col(id_col).alias("doc_id_"),
             word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
         )
-        return s.select(
-            "doc_id_", "shingles", *minhash_signature(F.col("shingles"), num_hashes)
-        ).persist()
+        return (
+            s.select("doc_id_", "shingles", minhash_base(F.col("shingles")).alias("_mhbase"))
+            .select("doc_id_", "shingles", *minhash_signature(F.col("_mhbase"), num_hashes))
+            .persist()
+        )
 
     def banded_of(sig: DataFrame) -> DataFrame:
         band_cols = F.array(
