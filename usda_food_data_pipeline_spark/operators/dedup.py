@@ -327,17 +327,23 @@ def decontaminate(
     )
 
 
-def simhash(tokens: Column, bits: int = 16) -> Column:
-    """SimHash fingerprint over distinct tokens.
+def simhash_token_hashes(tokens: Column) -> Column:
+    """md5-derived 16-bit hash per distinct token — materialize ONCE in
+    its own projection before the bit folds (the minhash_base rule:
+    lambda-bearing expressions are excluded from Spark's subexpression
+    elimination, so inlining re-runs the md5 transform per bit)."""
+    return F.transform(F.array_distinct(tokens), lambda t: md5_int(t, 999, nibbles=4))
 
-    Bit i is set iff the count of tokens whose md5-derived hash has bit i
-    set exceeds half the token count. Pure expression composition:
-    per-token hash once, then ``bits`` popcount folds. 16 bits keeps
-    every intermediate in exact-integer territory for the SQL oracle.
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint from the :func:`simhash_token_hashes` array.
+
+    Bit i is set iff the count of hashes with bit i set exceeds half
+    the token count — ``bits`` integer popcount folds over the shared
+    array. 16 bits keeps every intermediate in exact-integer territory
+    for the SQL oracle.
     """
-    distinct_tokens = F.array_distinct(tokens)
-    hashes = F.transform(distinct_tokens, lambda t: md5_int(t, 999, nibbles=4))
-    n = F.size(distinct_tokens)
+    n = F.size(hashes)
 
     def bit_votes(i: int):
         # closure (not a default arg: PySpark counts lambda params)
@@ -353,6 +359,13 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
     return acc
 
 
+def simhash(tokens: Column, bits: int = 16) -> Column:
+    """Single-expression SimHash (compat wrapper). Prefer
+    :func:`simhash_fingerprints`, which shares the token-hash array
+    across the bit folds via a projection."""
+    return simhash_from_hashes(simhash_token_hashes(tokens), bits)
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-document SimHash fingerprint table (near-dup docs get close
     fingerprints; pair generation = group by fingerprint bands)."""
@@ -360,8 +373,8 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     df = spread(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        simhash(tokenize(F.col(text_col)), bits).alias("simhash"),
-    )
+        simhash_token_hashes(tokenize(F.col(text_col))).alias("_sh"),
+    ).select("doc_id", simhash_from_hashes(F.col("_sh"), bits).alias("simhash"))
 
 
 def connected_components(
