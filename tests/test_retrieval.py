@@ -178,3 +178,45 @@ def test_semantic_dedup_below_threshold_keeps_all(spark):
     )
     out = semantic_dedup(df, threshold=0.95, bucket_bits=8)
     assert sorted(r["vec_id"] for r in out.collect()) == [1, 2]
+
+
+def test_jl_projection_onehot_reads_sign_column(spark):
+    from usda_food_data_pipeline_spark.operators.similarity import (
+        _jl_signs,
+        jl_project,
+    )
+
+    # one-hot input: y_j = signs[j][i] / sqrt(out_dim) exactly
+    dim, out = 64, 16
+    vec = [0.0] * dim
+    vec[5] = 1.0
+    df = spark.createDataFrame([(1, vec)], "vec_id: long, embedding: array<float>")
+    row = jl_project(df, out, dim).first()
+    signs = _jl_signs(out, dim)
+    for j in range(out):
+        assert row[f"y{j}"] == signs[j][5] * 0.25
+
+
+def test_jl_projection_roughly_preserves_distance(spark):
+    import math
+    import random
+
+    from usda_food_data_pipeline_spark.operators.similarity import jl_project
+
+    rnd = random.Random(3)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    ys = {
+        r["vec_id"]: [r[f"y{j}"] for j in range(16)]
+        for r in jl_project(df, 16, 64).collect()
+    }
+    xs = dict(vecs)
+    ratios = []
+    for a in range(0, 40, 7):
+        for b in range(a + 1, 40, 7):
+            dx = math.dist(xs[a], xs[b])
+            dy = math.dist(ys[a], ys[b])
+            ratios.append(dy / dx)
+    mean = sum(ratios) / len(ratios)
+    # JL with k=16: mean distortion concentrates near 1 (loose bound)
+    assert 0.7 < mean < 1.3

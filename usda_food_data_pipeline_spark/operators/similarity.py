@@ -505,3 +505,60 @@ def quantize_embeddings_df(
         ).cast("int"),
     )
     return pre.select(F.col(id_col), F.col("scale"), q.alias("q"))
+
+
+def _jl_signs(out_dim: int, in_dim: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for :func:`jl_project` — plan-time
+    constants (md5 of (seed, i, j) parity), identical literals in the
+    Spark plan and the SQL oracle, so no runtime hashing and no
+    cross-engine hash portability concern."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"jl{seed}:{i}:{j}".encode()).digest()[0] % 2 else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: compress a
+    ``in_dim``-float embedding to ``out_dim`` floats (y_j = x · r_j /
+    sqrt(out_dim), r_j ∈ {±1}^d) preserving pairwise distances within
+    the JL bound — the float-precision middle ground between raw
+    vectors and the 1-bit :func:`sign_bitpack` sketch (4x-16x storage
+    cut, cosine still meaningful on the projected vectors).
+
+    Scan-local arithmetic only: each output dim is one zip_with
+    multiply + a LEFT-TO-RIGHT aggregate fold over the input array.
+    The fold order is pinned so both engines produce bit-identical
+    IEEE sums (no pairwise/tree summation ambiguity); the sign matrix
+    is plan-time literals. No shuffle, no UDF — at 100 TB this is a
+    projection inside the scan, written back as the compressed
+    serving column.
+    """
+    from ..sources.tables import spread
+
+    signs = _jl_signs(out_dim, in_dim, seed)
+    inv = 1.0 / float(out_dim) ** 0.5
+    v = as_double_array(vec_col)
+    pre = spread(df).select(F.col(id_col), v.alias("_v"))
+    outs = []
+    for j, row in enumerate(signs):
+        lit = F.array(*[F.lit(x) for x in row])
+        dotj = F.aggregate(
+            F.zip_with(F.col("_v"), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outs.append((dotj * F.lit(inv)).alias(f"y{j}"))
+    return pre.select(F.col(id_col), *outs)

@@ -1439,3 +1439,64 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return bpe_pair_counts(docs, "text", k=20)
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card: per-(lang, source) reporting rollup
+# ---------------------------------------------------------------------------
+
+CORPUS_DATACARD_ORACLE = f"""
+WITH hashes AS (SELECT md5(text) AS h, count(*) AS hc FROM documents GROUP BY 1),
+base AS (
+    SELECT d.lang, d.source,
+           len({TOKS_SQL}) AS n_toks,
+           CAST(round({_QUALITY_SQL}, 9) AS DECIMAL(18,9)) AS q,
+           CASE WHEN h.hc >= 2 THEN 1 ELSE 0 END AS is_dup
+    FROM documents d JOIN hashes h ON md5(d.text) = h.h
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       sum(q) AS sum_quality,
+       CAST(sum(is_dup) AS BIGINT) AS n_exact_dup_docs
+FROM base GROUP BY lang, source
+"""
+
+
+@register(
+    "corpus_datacard",
+    CORPUS_DATACARD_ORACLE,
+    "per-(lang, source) data card: docs, tokens, decimal-exact quality sum, corpus-wide dup flags",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reporting rollup a corpus release ships (data cards /
+    datasheets): group sizes, token budget, quality mass, and how much
+    of each slice is an exact duplicate of something else in the
+    corpus. Per-doc quality rounds onto a 9-dp decimal grid so the
+    group sums are aggregation-order-independent; the dup flag joins
+    the (hash, count) table back by hash — both exchanges carry
+    aggregate-sized rows, never text."""
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hashes = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_hc"))
+    )
+    base = (
+        docs.select(
+            "lang",
+            "source",
+            token_count(F.col("text")).cast("long").alias("_nt"),
+            F.round(quality_score(F.col("text")), 9).cast("decimal(18,9)").alias("_q"),
+            F.md5("text").alias("_h"),
+        )
+        .join(hashes, "_h")
+        .withColumn("_dup", F.when(F.col("_hc") >= 2, 1).otherwise(0))
+    )
+    return base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_q").cast("decimal(38,9)").alias("sum_quality"),
+        F.sum("_dup").cast("long").alias("n_exact_dup_docs"),
+    )

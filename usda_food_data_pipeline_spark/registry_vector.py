@@ -301,3 +301,38 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.3, bucket_bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign random projection (operators/similarity.jl_project)
+# ---------------------------------------------------------------------------
+
+def _jl_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
+    from .operators.similarity import _jl_signs
+
+    signs = _jl_signs(out_dim, in_dim)
+    inv = 1.0 / float(out_dim) ** 0.5  # 0.25 for out_dim 16 — dyadic, exact
+    cols = []
+    for j, row in enumerate(signs):
+        lit = "[" + ", ".join(("1.0" if x > 0 else "-1.0") for x in row) + "]"
+        # list_reduce seeded with 0.0 pins the LEFT-TO-RIGHT fold order —
+        # bit-identical to Spark's aggregate() sum
+        cols.append(
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, {in_dim + 1}), "
+            f"i -> embedding[CAST(i AS INTEGER)]::DOUBLE * {lit}[CAST(i AS INTEGER)])), "
+            f"(a, x) -> a + x) * {inv!r} AS y{j}"
+        )
+    return "SELECT vec_id,\n  " + ",\n  ".join(cols) + "\nFROM embeddings"
+
+
+@register(
+    "jl_projection",
+    _jl_oracle(),
+    "Johnson-Lindenstrauss sign projection: 64 -> 16 floats, pinned fold order, scan-local",
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_project(emb, out_dim=16, in_dim=64)
