@@ -183,3 +183,49 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         F.coalesce("n_converted", F.lit(0).cast("long")).alias("n_converted"),
     )
+
+
+@register(
+    "events_outliers",
+    """
+    WITH stats AS (
+        SELECT user_id, sum(CAST(value AS DECIMAL(30,6))) AS s, count(*) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN e.value > 2 * (CAST(s.s AS DOUBLE) / s.n) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM events e JOIN stats s USING (user_id)
+    GROUP BY e.user_id
+    """,
+    "per-user outlier counts: events exceeding 2x the user's mean value "
+    "(decimal-exact mean; one user_id partitioning reused across agg + join + re-agg)",
+)
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly screen over the event stream — the monitoring
+    rollup (fraud/abuse triage) an event warehouse serves. The user
+    mean comes from a DECIMAL(30,6) sum (aggregation-order-independent,
+    so the >2x flag is identical on any engine); every operator keys
+    on user_id — the executed plan carries ONE user_id hash exchange
+    (the stats aggregate; AQE broadcasts the small per-user stats back
+    onto the unshuffled event scan), and at dim sizes past the
+    broadcast threshold the same partitioning serves join and
+    rollup."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mean2 = F.lit(2) * (F.col("_s").cast("double") / F.col("_n"))
+    return (
+        events.join(stats, "user_id")
+        .withColumn("_flag", F.when(F.col("value") > mean2, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_flag").cast("long").alias("n_outliers"),
+        )
+    )

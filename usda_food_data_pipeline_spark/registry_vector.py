@@ -336,3 +336,53 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return jl_project(emb, out_dim=16, in_dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Class-prototype centroids: mean embedding per label
+# ---------------------------------------------------------------------------
+
+PROTOTYPES_ORACLE = """
+WITH e AS (
+    SELECT label, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       CAST(sum(CAST(round(CAST(v AS DOUBLE), 9) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS sum_v,
+       count(*) AS n
+FROM e GROUP BY label, pos
+"""
+
+
+@register(
+    "label_prototypes",
+    PROTOTYPES_ORACLE,
+    "class-prototype centroids: per-(label, dim) decimal-exact component sums + counts",
+)
+def q_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per class in long form — the prototype table
+    SemDeDup-style clustering, nearest-class-mean classification, and
+    centroid-seeded IVF all start from. Ships (sum, n) on an exact
+    decimal grid rather than a float mean so the result is
+    aggregation-order-independent; the exchange carries
+    (label, dim, partial_sum) rows — bounded by |labels| x dim, never
+    corpus-sized. posexplode is scan-local."""
+    from .sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.round(F.col("v").cast("double"), 9).cast("decimal(18,9)").alias("_v"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("_v").cast("decimal(38,9)").alias("sum_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
