@@ -467,8 +467,13 @@ def semantic_dedup(
         .select(F.col("b._id").alias("_drop"))
         .distinct()
     )
+    # slim to the two output columns BEFORE the anti-join: its id-keyed
+    # exchange then carries 16-byte rows instead of dragging the
+    # 64-double vector through the shuffle (AQE broadcasts `dropped`
+    # when it is small; either way the payload is ids + buckets)
     return (
-        prepped.join(dropped, prepped["_id"] == dropped["_drop"], "left_anti")
+        prepped.select("_id", "_bkt")
+        .join(dropped, F.col("_id") == dropped["_drop"], "left_anti")
         .select(F.col("_id").alias(id_col), F.col("_bkt").alias("bucket"))
     )
 
