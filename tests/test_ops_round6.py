@@ -1,0 +1,224 @@
+"""Unit tests for the round-6 operators: CDC merge, sessionization,
+gap-fill, interval overlap join, expectations, PageRank, salted join."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# CDC merge
+# ---------------------------------------------------------------------------
+
+
+def test_merge_apply_upsert_delete_insert(spark):
+    from usda_food_data_pipeline_spark.operators.merge import merge_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "b2", 21.0, 1),   # update key 2 (older)
+            (2, "U", "b3", 22.0, 2),   # update key 2 (latest wins)
+            (3, "D", None, None, 1),   # delete key 3
+            (4, "U", "d", 40.0, 1),    # insert brand-new key 4
+        ],
+        "k int, op string, name string, v double, seq int",
+    )
+    out = merge_apply(base, changes, keys=["k"], seq_cols=["seq"])
+    rows = {r["k"]: (r["name"], r["v"]) for r in out.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0)}
+
+
+def test_merge_apply_delete_then_reinsert_latest_wins(spark):
+    from usda_food_data_pipeline_spark.operators.merge import merge_apply
+
+    base = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    changes = spark.createDataFrame(
+        [(1, "D", None, 1), (1, "U", 9.0, 2)], "k int, op string, v double, seq int"
+    )
+    out = merge_apply(base, changes, keys=["k"], seq_cols=["seq"])
+    assert [(r["k"], r["v"]) for r in out.collect()] == [(1, 9.0)]
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / gap-fill / interval overlap
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_sessionize_gap_boundary(spark):
+    from usda_food_data_pipeline_spark.operators.sessionize import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, 1.0),
+        # exactly the gap: NOT a new session (strict > comparison)
+        (2, t0 + dt.timedelta(seconds=1800), 7, 2.0),
+        # one microsecond over the gap: new session
+        (3, t0 + dt.timedelta(seconds=3600, microseconds=1), 7, 4.0),
+    ]
+    out = sessionize(_ev(spark, rows), gap_seconds=1800).orderBy("session_seq")
+    got = [(r["session_seq"], r["n_events"], r["sum_value"]) for r in out.collect()]
+    assert got == [(1, 2, 3.0), (2, 1, 4.0)]
+
+
+def test_gap_fill_daily_zero_fill_and_ffill(spark):
+    from usda_food_data_pipeline_spark.operators.sessionize import gap_fill_daily
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 7, 10.0),
+        (2, dt.datetime(2024, 1, 1, 10), 7, 20.0),
+        # Jan 2-3 silent
+        (3, dt.datetime(2024, 1, 4, 9), 7, 40.0),
+    ]
+    out = gap_fill_daily(_ev(spark, rows)).orderBy("day").collect()
+    assert [r["day"].day for r in out] == [1, 2, 3, 4]
+    assert [r["n_events"] for r in out] == [2, 0, 0, 1]
+    assert [r["ffill_avg_value"] for r in out] == [15.0, 15.0, 15.0, 40.0]
+
+
+def test_interval_overlap_matches_naive_theta_join(spark):
+    """Bucketed blocking must emit exactly the naive inequality-join pairs,
+    including intervals spanning many buckets and bucket-edge endpoints."""
+    from usda_food_data_pipeline_spark.operators.sessionize import (
+        interval_overlap_join,
+    )
+
+    def iv(name, s, e):
+        return (name, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=s),
+                dt.datetime(2024, 1, 1) + dt.timedelta(minutes=e))
+
+    left = spark.createDataFrame(
+        [iv("L1", 0, 30), iv("L2", 55, 65), iv("L3", 0, 600), iv("L4", 120, 180)],
+        "lname string, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [iv("R1", 25, 35), iv("R2", 60, 120), iv("R3", 599, 601), iv("R4", 180, 240)],
+        "rname string, rs timestamp, re timestamp",
+    )
+    got = {
+        (r["lname"], r["rname"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (r["lname"], r["rname"])
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .collect()
+    }
+    assert got == naive
+    # half-open: L4 [120,180) does not overlap R4 [180,240)
+    assert ("L4", "R4") not in got
+    # multi-bucket interval L3 pairs with everything it spans, exactly once
+    assert ("L3", "R3") in got
+
+
+# ---------------------------------------------------------------------------
+# Expectations
+# ---------------------------------------------------------------------------
+
+
+def test_expectation_suite_counts_failures(spark):
+    from usda_food_data_pipeline_spark.operators.expectations import (
+        expectation_suite,
+        in_range,
+        in_set,
+        not_null,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "c", 50.0), (3, "z", None)],
+        "id int, cat string, x double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid int")
+    out = expectation_suite(
+        df,
+        row_checks=[not_null("cat"), in_set("cat", ["a", "c"]), in_range("x", 0, 10)],
+        unique_keys=[["id"]],
+        refs=[("id", parent, "pid")],
+    )
+    res = {r["check_name"]: (r["n_rows"], r["n_failed"], r["ok"]) for r in out.collect()}
+    assert res["not_null:cat"] == (4, 1, False)
+    assert res["in_set:cat"] == (4, 2, False)          # None fails too (3VL)
+    assert res["in_range:x"] == (4, 3, False)          # -1.0, 50.0, NULL fail
+    assert res["unique:id"] == (4, 2, False)           # both id=2 rows flagged
+    assert res["ref:id->pid"] == (4, 1, False)         # id=3 orphan
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
+    from usda_food_data_pipeline_spark.operators.graph import (
+        pagerank,
+        symmetric_edges,
+    )
+
+    # star: hub 0 connected to 1..5 — hub must dominate; total mass ~ 1
+    pairs = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    ranks = pagerank(symmetric_edges(pairs), iters=10).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
+    by_node = {r["node"]: r["rank"] for r in ranks}
+    assert by_node[0] == max(by_node.values())
+    leaf = [v for k, v in by_node.items() if k != 0]
+    assert all(math.isclose(v, leaf[0], rel_tol=1e-12) for v in leaf)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from usda_food_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (1, 0), (0, 2), (3, 0), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+
+    n = 4
+    out = {u: [e[1] for e in edges if e[0] == u] for u in range(n)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for u in range(n):
+            for v in out[u]:
+                nxt[v] += 0.85 * r[u] / len(out[u])
+        r = nxt
+    for u in range(n):
+        assert math.isclose(got[u], r[u], rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Salted join
+# ---------------------------------------------------------------------------
+
+
+def test_replicate_broadcast_join_equals_plain_join(spark):
+    from usda_food_data_pipeline_spark.operators.skew import (
+        replicate_broadcast_join,
+    )
+
+    big = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(1000)], "k int, v double"
+    )
+    small = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k int, tag string")
+    salted = replicate_broadcast_join(big, small, key="k", n_salts=4)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count() == 1000
+    a = salted.groupBy("k", "tag").agg(F.sum("v").alias("s")).collect()
+    b = plain.groupBy("k", "tag").agg(F.sum("v").alias("s")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

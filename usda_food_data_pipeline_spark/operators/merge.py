@@ -1,0 +1,87 @@
+"""CDC merge / upsert: apply a change stream onto a base table.
+
+The reference pipeline rebuilds its serving dataset from scratch on every
+run (`/root/reference/main.py` re-downloads + re-uploads the full CSV set).
+At 100 TB a full rebuild is not viable: the scale-correct primitive is an
+incremental MERGE — latest-change-wins upsert/delete applied to the base
+snapshot, the same contract as Delta Lake's ``MERGE INTO`` / Hudi's
+copy-on-write upsert, expressed here with plain DataFrame ops so it works
+on any parquet-backed table.
+
+Plan shape (scales to 1000 executors):
+
+1. one shuffle of the *changes* on the merge key to pick the latest change
+   per key (window ``row_number`` — changes are a small fraction of base);
+2. one shuffle of the base on the same key for the full-outer join
+   (co-partitioned by AQE; with a bucketed base table the base-side
+   exchange disappears entirely — see ``sources/sinks.py`` bucketing);
+3. a projection picks, per key, the change row (op='U'), drops the row
+   (op='D'), or passes the base row through untouched.
+
+No collect, no broadcast of the base, shuffle volume = |base| + |changes|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Reduce a change stream to the single latest change per key.
+
+    ``seq_cols`` is the total order within a key (e.g. commit timestamp
+    then a monotonic id as tiebreak) — with a genuinely total order the
+    result is deterministic under any partitioning.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE INTO semantics: upsert/delete ``changes`` into ``base``.
+
+    Both inputs must share the non-key value columns. Each key's outcome:
+
+    - no change row            -> base row unchanged
+    - latest change op != 'D'  -> change's values (update or brand-new key)
+    - latest change op == 'D'  -> row removed
+
+    Returns the merged snapshot with ``base``'s column order.
+    """
+    value_cols = [c for c in base.columns if c not in keys]
+    latest = latest_changes(changes, keys, seq_cols, op_col)
+    ch = latest.select(
+        *keys,
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_ch_{c}") for c in value_cols],
+    )
+    joined = base.join(ch, on=keys, how="full_outer")
+
+    def pick(c: str) -> Column:
+        return (
+            F.when(F.col("_op").isNotNull(), F.col(f"_ch_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+
+    return (
+        joined.filter(F.col("_op").isNull() | (F.col("_op") != delete_op))
+        .select(*keys, *[pick(c) for c in value_cols])
+    )

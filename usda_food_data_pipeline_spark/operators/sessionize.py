@@ -1,0 +1,138 @@
+"""Batch sessionization, time-series gap-fill, and interval overlap join.
+
+Batch twins of the streaming session window (`streaming/windows.py`,
+which uses ``F.session_window``): the batch path must also work on
+historical reprocessing where the stream's state store is unavailable.
+
+All three operators are pure DataFrame expressions — no UDFs, no
+collect — and each performs exactly one shuffle keyed on the entity
+(user/bucket), so they scale linearly with the event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import deterministic_avg, deterministic_sum
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the inter-event gap
+    within a user exceeds ``gap_seconds``.
+
+    Classic lag + cumulative-sum-of-flags; one shuffle on ``user_col``.
+    Timestamps compare in integral microseconds (``unix_micros``) so the
+    flag is exact — no float time arithmetic.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = F.lit(int(gap_seconds) * 1_000_000)
+    new_flag = (
+        F.when(F.lag(us).over(w).isNull(), F.lit(1))
+        .when(us - F.lag(us).over(w) > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sessions = events.withColumn(
+        "session_seq",
+        F.sum(new_flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sessions.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        deterministic_sum("value").alias("sum_value"),
+    )
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user daily resample with gap filling.
+
+    Emits one row per (user, day) for every day between the user's first
+    and last event; days with no events get ``n_events = 0`` and carry
+    the most recent prior day's mean value forward
+    (``last(..., ignorenulls)`` over an ordered window).
+
+    Plan: one aggregation shuffle to daily grain, a per-user
+    ``sequence()`` + ``explode`` for the calendar spine (generated
+    executor-side — no driver-side date loop), a key-local left join, and
+    the forward-fill window on the same (already co-partitioned) user
+    key. The calendar spine is bounded by the observed span, so output
+    size is O(users × span-days), independent of raw event volume.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = events.groupBy(F.col(user_col), day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # exact-decimal sum / count: bit-identical on any engine
+        deterministic_avg(value_col).alias("day_avg_value"),
+    )
+    spine = (
+        daily.groupBy(user_col)
+        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .select(
+            user_col,
+            F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    filled = spine.join(daily, [user_col, "day"], "left")
+    wff = Window.partitionBy(user_col).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return filled.select(
+        user_col,
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("day_avg_value", ignorenulls=True).over(wff).alias("ffill_avg_value"),
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Join two interval sets on temporal overlap (half-open semantics:
+    ``l.start < r.end AND r.start < l.end``).
+
+    A naive theta-join is a cartesian product; instead each interval is
+    exploded to the coarse time buckets it covers and the join runs as a
+    bucket equi-join + exact overlap filter + distinct — the same
+    banding trick as ``operators/range_join.py``, generalized to
+    interval×interval. With bucket width ~ median interval length the
+    per-bucket fan-out is O(1) and the join shuffles on a well-spread
+    integer key. Output columns are all of ``left``'s plus all of
+    ``right``'s (names must not collide).
+    """
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        b0 = (F.unix_micros(F.col(s)) / F.lit(bucket_seconds * 1_000_000)).cast("long")
+        # end is exclusive: an interval ending exactly on a bucket edge
+        # does not cover that bucket
+        b1 = (
+            (F.unix_micros(F.col(e)) - F.lit(1)) / F.lit(bucket_seconds * 1_000_000)
+        ).cast("long")
+        return df.withColumn("_bucket", F.explode(F.sequence(b0, b1)))
+
+    lb = bucketed(left, left_start, left_end)
+    rb = bucketed(right, right_start, right_end)
+    joined = lb.join(rb, "_bucket").filter(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+    )
+    # an overlapping pair co-occurs in every shared bucket — dedup
+    return joined.drop("_bucket").distinct()

@@ -75,9 +75,17 @@ _ORDER: list[str] = [
     "metadata_documents",
     "tpch_q1",
     "grouping_sets",
-    "distinct_agg",
+    # pagerank_parts takes distinct_agg's slot: the Expand-based
+    # distinct-aggregate shape stays attested by grouping_sets (same
+    # Expand plan family; distinct_agg keeps its local+CI row); the
+    # iterative graph operator is a new family that needs a driver row
+    "pagerank_parts",
     "cosine_topk",
-    "ivf_topk",
+    # merge_upsert takes ivf_topk's slot: the ANN family stays attested
+    # by cosine_topk + hamming_topk (ivf_topk keeps its local+CI row and
+    # its partition-pruning plan pin in test_layout.py); CDC MERGE is a
+    # new operator family that needs a driver row
+    "merge_upsert",
     # semantic_dedup subsumes embedding_neardup's attestation (round 5):
     # same blocked cosine self-join shape, plus the sign-bit bucket
     # blocking and keep-lowest-id survivor selection on top; neardup
@@ -118,9 +126,19 @@ _ORDER: list[str] = [
     "funnel_conversion",
     "asof_join_events",
     "range_join_bands",
-    "set_ops",
+    # data_expectations takes set_ops' slot: union/except/intersect keep
+    # their local+CI row (the union shape also runs inside
+    # data_expectations' result assembly); the declarative quality gate
+    # is a new operator family that needs a driver row
+    "data_expectations",
     "unpivot_orders",
-    "window_running",
+    # sessionize_gaps takes window_running's slot: the analytic-window
+    # family stays attested by dedup_latest_order (row_number) and
+    # percentile_quantity (rank windows); window_running keeps its
+    # local+CI row. Batch sessionization (lag + cumulative flag sum) is
+    # the batch twin of the streaming session window and needs a driver
+    # row of its own
+    "sessionize_gaps",
     "percentile_quantity",
     # chunk_documents subsumes posexplode's lateral/Generate attestation
     # (sequence explode WITH position + array slice); posexplode keeps
@@ -136,6 +154,15 @@ _ORDER: list[str] = [
     # (try_cast_round / regexp_extract_unit fold into scalar_functions'
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
+    # round-6 operators whose families are already driver-attested
+    "gap_fill_daily",
+    "interval_overlap",
+    "skew_salted_join",
+    # displaced from the window round 6 (family attested by an in-window twin)
+    "ivf_topk",
+    "set_ops",
+    "distinct_agg",
+    "window_running",
     "multimodal_meta",
     "embedding_neardup",
     "knn_join",
@@ -180,6 +207,7 @@ def specs() -> list[QuerySpec]:
     from . import registry_text  # noqa: F401
     from . import registry_streaming  # noqa: F401
     from . import registry_ext  # noqa: F401
+    from . import registry_ops  # noqa: F401
 
     by_name = {s.name: s for s in _SPECS}
     unlisted = [s for s in _SPECS if s.name not in set(_ORDER)]

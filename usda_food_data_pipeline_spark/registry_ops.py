@@ -1,0 +1,327 @@
+"""Round-6 operator queries: CDC merge, batch sessionization, gap-fill
+resample, interval overlap join, skew-salted join, data-quality
+expectations, and PageRank.
+
+Same contract as `registry.py`: every query pairs a Spark DataFrame
+program with a DuckDB oracle twin, column names aliased identically,
+doubles routed through the exact-decimal trick so value hashes match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.cleaning import deterministic_sum, oracle_sum_sql
+from .registry import register
+from .sources.tables import load_table
+
+# Shared oracle CTE: gap-based sessions over events (30-min gap), the
+# exact twin of operators/sessionize.sessionize().
+_SESSIONS_CTE = """
+ordered AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT *, CAST(sum(new_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+  FROM flagged GROUP BY user_id, session_seq
+)
+"""
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_totalprice, o_orderstatus, o_orderpriority,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t WHERE rn = 1
+    ),
+    changes AS (
+      SELECT o_custkey AS c_custkey,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS ch_acctbal,
+             'PRIO:' || o_orderpriority AS ch_seg
+      FROM latest
+    )
+    SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN c.op IS NOT NULL THEN c.ch_acctbal ELSE b.c_acctbal END AS c_acctbal,
+           CASE WHEN c.op IS NOT NULL THEN c.ch_seg ELSE b.c_mktsegment END AS c_mktsegment
+    FROM (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer) b
+    FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    "CDC MERGE INTO: latest-change-wins upsert/delete onto the base snapshot",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import merge_apply
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D")).otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.concat(F.lit("PRIO:"), F.col("o_orderpriority")).alias("c_mktsegment"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return merge_apply(
+        base,
+        changes,
+        keys=["c_custkey"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+    )
+
+
+@register(
+    "sessionize_gaps",
+    f"""
+    WITH {_SESSIONS_CTE}
+    SELECT * FROM sessions
+    """,
+    "batch gap-based sessionization (lag + cumulative flag sum, 30-min gap)",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, gap_seconds=1800)
+
+
+@register(
+    "gap_fill_daily",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
+             ({oracle_sum_sql('value')} / count(value)) AS day_avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT u.user_id, CAST(gs.d AS DATE) AS day
+      FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1) u,
+           LATERAL (SELECT unnest(generate_series(u.d0, u.d1, INTERVAL 1 DAY)) AS d) gs
+    )
+    SELECT s.user_id, s.day, coalesce(d.n_events, 0) AS n_events,
+           last_value(d.day_avg_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day ROWS UNBOUNDED PRECEDING)
+             AS ffill_avg_value
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    "per-user daily resample: calendar spine + zero-fill + forward-fill",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import gap_fill_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return gap_fill_daily(events)
+
+
+@register(
+    "interval_overlap",
+    f"""
+    WITH {_SESSIONS_CTE},
+    incidents AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS incident_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS incident_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, s.session_seq, s.session_start, i.incident_start,
+           least(epoch_us(s.session_end), epoch_us(i.incident_end))
+             - greatest(epoch_us(s.session_start), epoch_us(i.incident_start))
+             AS overlap_us
+    FROM sessions s JOIN incidents i
+      ON s.session_start < i.incident_end AND i.incident_start < s.session_end
+    """,
+    "interval×interval overlap join via time-bucket blocking (no theta-join)",
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import interval_overlap_join, sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize(events, gap_seconds=1800).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    incidents = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            hour.alias("incident_start"),
+            (hour + F.expr("interval 1 hour")).alias("incident_end"),
+        )
+        .distinct()
+    )
+    pairs = interval_overlap_join(
+        sessions,
+        incidents,
+        "session_start",
+        "session_end",
+        "incident_start",
+        "incident_end",
+        bucket_seconds=3600,
+    )
+    return pairs.select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "incident_start",
+        (
+            F.least(F.unix_micros("session_end"), F.unix_micros("incident_end"))
+            - F.greatest(F.unix_micros("session_start"), F.unix_micros("incident_start"))
+        ).alias("overlap_us"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    f"""
+    SELECT o_orderpriority,
+           {oracle_sum_sql('l_extendedprice')} AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "salted replicate join == plain equi-join (hot-key join mitigation)",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import replicate_broadcast_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = replicate_broadcast_join(li, orders, key="okey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        deterministic_sum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "data_expectations",
+    """
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS f0,
+             CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 10000000
+                           THEN 0 ELSE 1 END) AS BIGINT) AS f2,
+             CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS f3
+      FROM orders
+    ),
+    uniq AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS f
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) g
+    ),
+    ref AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS f
+    )
+    SELECT 'not_null:o_custkey' AS check_name, n AS n_rows, f0 AS n_failed, f0 = 0 AS ok FROM agg
+    UNION ALL
+    SELECT 'in_set:o_orderstatus', n, f1, f1 = 0 FROM agg
+    UNION ALL
+    SELECT 'in_range:o_totalprice', n, f2, f2 = 0 FROM agg
+    UNION ALL
+    SELECT 'matches:o_orderpriority', n, f3, f3 = 0 FROM agg
+    UNION ALL
+    SELECT 'unique:o_orderkey', n, f, f = 0 FROM uniq
+    UNION ALL
+    SELECT 'ref:o_custkey->c_custkey', n, f, f = 0 FROM ref
+    """,
+    "declarative data-quality gate: row checks in one scan + key/ref checks",
+)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expectations import (
+        expectation_suite,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return expectation_suite(
+        orders,
+        row_checks=[
+            not_null("o_custkey"),
+            in_set("o_orderstatus", ["F", "O", "P"]),
+            in_range("o_totalprice", 0, 10_000_000),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+        unique_keys=[["o_orderkey"]],
+        refs=[("o_custkey", customer.select(F.col("c_custkey")), "c_custkey")],
+    )
+
+
+_PR_ITER = """
+m{i} AS (SELECT e.dst AS node,
+              CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS in_mass
+       FROM edges e JOIN deg d ON e.src = d.src JOIN r{prev} r ON e.src = r.node
+       GROUP BY e.dst),
+r{i} AS (SELECT n.node, (CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(m.in_mass, CAST(0 AS DOUBLE)) AS rank
+       FROM nodes n LEFT JOIN m{i} m ON n.node = m.node)"""
+
+_PR_SQL = (
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+              FROM op a JOIN op b USING (l_orderkey) WHERE a.l_partkey < b.l_partkey),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),"""
+    + ",".join(_PR_ITER.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node AS part, rank FROM r3 ORDER BY rank DESC, node LIMIT 50
+    """
+)
+
+
+@register(
+    "pagerank_parts",
+    _PR_SQL,
+    "3-iteration PageRank on the part co-purchase graph (decimal-exact mass sums)",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank, symmetric_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    ranks = pagerank(symmetric_edges(pairs), iters=3, damping=0.85)
+    return (
+        ranks.select(F.col("node").alias("part"), "rank")
+        .orderBy(F.col("rank").desc(), "part")
+        .limit(50)
+    )
