@@ -38,6 +38,8 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint: bool = True,
+    symmetric: bool = False,
+    broadcast_nodes_limit: int = 5_000_000,
 ) -> DataFrame:
     """PageRank on a directed edge list ``(src, dst)``.
 
@@ -48,29 +50,50 @@ def pagerank(
 
         r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)
 
-    Returns ``(node, rank)``. The edge and degree tables are persisted
-    once and reused across iterations; ranks are localCheckpoint'ed per
-    round to truncate lineage.
+    Returns ``(node, rank)``.
+
+    Iteration cost: the bare edge table is persisted once and NEVER
+    re-shuffled — the per-source contribution ``rank/outdeg`` is
+    computed on the nodes-sized rank table (one cheap node⋈degree
+    join), which is broadcast into the edge scan whenever N fits under
+    ``broadcast_nodes_limit``. The only exchange per iteration carries
+    map-side partial decimal sums — O(distinct nodes per partition)
+    rows, not O(edges). With ``symmetric=True`` the node set is read
+    off the degree table instead of a union-distinct over both endpoint
+    columns. Lineage truncates per round with ``localCheckpoint`` (same
+    pattern as the CC loops, dedup.py:448).
     """
     ed = edges.select("src", "dst").persist()
-    outdeg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .unionByName(ed.select(F.col("dst").alias("node")))
-        .distinct()
+    outdeg = (
+        ed.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
         .persist()
     )
+    if symmetric:
+        nodes = outdeg.select("node")
+    else:
+        nodes = (
+            ed.select(F.col("src").alias("node"))
+            .unionByName(ed.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
     n = nodes.count()  # 1-row statistic, same spirit as the CC convergence probe
     base = (1.0 - damping) / n
+    small = n <= broadcast_nodes_limit
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        contribs = (
-            ed.join(outdeg, "src")
-            .join(ranks, ed["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        # per-source share on the SMALL table; sinks (no out-edges) drop
+        # out of the inner join and correctly contribute nothing
+        shares = ranks.join(outdeg, "node").select(
+            "node", (F.col("rank") / F.col("outdeg")).alias("share")
         )
-        summed = contribs.groupBy("node").agg(
+        r = F.broadcast(shares) if small else shares
+        contribs = ed.join(r, ed["src"] == r["node"]).select(
+            F.col("dst").alias("node2"), F.col("share").alias("c")
+        )
+        summed = contribs.groupBy(F.col("node2").alias("node")).agg(
             F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("in_mass")
         )
         # symmetric graph ⇒ every node receives mass; keep the left join
@@ -86,28 +109,58 @@ def pagerank(
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
-    for df in (ed, outdeg, nodes):
-        df.unpersist()
+    ed.unpersist()
+    outdeg.unpersist()
+    if not symmetric:
+        nodes.unpersist()
     return ranks
 
 
-def copurchase_edges(lineitem: DataFrame, min_pair_count: int = 1) -> DataFrame:
-    """Item co-purchase pairs: parts appearing in the same order.
+def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
+    """Item co-purchase pairs ``(src < dst)``: parts appearing in the
+    same order, one row per (order, unordered pair).
 
-    Self-join on the order key with ``part_a < part_b`` (each unordered
-    pair once); per-order duplicate part rows collapse first so the join
-    is distinct-keyed. Returns ``(src, dst, pair_count)`` undirected
-    pairs weighted by co-occurrence count.
+    NOT a self-join: grouping to a per-order sorted part array (one
+    shuffle of (orderkey, partkey) pairs) and expanding the pairs with
+    array expressions keeps the quadratic blow-up local to each order's
+    tiny array — the self-join alternative shuffles the scan twice and
+    materializes the same pairs through a join. Basket sizes are small
+    and bounded (TPC-H ≤ 7 parts/order; a retail basket ~10s), so the
+    per-group expansion is O(1) work per emitted pair with no skew.
     """
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    from ..sources.tables import spread
+
+    # spread(): a few-row-group parquet scan would run the CPU-heavy
+    # collect_set partial aggregation on 1-3 tasks otherwise
+    per_order = (
+        spread(lineitem.select("l_orderkey", "l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    counted = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("pair_count"))
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size("ps")),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.src", "p.dst")
+
+
+def copurchase_edges(lineitem: DataFrame, min_pair_count: int = 1) -> DataFrame:
+    """Undirected co-purchase pairs weighted by co-occurrence count:
+    ``(src, dst, pair_count)`` with ``src < dst``."""
+    counted = (
+        copurchase_pairs(lineitem)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
     if min_pair_count > 1:
         counted = counted.filter(F.col("pair_count") >= min_pair_count)
     return counted

@@ -309,17 +309,11 @@ _PR_SQL = (
     "3-iteration PageRank on the part co-purchase graph (decimal-exact mass sums)",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import pagerank, symmetric_edges
+    from .operators.graph import copurchase_pairs, pagerank, symmetric_edges
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    )
-    ranks = pagerank(symmetric_edges(pairs), iters=3, damping=0.85)
+    pairs = copurchase_pairs(li)
+    ranks = pagerank(symmetric_edges(pairs), iters=3, damping=0.85, symmetric=True)
     return (
         ranks.select(F.col("node").alias("part"), "rank")
         .orderBy(F.col("rank").desc(), "part")
