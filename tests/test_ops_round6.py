@@ -222,3 +222,83 @@ def test_replicate_broadcast_join_equals_plain_join(spark):
     a = salted.groupBy("k", "tag").agg(F.sum("v").alias("s")).collect()
     b = plain.groupBy("k", "tag").agg(F.sum("v").alias("s")).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# BPE training loop
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts, n_merges, min_count):
+    """Pure-Python reference trainer with identical tokenize/tie-break."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                wf[w] += 1
+    syms = {w: list(w) for w in wf}
+    rules = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (l, r), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if n < min_count:
+            break
+        rules.append((step, l, r, l + r, n))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+    return rules
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    from usda_food_data_pipeline_spark.functions.bpe import bpe_train
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = bpe_train(docs, "text", n_merges=5, min_count=2)
+    want = _py_bpe(texts, n_merges=5, min_count=2)
+    assert got == want
+    assert len(got) == 5
+
+
+def test_bpe_encode_applies_merges_greedily(spark):
+    from usda_food_data_pipeline_spark.functions.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [("the thermal theory there",), ("the other theme thе",)], "text string"
+    )
+    rules = bpe_train(df, "text", n_merges=3, min_count=1)
+    out = df.select(bpe_encode(F.col("text"), rules).alias("toks")).collect()
+    # every learned merged symbol must be fused wherever it occurs
+    merged = {r[3] for r in rules}
+    for row in out:
+        toks = row["toks"]
+        for m in merged:
+            for a, b in [(m[:i], m[i:]) for i in range(1, len(m))]:
+                for t1, t2 in zip(toks, toks[1:]):
+                    assert not (t1 == a and t2 == b and a + b == m)
+    # characters are preserved: concatenating symbols rebuilds the words
+    joined = "".join(out[0]["toks"])
+    assert joined == "thethermaltheorythere"
+
+
+def test_bpe_merge_pair_overlapping_run(spark):
+    from usda_food_data_pipeline_spark.functions.bpe import merge_pair
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "s array<string>")
+    out = df.select(merge_pair(F.col("s"), "a", "a").alias("m")).collect()[0]["m"]
+    assert out == ["aa", "a"]  # greedy left-to-right, non-overlapping

@@ -158,6 +158,7 @@ _ORDER: list[str] = [
     "gap_fill_daily",
     "interval_overlap",
     "skew_salted_join",
+    "bpe_train",
     # displaced from the window round 6 (family attested by an in-window twin)
     "ivf_topk",
     "set_ops",

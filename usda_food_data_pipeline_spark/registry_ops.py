@@ -277,6 +277,21 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_train",
+    None,  # iterative global argmax — not SQL-expressible; rows-only at the
+    # driver, exact parity with a pure-Python trainer pinned in
+    # tests/test_ops_round6.py
+    "full BPE tokenizer training loop on the distinct-word frequency table",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.bpe import bpe_rules_df, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe_train(docs, "text", n_merges=6, min_count=2)
+    return bpe_rules_df(spark, rules)
+
+
 _PR_ITER = """
 m{i} AS (SELECT e.dst AS node,
               CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS in_mass
