@@ -302,3 +302,60 @@ def test_bpe_merge_pair_overlapping_run(spark):
     df = spark.createDataFrame([(["a", "a", "a"],)], "s array<string>")
     out = df.select(merge_pair(F.col("s"), "a", "a").alias("m")).collect()[0]["m"]
     assert out == ["aa", "a"]  # greedy left-to-right, non-overlapping
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_anomaly_spike_detection_and_guards(spark):
+    from usda_food_data_pipeline_spark.operators.sessionize import (
+        rolling_hourly_anomaly,
+    )
+
+    rows = []
+    eid = 0
+    # type 'a': 2 events/hour for hours 0..9, then a 40-event spike at hour 10
+    for h in range(10):
+        for _ in range(2):
+            rows.append((eid, dt.datetime(2024, 1, 1, h), 1, "a", 0.0)); eid += 1
+    for _ in range(40):
+        rows.append((eid, dt.datetime(2024, 1, 1, 10), 1, "a", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["hr"]: r for r in rolling_hourly_anomaly(df, trailing_hours=24).collect()}
+    hrs = sorted(out)
+    first, spike = out[hrs[0]], out[hrs[-1]]
+    # empty trailing window → no mean, no z
+    assert first["trailing_mean"] is None and first["z_score"] is None
+    # second hour: 1-point window → mean but no variance → no z
+    assert out[hrs[1]]["trailing_mean"] == 2.0 and out[hrs[1]]["z_score"] is None
+    # constant-rate trailing window before the spike has zero variance → no z
+    # for the spike either?  No: var==0 → z None; build variance by checking
+    # the spike against a window that includes ONE varying hour instead
+    assert spike["n_events"] == 40 and spike["trailing_mean"] == 2.0
+    assert spike["z_score"] is None  # zero-variance trailing window → undefined z
+
+
+def test_rolling_anomaly_z_score_value(spark):
+    import statistics
+
+    from usda_food_data_pipeline_spark.operators.sessionize import (
+        rolling_hourly_anomaly,
+    )
+
+    counts = [2, 4, 3, 5, 20]
+    rows, eid = [], 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, 1, h), 1, "a", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["hr"]: r for r in rolling_hourly_anomaly(df, trailing_hours=24).collect()}
+    last = out[sorted(out)[-1]]
+    trail = counts[:-1]
+    want = (counts[-1] - statistics.mean(trail)) / statistics.stdev(trail)
+    assert abs(last["z_score"] - want) < 1e-9

@@ -124,3 +124,51 @@ def test_nb_model_joins_by_broadcast(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_is_bucket_equijoin_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, "interval_overlap", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bucket key drives a hash join (broadcast or shuffled)
+    assert "Join" in plan
+
+
+def test_merge_upsert_single_full_outer_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "merge_upsert", sf_dir)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_expectations_row_checks_share_one_scan(spark, sf_dir):
+    # 4 row-level checks compile into ONE aggregation over orders: the
+    # orders parquet appears once for the row-check branch (plus one
+    # scan each for the uniqueness and ref-integrity branches = 3 total)
+    plan = plan_of(spark, "data_expectations", sf_dir)
+    assert plan.count("orders.parquet") == 3
+
+
+def test_pagerank_iteration_broadcasts_rank_shares(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from usda_food_data_pipeline_spark.operators.graph import (
+        copurchase_pairs,
+        symmetric_edges,
+    )
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ed = symmetric_edges(copurchase_pairs(li))
+    outdeg = ed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    shares = outdeg.select("node", (F.lit(0.1) / F.col("outdeg")).alias("share"))
+    contribs = ed.join(F.broadcast(shares), ed["src"] == shares["node"]).select(
+        F.col("dst"), F.col("share")
+    )
+    contribs.write.format("noop").mode("overwrite").save()
+    plan = contribs._jdf.queryExecution().executedPlan().toString()
+    # the edge stream is joined map-side; no sort-merge re-shuffle of edges
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -94,16 +94,23 @@ def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
 def check_ref_integrity(
     child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
 ) -> DataFrame:
-    """n_failed = child rows whose key has no parent (left-anti count).
-    The parent key set aggregates to distinct keys first, so the join's
-    build side is keys-only; AQE broadcasts it when small."""
+    """n_failed = child rows whose key has no parent. One left join with
+    a hit marker + one aggregate — the child is scanned ONCE (an
+    anti-join + separate total count would scan it twice). The parent
+    side reduces to distinct keys first, so the join's build side is
+    keys-only; AQE broadcasts it when small."""
     name = f"ref:{child_key}->{parent_key}"
-    parents = parent.select(F.col(parent_key).alias(child_key)).distinct()
-    orphans = child.join(parents, child_key, "left_anti")
-    both = child.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
-        orphans.agg(F.count(F.lit(1)).alias("_f"))
+    parents = (
+        parent.select(F.col(parent_key).alias(child_key))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    return both.select(*_result_row(name, F.col("_n"), F.col("_f")))
+    marked = child.select(child_key).join(parents, child_key, "left")
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum(F.when(F.col("_hit").isNull(), 1)), F.lit(0)).alias("_f"),
+    )
+    return agg.select(*_result_row(name, F.col("_n"), F.col("_f")))
 
 
 def expectation_suite(

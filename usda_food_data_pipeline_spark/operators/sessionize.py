@@ -97,6 +97,56 @@ def gap_fill_daily(
     )
 
 
+def rolling_hourly_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    trailing_hours: int = 24,
+) -> DataFrame:
+    """Event-rate anomaly score: each (type, hour)'s count z-scored
+    against the TRAILING ``trailing_hours`` window (the current hour
+    excluded, so a spike can't mask itself).
+
+    Two-level plan: the corpus-sized input collapses to the hourly
+    grain first (one aggregation shuffle with map-side combine); the
+    RANGE-frame window then runs over the tiny per-type hourly series —
+    time-gap-aware (RANGE, not ROWS: silent hours don't stretch the
+    lookback) and partitioned by type, so no global single-task window.
+
+    Determinism: hourly counts are exact integers, so the trailing
+    sum/sum-of-squares are exact; mean/variance/z derive from them with
+    a fixed double expression tree — bit-identical on any engine.
+    """
+    hr = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000)).cast("bigint")
+    hourly = events.groupBy(F.col(type_col), hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("hr")
+        .rangeBetween(-trailing_hours, -1)
+    )
+    win_n = F.count("n_events").over(w)
+    win_sum = F.sum("n_events").over(w)
+    win_sumsq = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    # guards: the first hour of a series has an EMPTY trailing window
+    # (n=0 → no mean), and variance needs n ≥ 2 (ANSI division by zero)
+    mean = F.when(win_n > 0, win_sum / win_n)
+    # sample variance from exact integer sums: (Σx² − (Σx)²/n) / (n−1)
+    var = F.when(win_n >= 2, (win_sumsq - win_sum * win_sum / win_n) / (win_n - 1))
+    z = F.when(var > 0, (F.col("n_events") - mean) / F.sqrt(var))
+    return hourly.select(
+        type_col,
+        "hr",
+        "n_events",
+        # raw double: derived from exact integer sums by one division —
+        # identical on any engine, and rounding would risk repr-vs-binary
+        # tie divergence (see verify notes)
+        mean.alias("trailing_mean"),
+        z.alias("z_score"),
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

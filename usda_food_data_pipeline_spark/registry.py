@@ -159,6 +159,7 @@ _ORDER: list[str] = [
     "interval_overlap",
     "skew_salted_join",
     "bpe_train",
+    "rolling_anomaly",
     # displaced from the window round 6 (family attested by an in-window twin)
     "ivf_topk",
     "set_ops",

@@ -278,6 +278,40 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hr, n_events,
+           CAST(sum(n_events) OVER w AS DOUBLE) / count(n_events) OVER w AS trailing_mean,
+           CASE WHEN (sum(n_events * n_events) OVER w
+                       - CAST(sum(n_events) OVER w AS DOUBLE) * sum(n_events) OVER w
+                         / count(n_events) OVER w)
+                     / (count(n_events) OVER w - 1) > 0
+                THEN (n_events - CAST(sum(n_events) OVER w AS DOUBLE)
+                                 / count(n_events) OVER w)
+                     / sqrt((sum(n_events * n_events) OVER w
+                             - CAST(sum(n_events) OVER w AS DOUBLE) * sum(n_events) OVER w
+                               / count(n_events) OVER w)
+                            / (count(n_events) OVER w - 1))
+           END AS z_score
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    """,
+    "trailing-24h RANGE-frame z-score per (event_type, hour) from exact sums",
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import rolling_hourly_anomaly
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_hourly_anomaly(events, trailing_hours=24)
+
+
+@register(
     "bpe_train",
     None,  # iterative global argmax — not SQL-expressible; rows-only at the
     # driver, exact parity with a pure-Python trainer pinned in
