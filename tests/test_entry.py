@@ -23,8 +23,9 @@ def test_queries_oracle_keys_align(spark):
     # documented rows-only set
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    # documented rows-only set: engine-specific randomness or sketches
-    assert rows_only <= {"approx_distinct", "approx_quantiles"} | {
+    # documented rows-only set: engine-specific sketches or iterative
+    # driver decisions with no SQL twin (bpe_train's per-step argmax)
+    assert rows_only <= {"approx_distinct", "approx_quantiles", "bpe_train"} | {
         n for n in qs if n.startswith("stream_")
     }
 

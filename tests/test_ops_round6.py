@@ -180,26 +180,27 @@ def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
     assert all(math.isclose(v, leaf[0], rel_tol=1e-12) for v in leaf)
 
 
-def test_pagerank_matches_numpy_power_iteration(spark):
-    import numpy as np
-
-    from usda_food_data_pipeline_spark.operators.graph import pagerank
+def test_pagerank_matches_python_power_iteration_exactly(spark):
+    from usda_food_data_pipeline_spark.operators.graph import MASS_GRID, pagerank
 
     edges = [(0, 1), (1, 2), (2, 0), (2, 1), (1, 0), (0, 2), (3, 0), (0, 3)]
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
 
+    # reference replicates the engine's dyadic mass quantization, so the
+    # comparison is EXACT (bit-for-bit), not approximate
     n = 4
     out = {u: [e[1] for e in edges if e[0] == u] for u in range(n)}
-    r = np.full(n, 1.0 / n)
+    r = [1.0 / n] * n
     for _ in range(5):
-        nxt = np.full(n, 0.15 / n)
+        mass = [0] * n
         for u in range(n):
+            q = math.floor((r[u] / len(out[u])) * MASS_GRID)
             for v in out[u]:
-                nxt[v] += 0.85 * r[u] / len(out[u])
-        r = nxt
+                mass[v] += q
+        r = [(1.0 - 0.85) / n + 0.85 * (mass[v] / MASS_GRID) for v in range(n)]
     for u in range(n):
-        assert math.isclose(got[u], r[u], rel_tol=1e-12)
+        assert got[u] == r[u]
 
 
 # ---------------------------------------------------------------------------

@@ -15,15 +15,23 @@ join + one aggregation shuffle. Lineage is truncated per iteration with
 ``localCheckpoint`` exactly as in the CC loops (dedup.py:448) so K
 iterations never build a 2^K plan.
 
-Determinism for the oracle gate: per-node contributions sum in
-DECIMAL(38,18) (addition associative ⇒ order-free), per-row double
-arithmetic (divide, damp, add) is IEEE-identical on Spark and DuckDB.
+Determinism for the oracle gate: per-node contributions are quantized
+to a dyadic 2^-40 grid (``floor(share·2^40)`` — ×2^40 and floor are
+EXACT double ops on any engine) and summed as BIGINTs (associative ⇒
+order-free); per-row double arithmetic (divide, damp, add) is
+IEEE-identical on Spark and DuckDB. Decimal sums are NOT portable
+here: DuckDB casts double→decimal via a double multiply by 10^scale
+while Spark goes through the exact BigDecimal expansion — observed
+1-ulp mass divergence (see PLANS.md quality_bins note).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# dyadic quantization grid for cross-engine-exact mass sums (2^40)
+MASS_GRID = 1099511627776.0
 
 
 def symmetric_edges(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
@@ -94,7 +102,9 @@ def pagerank(
             F.col("dst").alias("node2"), F.col("share").alias("c")
         )
         summed = contribs.groupBy(F.col("node2").alias("node")).agg(
-            F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("in_mass")
+            (F.sum(F.floor(F.col("c") * F.lit(MASS_GRID))) / F.lit(MASS_GRID)).alias(
+                "in_mass"
+            )
         )
         # symmetric graph ⇒ every node receives mass; keep the left join
         # anyway so directed graphs with sink-only nodes stay correct

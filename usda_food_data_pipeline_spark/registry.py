@@ -160,6 +160,7 @@ _ORDER: list[str] = [
     "skew_salted_join",
     "bpe_train",
     "rolling_anomaly",
+    "quality_bins",
     # displaced from the window round 6 (family attested by an in-window twin)
     "ivf_topk",
     "set_ops",

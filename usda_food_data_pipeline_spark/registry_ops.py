@@ -277,6 +277,78 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .registry_text import _QUALITY_SQL  # noqa: E402  (shared oracle expr)
+
+_QUALITY_BINS_SQL = f"""
+    WITH scored AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    ),
+    ok AS (SELECT * FROM scored WHERE quality IS NOT NULL),
+    cuts AS (
+      SELECT quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+      FROM ok
+    ),
+    binned AS (
+      SELECT CAST(1 + len(list_filter(cs, c -> quality > c)) AS BIGINT) AS bin,
+             quality
+      FROM ok, cuts
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(floor(quality * 1073741824.0) AS BIGINT)) AS DOUBLE)
+             / count(quality) / 1073741824.0 AS mean_quality
+    FROM binned GROUP BY bin
+    """
+
+
+@register(
+    "quality_bins",
+    _QUALITY_BINS_SQL,
+    "curriculum decile binning: exact quantile cuts broadcast, scan-local assignment",
+)
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-quantile curriculum bins WITHOUT a global sort: the 9 decile
+    cut points are one exact-percentile aggregate (1 row, broadcast); bin
+    assignment is a scan-local fold over the cut array; the per-bin stats
+    are an ordinary 10-group aggregation. ntile() would need a global
+    single-task window — this shape is the 100 TB-safe equivalent
+    (equal-count up to ties at the cut values)."""
+    from .functions.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).filter(F.col("quality").isNotNull())
+    cuts = scored.agg(
+        F.percentile("quality", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias(
+            "cs"
+        )
+    )
+    binned = scored.crossJoin(F.broadcast(cuts)).select(
+        (
+            F.aggregate(
+                "cs",
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("quality") > c, 1).otherwise(0),
+            ).cast("bigint")
+            + 1
+        ).alias("bin"),
+        "quality",
+    )
+    # Arbitrary-double averaging needs MORE than the decimal-sum trick:
+    # decimal(_,6) can hit a Spark-HALF_UP vs DuckDB rounding tie, and
+    # high scales diverge in ulps (DuckDB casts double→decimal via a
+    # double multiply by 10^scale; Spark via exact BigDecimal — both
+    # observed at sf0.01). Dyadic-grid integer sums are exact on both:
+    # ×2^30 and floor are exact double ops, the BIGINT sum is exact, and
+    # the final two divisions are a pinned double expression.
+    grid = F.lit(1073741824.0)  # 2^30
+    qint = F.floor(F.col("quality") * grid)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(qint).cast("double") / F.count("quality") / grid).alias("mean_quality"),
+    )
+
+
 @register(
     "rolling_anomaly",
     """
@@ -328,7 +400,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITER = """
 m{i} AS (SELECT e.dst AS node,
-              CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS in_mass
+              CAST(sum(CAST(floor((r.rank / d.outdeg) * 1099511627776.0) AS BIGINT))
+                   AS BIGINT) / 1099511627776.0 AS in_mass
        FROM edges e JOIN deg d ON e.src = d.src JOIN r{prev} r ON e.src = r.node
        GROUP BY e.dst),
 r{i} AS (SELECT n.node, (CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
@@ -355,7 +428,7 @@ _PR_SQL = (
 @register(
     "pagerank_parts",
     _PR_SQL,
-    "3-iteration PageRank on the part co-purchase graph (decimal-exact mass sums)",
+    "3-iteration PageRank on the part co-purchase graph (dyadic-grid-exact mass sums)",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import copurchase_pairs, pagerank, symmetric_edges
