@@ -23,6 +23,7 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_seconds: int = 1800,
+    value_col: str = "value",
 ) -> DataFrame:
     """Gap-based sessions: a new session starts when the inter-event gap
     within a user exceeds ``gap_seconds``.
@@ -47,7 +48,7 @@ def sessionize(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        deterministic_sum("value").alias("sum_value"),
+        deterministic_sum(value_col).alias("sum_value"),
     )
 
 
@@ -170,10 +171,14 @@ def interval_overlap_join(
     """
 
     def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
-        b0 = (F.unix_micros(F.col(s)) / F.lit(bucket_seconds * 1_000_000)).cast("long")
+        # floor, not cast-truncate: truncation rounds toward zero, which
+        # mis-buckets pre-1970 (negative-epoch) timestamps
+        b0 = F.floor(
+            F.unix_micros(F.col(s)) / F.lit(bucket_seconds * 1_000_000)
+        ).cast("long")
         # end is exclusive: an interval ending exactly on a bucket edge
         # does not cover that bucket
-        b1 = (
+        b1 = F.floor(
             (F.unix_micros(F.col(e)) - F.lit(1)) / F.lit(bucket_seconds * 1_000_000)
         ).cast("long")
         return df.withColumn("_bucket", F.explode(F.sequence(b0, b1)))

@@ -311,7 +311,12 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a scan-local fold over the cut array; the per-bin stats
     are an ordinary 10-group aggregation. ntile() would need a global
     single-task window — this shape is the 100 TB-safe equivalent
-    (equal-count up to ties at the cut values)."""
+    (equal-count up to ties at the cut values).
+
+    Scale note: F.percentile is EXACT (sort-based, O(n) state in one
+    aggregation buffer) — chosen here for oracle parity. At 100 TB swap
+    the cut computation to approx_percentile(..., accuracy) — the rest
+    of the plan (broadcast cuts, fold assignment) is unchanged."""
     from .functions.textstats import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
