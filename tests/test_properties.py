@@ -351,3 +351,132 @@ def test_boilerplate_and_intra_doc_reference_semantics(spark, texts, k):
                 keep.append(c)
         assert intra[i]["clean_text"] == " ".join(keep)
         assert intra[i]["n_removed"] == len(cs) - len(keep)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators
+# ---------------------------------------------------------------------------
+
+merge_changes_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),            # key
+        st.sampled_from(["U", "D"]),                      # op
+        st.integers(min_value=-50, max_value=50),         # value
+        st.integers(min_value=0, max_value=20),           # seq
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@SLOW
+@given(changes=merge_changes_strategy)
+def test_merge_apply_matches_naive_and_is_idempotent(spark, changes):
+    from usda_food_data_pipeline_spark.operators.merge import merge_apply
+
+    base_rows = [(k, k * 10) for k in range(4)]
+    base = spark.createDataFrame(base_rows, "k int, v int")
+    # make (key, seq) a total order the way real CDC seqs are: dedup
+    # equal (k, seq) pairs keeping the last listed
+    dedup = {}
+    for k, op, v, s in changes:
+        dedup[(k, s)] = (k, op, v, s)
+    changes = list(dedup.values())
+    if changes:
+        ch = spark.createDataFrame(changes, "k int, op string, v int, seq int")
+    else:
+        ch = spark.createDataFrame([], "k int, op string, v int, seq int")
+
+    got = {r["k"]: r["v"] for r in merge_apply(base, ch, ["k"], ["seq"]).collect()}
+
+    latest = {}
+    for k, op, v, s in changes:
+        if k not in latest or s > latest[k][2]:
+            latest[k] = (op, v, s)
+    expected = {}
+    for k, v in base_rows:
+        if k not in latest:
+            expected[k] = v
+        elif latest[k][0] != "D":
+            expected[k] = latest[k][1]
+    for k, (op, v, _s) in latest.items():
+        if k not in dict(base_rows) and op != "D":
+            expected[k] = v
+    assert got == expected
+
+    # idempotence: re-applying the same change set onto the merged
+    # snapshot yields the same snapshot
+    merged = merge_apply(base, ch, ["k"], ["seq"])
+    again = {r["k"]: r["v"] for r in merge_apply(merged, ch, ["k"], ["seq"]).collect()}
+    assert again == got
+
+
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),   # start minute
+        st.integers(min_value=1, max_value=400),   # duration minutes
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(ls=interval_strategy, rs=interval_strategy)
+def test_interval_overlap_matches_naive_on_random_intervals(spark, ls, rs):
+    import datetime as dt
+
+    from usda_food_data_pipeline_spark.operators.sessionize import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows, a, b, prefix):
+        data = [
+            (f"{prefix}{i}", t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=s + d))
+            for i, (s, d) in enumerate(rows)
+        ]
+        return spark.createDataFrame(data, f"{prefix}name string, {a} timestamp, {b} timestamp"), data
+
+    left, ldata = mk(ls, "ls", "le", "l")
+    right, rdata = mk(rs, "rs", "re", "r")
+    got = {
+        (r["lname"], r["rname"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=3600
+        ).collect()
+    }
+    want = {
+        (ln, rn)
+        for ln, lss, lee in ldata
+        for rn, rss, ree in rdata
+        if lss < ree and rss < lee
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=20)
+)
+def test_sessionize_session_count_matches_gap_count(spark, gaps):
+    import datetime as dt
+
+    from usda_food_data_pipeline_spark.operators.sessionize import sessionize
+
+    t = dt.datetime(2024, 1, 1)
+    rows, ts = [], []
+    for i, g in enumerate(gaps):
+        t = t + dt.timedelta(seconds=g)
+        rows.append((i, t, 1, 1.0))
+        ts.append(t)
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    out = sessionize(df, gap_seconds=1800)
+    n_sessions = out.count()
+    want = 1 + sum(
+        1 for a, b in zip(ts, ts[1:]) if (b - a).total_seconds() > 1800
+    )
+    assert n_sessions == want
+    # every event lands in exactly one session
+    assert sum(r["n_events"] for r in out.collect()) == len(rows)
