@@ -360,3 +360,48 @@ def test_rolling_anomaly_z_score_value(spark):
     trail = counts[:-1]
     want = (counts[-1] - statistics.mean(trail)) / statistics.stdev(trail)
     assert abs(last["z_score"] - want) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy join (record linkage)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_self_join_matches_naive_including_indels(spark):
+    from usda_food_data_pipeline_spark.operators.fuzzy import fuzzy_self_join
+
+    words = [
+        "kitten", "sitten", "mitten",      # substitutions
+        "kitte", "kittens",                # deletion / insertion vs kitten
+        "xkitten",                          # boundary-shifting front insertion
+        "banana", "bananna",               # insertion mid-word
+        "apple", "aple", "appl", "apples",
+        "zebra",                            # isolated
+    ]
+    df = spark.createDataFrame(list(enumerate(words)), "id int, w string")
+    got = {(r["id_a"], r["id_b"]) for r in fuzzy_self_join(df, "id", "w").collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, j)
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= 1
+    }
+    assert got == want
+    assert (0, 5) in got  # 'xkitten': front insertion found despite shift
+
+
+def test_fuzzy_join_dist_zero_pairs_found(spark):
+    from usda_food_data_pipeline_spark.operators.fuzzy import fuzzy_self_join
+
+    df = spark.createDataFrame([(1, "same"), (2, "same")], "id int, w string")
+    rows = fuzzy_self_join(df, "id", "w").collect()
+    assert len(rows) == 1 and rows[0]["dist"] == 0

@@ -161,6 +161,7 @@ _ORDER: list[str] = [
     "bpe_train",
     "rolling_anomaly",
     "quality_bins",
+    "fuzzy_name_join",
     # displaced from the window round 6 (family attested by an in-window twin)
     "ivf_topk",
     "set_ops",

@@ -301,6 +301,32 @@ _QUALITY_BINS_SQL = f"""
 
 
 @register(
+    "fuzzy_name_join",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 3)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS text_a, b.c_name AS text_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    "record linkage: symmetric-delete blocked fuzzy join == naive lev<=1 pairs",
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fuzzy import fuzzy_self_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey", "c_name")
+    )
+    out = fuzzy_self_join(cust, "c_custkey", "c_name", max_dist=1)
+    return out.select(
+        "id_a", "id_b", "text_a", "text_b", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+@register(
     "quality_bins",
     _QUALITY_BINS_SQL,
     "curriculum decile binning: exact quantile cuts broadcast, scan-local assignment",
