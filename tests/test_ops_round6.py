@@ -405,3 +405,47 @@ def test_fuzzy_join_dist_zero_pairs_found(spark):
     df = spark.createDataFrame([(1, "same"), (2, "same")], "id int, w string")
     rows = fuzzy_self_join(df, "id", "w").collect()
     assert len(rows) == 1 and rows[0]["dist"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Triangle count
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_known_graphs(spark):
+    from usda_food_data_pipeline_spark.operators.graph import triangle_count
+
+    # K4: 4 triangles; plus a pendant edge (no new triangle)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+    # triangle whose closing edge is rank-oriented AGAINST id order:
+    # deg(20)=deg(10)=deg(5)=2 in a plain triangle -> rank ties break by
+    # id; add an extra edge so node 5 outranks node 10 by degree
+    tri = [(5, 10), (5, 20), (10, 20), (5, 99)]
+    df2 = spark.createDataFrame(tri, "src long, dst long")
+    assert triangle_count(df2).collect()[0]["n_triangles"] == 1
+
+
+def test_triangle_count_random_matches_naive(spark):
+    import itertools
+    import random
+
+    from usda_food_data_pipeline_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    pairs = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.35
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    es = set(pairs)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    assert got == want

@@ -126,6 +126,63 @@ def pagerank(
     return ranks
 
 
+def triangle_count(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """Global triangle count of an undirected graph given as unique
+    unordered pairs (``a < b``), plus supporting edge/wedge counts.
+
+    Classic degree-ordered orientation (the O(m^1.5) bound): orient
+    every edge from the lower-(degree, id) endpoint to the higher one —
+    every triangle then has exactly ONE wedge u→v, u→w with (v, w)
+    oriented, so counting reduces to joining the oriented edge list
+    with itself on the wedge pivot and probing the third edge. The
+    pivot join's fan-out per node is its OUT-degree under orientation,
+    which is O(sqrt(m)) even for hubs — the whole reason for ordering
+    by degree: a 10M-follower hub contributes no quadratic wedge set
+    because its edges all point INTO it.
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).distinct()
+    und = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = und.groupBy(F.col("x").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+
+    # orient: keep (u, v) where (deg(u), u) < (deg(v), v)
+    du = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    # keep the head's rank (dy) — the wedge stage orders out-neighbor
+    # pairs by the SAME (deg, id) rank the orientation uses, so each
+    # wedge is generated once, already aligned with its closing edge's
+    # orientation. (Ordering wedge pairs by node ID instead would MISS
+    # triangles whose closing edge is rank-oriented against ID order.)
+    oriented = (
+        und.join(du, "x")
+        .join(dv, "y")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("x", "y", "dy")
+        .persist()
+    )
+    o1 = oriented.select(F.col("x").alias("u"), F.col("y").alias("v"), F.col("dy").alias("rv"))
+    o2 = oriented.select(F.col("x").alias("u"), F.col("y").alias("w"), F.col("dy").alias("rw"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("rv") < F.col("rw"))
+        | ((F.col("rv") == F.col("rw")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("x").alias("v"), F.col("y").alias("w")), ["v", "w"]
+    )
+    out = (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+    result = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return result
+
+
 def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     """Item co-purchase pairs ``(src < dst)``: parts appearing in the
     same order, one row per (order, unordered pair).

@@ -162,6 +162,7 @@ _ORDER: list[str] = [
     "rolling_anomaly",
     "quality_bins",
     "fuzzy_name_join",
+    "triangle_count",
     # displaced from the window round 6 (family attested by an in-window twin)
     "ivf_topk",
     "set_ops",

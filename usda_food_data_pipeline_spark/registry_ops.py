@@ -301,6 +301,39 @@ _QUALITY_BINS_SQL = f"""
 
 
 @register(
+    "triangle_count",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+              FROM op a JOIN op b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+    nodes AS (SELECT DISTINCT n FROM (SELECT x AS n FROM pairs
+                                      UNION ALL SELECT y FROM pairs) t),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e1.y = e2.x
+      JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles
+    """,
+    "degree-ordered-orientation triangle count on the co-purchase graph",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles of the REPEATED co-purchase graph (pairs co-occurring
+    in >= 2 orders): the multiplicity threshold is the standard noise
+    prune and keeps the wedge stage proportional to genuinely related
+    items rather than the dense raw co-occurrence graph."""
+    from .operators.graph import copurchase_edges, triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_count(copurchase_edges(li, min_pair_count=2))
+
+
+@register(
     "fuzzy_name_join",
     """
     WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 3)
