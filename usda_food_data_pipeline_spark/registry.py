@@ -110,7 +110,12 @@ _ORDER: list[str] = [
     "text_fingerprint",
     # round-4 operator families: lexical retrieval + binary-sketch ANN
     "bm25_retrieval",
-    "hamming_topk",
+    # fuzzy_name_join takes hamming_topk's slot (round 6): the ANN
+    # family stays attested by cosine_topk (hamming keeps its local+CI
+    # row and bit-level unit tests); record linkage (symmetric-delete
+    # blocked edit-distance join) is a new operator family that needs a
+    # driver row
+    "fuzzy_name_join",
     # decode subsumes meta's attestation: real mapInPandas binary plumbing
     # (synthesize + decode stages) plus the WAV/BMP codecs; meta is
     # expression-only metadata and keeps its local row beyond the window
@@ -161,8 +166,8 @@ _ORDER: list[str] = [
     "bpe_train",
     "rolling_anomaly",
     "quality_bins",
-    "fuzzy_name_join",
     "triangle_count",
+    "hamming_topk",
     # displaced from the window round 6 (family attested by an in-window twin)
     "ivf_topk",
     "set_ops",
