@@ -449,3 +449,23 @@ def test_triangle_count_random_matches_naive(spark):
         if (a, b) in es and (b, c) in es and (a, c) in es
     )
     assert got == want
+
+
+def test_triangle_count_empty_and_edgeless(spark):
+    from usda_food_data_pipeline_spark.operators.graph import triangle_count
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    row = triangle_count(empty).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (0, 0, 0)
+
+
+def test_fuzzy_join_empty_string_and_null_semantics(spark):
+    from usda_food_data_pipeline_spark.operators.fuzzy import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, ""), (4, None)], "id int, w string"
+    )
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in fuzzy_self_join(df, "id", "w").collect()}
+    # "" vs "" dist 0; "" vs "a" dist 1 (both directions of the block);
+    # NULL text rows drop out (explode of null variant array)
+    assert got == {(1, 3, 0), (1, 2, 1), (2, 3, 1)}
