@@ -172,3 +172,25 @@ def test_pagerank_iteration_broadcasts_rank_shares(spark, sf_dir):
     # the edge stream is joined map-side; no sort-merge re-shuffle of edges
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_is_blocked_hash_join_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "fuzzy_name_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation joins on the deletion-variant block key
+    assert "Join" in plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    from usda_food_data_pipeline_spark.operators.graph import triangle_count
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(20) for b in range(a + 1, 20) if (a + b) % 3], 
+        "src long, dst long",
+    )
+    df = triangle_count(pairs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the wedge/probe stages are equi-joins; the only cross joins are the
+    # three 1-row summary combines
+    assert "BroadcastNestedLoopJoin" not in plan
