@@ -469,3 +469,30 @@ def test_fuzzy_join_empty_string_and_null_semantics(spark):
     # "" vs "" dist 0; "" vs "a" dist 1 (both directions of the block);
     # NULL text rows drop out (explode of null variant array)
     assert got == {(1, 3, 0), (1, 2, 1), (2, 3, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average
+# ---------------------------------------------------------------------------
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from usda_food_data_pipeline_spark.operators.sessionize import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # value 10 held 60s, value 20 held 30s, value 99 held 0 (last)
+        (1, t0, 7, 10.0),
+        (2, t0 + dt.timedelta(seconds=60), 7, 20.0),
+        (3, t0 + dt.timedelta(seconds=90), 7, 99.0),
+        # single-event user: no holding interval -> twap NULL, weight 0
+        (4, t0, 8, 55.0),
+    ]
+    out = {r["user_id"]: r for r in time_weighted_avg(_ev(spark, rows)).collect()}
+    u7 = out[7]
+    assert u7["n_obs"] == 3 and u7["total_us"] == 90_000_000
+    assert abs(u7["twap"] - (10.0 * 60 + 20.0 * 30) / 90) < 1e-12
+    u8 = out[8]
+    assert u8["twap"] is None and u8["total_us"] == 0 and u8["n_obs"] == 1

@@ -98,6 +98,59 @@ def gap_fill_daily(
     )
 
 
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP) over irregular samples:
+    each observation holds its value until the next one, so
+
+        twap = Σ value_i · (ts_{i+1} − ts_i)  /  Σ (ts_{i+1} − ts_i)
+
+    (the final observation of a key has no holding interval and carries
+    zero weight). One key-partitioned window (lead) + one aggregation —
+    a single shuffle on the key.
+
+    Cross-engine determinism: the value is exact at ``value_decimals``
+    (prices/metrics), so it lifts to an exact BIGINT
+    (``round(value·10^d)``); value·weight products and their sums stay
+    in BIGINT (associative, overflow-safe while
+    max_value·10^d · key_time_span < 2^63), and the single int64→double
+    conversion before the closing divisions is one well-defined IEEE
+    rounding on any engine. (A DECIMAL product sum here exceeds 2^53
+    and DuckDB's decimal→double cast double-rounds — observed 1-ulp
+    drift; decimals only work when the final decimal fits a double
+    exactly.) Returns ``(key, twap, total_us, n_obs)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    hold = F.lead(us).over(w) - us  # NULL for the last observation
+    scale = 10 ** value_decimals
+    v_int = F.round(F.col(value_col) * scale, 0).cast("bigint")
+    weighted = events.select(
+        F.col(key_col), v_int.alias("_v"), hold.alias("_w")
+    )
+    agg = weighted.groupBy(key_col).agg(
+        F.sum(F.col("_v") * F.col("_w")).alias("_vw"),  # bigint — exact
+        # a key whose only rows are last-observations sums all-NULL → 0
+        F.coalesce(F.sum("_w"), F.lit(0)).alias("_tw"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return agg.select(
+        key_col,
+        F.when(
+            F.col("_tw") > 0,
+            F.col("_vw").cast("double") / F.col("_tw") / F.lit(float(scale)),
+        ).alias("twap"),
+        F.col("_tw").cast("bigint").alias("total_us"),
+        "n_obs",
+    )
+
+
 def rolling_hourly_anomaly(
     events: DataFrame,
     type_col: str = "event_type",

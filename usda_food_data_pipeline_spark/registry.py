@@ -167,6 +167,7 @@ _ORDER: list[str] = [
     "rolling_anomaly",
     "quality_bins",
     "triangle_count",
+    "events_twap",
     "hamming_topk",
     # displaced from the window round 6 (family attested by an in-window twin)
     "ivf_topk",

@@ -414,6 +414,32 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_twap",
+    """
+    WITH held AS (
+      SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS w
+      FROM events
+    )
+    SELECT user_id,
+           CASE WHEN coalesce(sum(w), 0) > 0
+                THEN CAST(CAST(sum(v * w) AS BIGINT) AS DOUBLE)
+                     / CAST(sum(w) AS BIGINT) / 100.0 END AS twap,
+           CAST(coalesce(sum(w), 0) AS BIGINT) AS total_us,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM held GROUP BY user_id
+    """,
+    "per-user time-weighted average over irregular samples (decimal-exact)",
+)
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import time_weighted_avg
+
+    events = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(events)
+
+
+@register(
     "rolling_anomaly",
     """
     WITH hourly AS (
