@@ -301,3 +301,31 @@ def test_read_parquet_evolved_merges_added_column(spark, tmp_path):
     assert set(df.columns) == {"id", "text", "quality"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["quality"] is None and rows[2]["quality"] == 0.9
+
+
+def test_backfill_overwrite_touches_only_written_partitions(spark, tmp_path):
+    from usda_food_data_pipeline_spark.sources.sinks import (
+        backfill_overwrite,
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0), ("2024-01-03", 3, 30.0)],
+        "day string, k int, v double",
+    )
+    write_partitioned_parquet(full, out, ["day"])
+
+    # recompute ONE day with corrected values
+    patch = spark.createDataFrame([("2024-01-02", 2, 99.0)], "day string, k int, v double")
+    backfill_overwrite(patch, out, ["day"])
+
+    # partition-column type inference reads the day strings back as dates
+    got = {(str(r["day"]), r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("2024-01-01", 10.0), ("2024-01-02", 99.0), ("2024-01-03", 30.0)}
+    # mode restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+
+    # idempotent: same backfill twice == once
+    backfill_overwrite(patch, out, ["day"])
+    assert spark.read.parquet(out).count() == 3

@@ -35,6 +35,29 @@ def write_partitioned_parquet(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def backfill_overwrite(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent backfill: overwrite ONLY the partitions present in
+    ``df``, leaving every other partition untouched.
+
+    The 100 TB recompute pattern: re-running yesterday's slice must not
+    truncate the table (static overwrite mode drops ALL partitions
+    first). Uses dynamic partition-overwrite — each task writes its
+    partition directories and commit replaces exactly those — restored
+    to the session's previous mode afterwards so other writers keep
+    their semantics.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def upsert_batches(
     df: DataFrame,
     upsert: Callable[[list[dict]], None],
