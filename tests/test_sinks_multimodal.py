@@ -329,3 +329,32 @@ def test_backfill_overwrite_touches_only_written_partitions(spark, tmp_path):
     # idempotent: same backfill twice == once
     backfill_overwrite(patch, out, ["day"])
     assert spark.read.parquet(out).count() == 3
+
+
+def test_snapshot_time_travel_append_and_overwrite(spark, tmp_path):
+    from usda_food_data_pipeline_spark.sources.snapshots import (
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "versioned")
+    v0 = write_snapshot(spark.createDataFrame([(1, "a")], "k int, s string"), t)
+    v1 = write_snapshot(spark.createDataFrame([(2, "b")], "k int, s string"), t)
+    assert (v0, v1) == (0, 1) and list_versions(t) == [0, 1]
+
+    # time travel: v0 sees only the first commit; latest sees both
+    assert {r["k"] for r in read_snapshot(spark, t, 0).collect()} == {1}
+    assert {r["k"] for r in read_snapshot(spark, t).collect()} == {1, 2}
+
+    # logical truncate: overwrite starts a fresh file set, history intact
+    v2 = write_snapshot(
+        spark.createDataFrame([(9, "z")], "k int, s string"), t, mode="overwrite"
+    )
+    assert {r["k"] for r in read_snapshot(spark, t, v2).collect()} == {9}
+    assert {r["k"] for r in read_snapshot(spark, t, 1).collect()} == {1, 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, t, 99)

@@ -1,0 +1,85 @@
+"""Manifest-based table versioning: time travel / rollback without a
+table format dependency (Iceberg-lite).
+
+The 100 TB pattern: a "table" is a directory of immutable parquet
+files plus a numbered JSON manifest per version listing the files that
+are LIVE in that version. An append writes only the new files and a
+new manifest referencing old + new; an overwrite writes a manifest
+referencing only the new files (old files stay on disk for time
+travel until a retention sweep). Reading any historical version is
+just `spark.read.parquet(*files_of_that_manifest)` — no data is ever
+copied or rewritten, so versioning cost is O(new data), not O(table).
+
+Commit protocol: manifests are written to a temp name and renamed —
+atomic on POSIX filesystems. On object stores (no atomic rename) this
+step is what Iceberg/Delta delegate to a metastore or conditional-put;
+the seam to swap is `_commit_manifest`.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"manifest-v{version:06d}.json")
+
+
+def list_versions(table_dir: str) -> list[int]:
+    paths = glob.glob(os.path.join(table_dir, "manifest-v*.json"))
+    return sorted(int(os.path.basename(p)[len("manifest-v"):-len(".json")]) for p in paths)
+
+
+def _read_manifest(table_dir: str, version: int) -> list[str]:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)["files"]
+
+
+def _commit_manifest(table_dir: str, version: int, files: list[str]) -> None:
+    """Atomic publish: readers see either the old latest version or the
+    new one, never a partial manifest."""
+    final = _manifest_path(table_dir, version)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": sorted(files)}, f)
+    os.rename(tmp, final)
+
+
+def write_snapshot(df: DataFrame, table_dir: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+
+    ``mode="append"``: the new version is previous files + new files.
+    ``mode="overwrite"``: the new version is the new files only (old
+    versions stay readable — logical truncate, no deletion).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(table_dir, exist_ok=True)
+    versions = list_versions(table_dir)
+    version = (versions[-1] + 1) if versions else 0
+    data_dir = os.path.join(table_dir, "data", f"txn-{version:06d}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    new_files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    prev_files = _read_manifest(table_dir, versions[-1]) if (versions and mode == "append") else []
+    _commit_manifest(table_dir, version, prev_files + new_files)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of ``version`` (default: latest)."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    files = _read_manifest(table_dir, v)
+    if not files:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(*files)
