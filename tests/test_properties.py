@@ -414,7 +414,10 @@ def test_merge_apply_matches_naive_and_is_idempotent(spark, changes):
 interval_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=500),   # start minute
-        st.integers(min_value=1, max_value=400),   # duration minutes
+        # duration 0 = empty interval: the bucketing's end-exclusive
+        # sequence degenerates (descending 2-bucket span on edges) but
+        # the exact overlap filter must keep the naive semantics
+        st.integers(min_value=0, max_value=400),   # duration minutes
     ),
     min_size=1,
     max_size=12,
