@@ -50,3 +50,32 @@ def test_query_matches_oracle(spark, duck, name):
 def test_every_oracle_has_a_query():
     dangling = set(_ORACLES) - set(_QUERIES)
     assert not dangling, f"oracle_sql entries without queries(): {dangling}"
+
+
+def test_gate_rejects_nonscalar_output(spark, duck):
+    """r03 regression: the driver's pandas canonicalizer crashes on list
+    cells, but this gate used to stringify them and pass.  A deliberately
+    array-returning query must now FAIL with nonscalar_output."""
+    df = spark.range(3).selectExpr("id", "array(id, id + 1) AS arr")
+    res = compare("_nonscalar_probe", df, "SELECT 1 AS id, [1, 2] AS arr", duck)
+    assert not res.get("ok")
+    assert res.get("status") == "nonscalar_output", res
+    assert "arr" in res.get("nonscalar_cols", {})
+
+
+def test_no_registered_query_returns_nonscalar(spark):
+    """Every oracle-paired registered query must emit only scalar columns
+    (driver canonicalizer contract).  Schema-only check — no execution."""
+    offenders = {}
+    for name, fn in _QUERIES.items():
+        if _ORACLES.get(name) is None:
+            continue
+        df = _QUERIES[name](spark, SF_DIR)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "struct", "map")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

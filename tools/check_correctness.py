@@ -111,6 +111,22 @@ def compare(name, spark_df, sql, con):
     # DuckDB HUGEINT/decimal results must be caught even when values match.
     s_types = arrow_types_by_col(spark_df.limit(0).toArrow())
     o_types = arrow_types_by_col(o_arrow)
+    # The driver's canonicalizer (pandas sort_values over raw cells) crashes
+    # on list/struct/map cells — r03's quantize_embeddings red row shipped
+    # because this gate stringified them. Reject non-scalar output columns
+    # outright: registered queries must serialize arrays (array_join/to_json)
+    # on both sides.
+    nonscalar = {
+        c: t
+        for types in (s_types, o_types)
+        for c, t in types.items()
+        if t.startswith(("list<", "struct<", "map<"))
+    }
+    if nonscalar:
+        res["status"] = "nonscalar_output"
+        res["nonscalar_cols"] = nonscalar
+        res["ok"] = False
+        return res
     type_diffs = {
         c: [s_types[c], o_types[c]] for c in s_types if s_types[c] != o_types.get(c)
     }

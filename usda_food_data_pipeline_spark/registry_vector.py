@@ -146,9 +146,10 @@ s AS (SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
       FROM t)
 SELECT vec_id, scale,
-       list_transform(v, x -> CAST(least(127.0, greatest(-127.0,
-           CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale + 0.5) END))
-           AS INTEGER)) AS q
+       array_to_string(
+           list_transform(v, x -> CAST(least(127.0, greatest(-127.0,
+               CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale + 0.5) END))
+               AS INTEGER)), ',') AS q
 FROM s
 """
 
@@ -159,10 +160,20 @@ FROM s
     "symmetric int8 quantization of the embedding column (4x storage cut)",
 )
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered twin serializes ``q`` (array<int>) to a comma-joined
+    string on BOTH sides: the driver's pandas canonicalizer cannot sort
+    list cells (r03's one red row), and the local gate now rejects
+    non-scalar output columns outright.  API users get the array via
+    :func:`operators.similarity.quantize_embeddings_df` directly."""
     from .operators.similarity import quantize_embeddings_df
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings_df(emb)
+    out = quantize_embeddings_df(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q"),
+    )
 
 
 # ---------------------------------------------------------------------------
