@@ -122,6 +122,27 @@ def test_read_usda_csv_schema_by_name(spark, workdir):
     assert r["amount"] == 1.5 and r["fdc_id"] == 11
 
 
+def test_read_usda_csv_glob_with_divergent_headers(spark, workdir):
+    """r03 verdict item 7: with explicit schema + header=True, Spark
+    binds CSV columns POSITIONALLY per file, so a glob whose files
+    disagree on column order silently transposes values. read_usda_csv
+    must detect the divergence and bind per-file."""
+    import os
+
+    from usda_food_data_pipeline_spark.sources.tables import read_usda_csv
+
+    d = f"{workdir}/landing_glob"
+    os.makedirs(d, exist_ok=True)
+    with open(f"{d}/part1.csv", "w") as f:
+        f.write("fdc_id,nutrient_id,amount\n11,1,1.5\n")
+    with open(f"{d}/part2.csv", "w") as f:
+        f.write("amount,fdc_id,nutrient_id\n2.5,22,2\n")
+    df = read_usda_csv(spark, f"{d}/*.csv", "food_nutrient")
+    rows = {r["fdc_id"]: (r["nutrient_id"], r["amount"]) for r in df.collect()}
+    assert rows == {11: (1, 1.5), 22: (2, 2.5)}
+    assert dict(df.dtypes)["amount"] == "double"
+
+
 def test_cli_query_subcommand(spark, workdir):
     from usda_food_data_pipeline_spark.__main__ import main
 

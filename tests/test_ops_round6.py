@@ -158,6 +158,47 @@ def test_expectation_suite_counts_failures(spark):
     assert res["ref:id->pid"] == (4, 1, False)         # id=3 orphan
 
 
+def test_interval_overlap_preserves_duplicate_row_multiplicity(spark):
+    """ADVICE r03: fully duplicate input intervals must yield duplicate
+    output pairs (theta-join multiplicity) — the old whole-row distinct
+    collapsed them."""
+    import datetime as dt
+
+    from usda_food_data_pipeline_spark.operators.sessionize import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("x", t0, t0 + dt.timedelta(hours=5))] * 2,  # identical rows
+        "lname string, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [("y", t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=2))],
+        "rname string, rs timestamp, re timestamp",
+    )
+    out = interval_overlap_join(left, right, "ls", "le", "rs", "re",
+                                bucket_seconds=3600).collect()
+    assert len(out) == 2  # one pair per duplicate left row
+
+
+def test_ref_integrity_null_fk_policy(spark):
+    """ADVICE r03: NULL child keys are unverifiable, NOT ref failures
+    (they belong to not_null), and a NULL key in the PARENT must not
+    degenerate the check (the NOT IN failure mode)."""
+    from usda_food_data_pipeline_spark.operators.expectations import (
+        check_ref_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (None,), (7,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (None,)], "pk int")
+    r = check_ref_integrity(child, "fk", parent, "pk").collect()[0]
+    # 7 is the only failure: NULL child exempt; NULL parent key ignored
+    assert (r["n_rows"], r["n_failed"], r["ok"]) == (3, 1, False)
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------

@@ -358,3 +358,34 @@ def test_snapshot_time_travel_append_and_overwrite(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_snapshot(spark, t, 99)
+
+
+def test_snapshot_commit_conflict_retries_next_version(spark, tmp_path, monkeypatch):
+    """ADVICE r03: two writers racing for version N must serialize as N
+    and N+1 — the loser retries instead of clobbering the winner's
+    manifest (os.link fail-on-exists, not os.rename). Simulated by
+    injecting a competing commit between the version read and the
+    manifest link."""
+    from usda_food_data_pipeline_spark.sources import snapshots
+
+    t = str(tmp_path / "contended")
+    write_snapshot = snapshots.write_snapshot
+    v0 = write_snapshot(spark.createDataFrame([(1,)], "k int"), t)
+    assert v0 == 0
+
+    real_commit = snapshots._commit_manifest
+    injected = {"done": False}
+
+    def racing_commit(table_dir, version, files):
+        if not injected["done"]:
+            injected["done"] = True
+            real_commit(table_dir, version, ["competitor.parquet"])  # winner lands first
+        return real_commit(table_dir, version, files)
+
+    monkeypatch.setattr(snapshots, "_commit_manifest", racing_commit)
+    v = write_snapshot(spark.createDataFrame([(2,)], "k int"), t)
+    assert v == 2  # version 1 went to the competitor; loser retried as 2
+    assert snapshots.list_versions(t) == [0, 1, 2]
+    assert snapshots._read_manifest(t, 1) == ["competitor.parquet"]
+    # the retried commit (append mode) folded the winner's files in
+    assert "competitor.parquet" in snapshots._read_manifest(t, 2)

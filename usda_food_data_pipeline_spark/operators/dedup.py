@@ -84,6 +84,128 @@ def oracle_md5_int_sql(expr: str, seed: int, nibbles: int = 12) -> str:
     )
 
 
+def cap_bucket_size(
+    df: DataFrame,
+    keys: list[str],
+    max_rows: int,
+    observation=None,
+) -> DataFrame:
+    """Oversized-bucket guard for pair-generating self-joins.
+
+    Every blocked/bucketed dedup path emits O(k²) candidate pairs from a
+    bucket of k rows; one hot bucket (template spam, a degenerate
+    blocking key) turns a linear job quadratic — the r03 sf1 smoke
+    measured 26×/19× time for 10× data on exactly this shape. The guard
+    drops ALL rows of any bucket whose occupancy exceeds ``max_rows``
+    BEFORE the self-join, bounding per-bucket work at max_rows². The
+    filter is a deterministic function of bucket occupancy, so the
+    DuckDB oracles mirror it exactly (``QUALIFY count(*) OVER
+    (PARTITION BY keys) <= cap``) and value-parity holds at every scale,
+    engaged or not.
+
+    Degradation is surfaced, not silent: pass a
+    ``pyspark.sql.Observation`` and after the first action on the
+    result ``observation.get`` carries ``guard_dropped_rows``,
+    ``guard_dropped_buckets`` and ``guard_max_bucket``.
+
+    Shape: occupancy is counted on a KEYS-ONLY projection (map-side
+    partial agg → one slim row per bucket), then inner-joined back —
+    the payload rows (shingle arrays, embedding vectors) are never
+    shuffled by the guard itself, and the join key equals the
+    downstream self-join key so the exchange is reusable. A window
+    count over the payload would shuffle every heavy row instead.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bkt_n"))
+    if observation is not None:
+        over = F.col("_bkt_n") > max_rows
+        counts = counts.observe(
+            observation,
+            F.sum(F.when(over, F.col("_bkt_n")).otherwise(F.lit(0))).alias(
+                "guard_dropped_rows"
+            ),
+            F.sum(F.when(over, 1).otherwise(0)).alias("guard_dropped_buckets"),
+            F.max("_bkt_n").alias("guard_max_bucket"),
+        )
+    keep = counts.filter(F.col("_bkt_n") <= max_rows).select(*keys)
+    return df.join(keep, keys)
+
+
+def cap_bucket_qualify_sql(keys: str, max_rows: int) -> str:
+    """DuckDB twin of :func:`cap_bucket_size` as a QUALIFY clause."""
+    return f"QUALIFY count(*) OVER (PARTITION BY {keys}) <= {max_rows}"
+
+
+# --- iterative-loop checkpoint hygiene -------------------------------------
+# DataFrame.unpersist() is a documented no-op on localCheckpoint blocks,
+# and waiting for ContextCleaner ties release to DRIVER GC pressure —
+# executor storage grows across rounds of an iterative algorithm until a
+# driver-side collection happens to trigger GC (r03 verdict item 5). The
+# persistent-RDD registry exposes the block-holding handles directly, so
+# superseded generations are released the moment the next one lands.
+
+
+def persistent_rdd_ids(spark, checkpointed_only: bool = False) -> set[int]:
+    """Ids of every currently block-holding RDD (persisted OR checkpointed).
+
+    ``checkpointed_only`` restricts to localCheckpoint blocks — the
+    filter that lets the janitor release checkpoint generations without
+    ever touching a persist()'d cache that happened to materialize
+    during the same action (e.g. the CC loop's edge table on round 1).
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    ids = set(jmap.keySet().toArray())
+    if not checkpointed_only:
+        return ids
+    out = set()
+    for rid in ids:
+        handle = jmap.get(rid)
+        if handle is not None and handle.rdd().isLocallyCheckpointed():
+            out.add(rid)
+    return out
+
+
+def release_rdd_blocks(spark, ids: set[int]) -> None:
+    """Explicitly free the storage blocks behind ``ids`` (non-blocking)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist(False)
+
+
+class CheckpointJanitor:
+    """Tracks the localCheckpoint generation of an iterative loop and
+    frees the previous generation's blocks when a new one supersedes it.
+
+    Usage per round::
+
+        df = janitor.swap(df.localCheckpoint(eager=True))
+
+    where ``swap`` must wrap the checkpoint call site: it diffs the
+    persistent-RDD registry around nothing — the caller checkpoints,
+    then swap records the NEW generation's ids (registry minus baseline
+    minus previous generation) and releases the previous one.  Call
+    ``close()`` after the final result is materialized if the last
+    generation should be freed too (leave it to GC when the returned
+    DataFrame is still lazy).
+    """
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._baseline = persistent_rdd_ids(spark, checkpointed_only=True)
+        self._gen: set[int] = set()
+
+    def swap(self, df: DataFrame) -> DataFrame:
+        now = persistent_rdd_ids(self._spark, checkpointed_only=True)
+        new_gen = now - self._baseline - self._gen
+        release_rdd_blocks(self._spark, self._gen)
+        self._gen = new_gen
+        return df
+
+    def close(self) -> None:
+        release_rdd_blocks(self._spark, self._gen)
+        self._gen = set()
+
+
 def tokenize(col: Column) -> Column:
     """Lower-cased whitespace tokens (empty tokens removed)."""
     return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit(""))
@@ -150,6 +272,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 1024,
+    observation=None,
 ) -> DataFrame:
     """MinHash + LSH candidate generation + exact Jaccard verification.
 
@@ -159,6 +283,12 @@ def minhash_lsh_pairs(
     self-join key and (b) the final distinct — the classic
     Broder/LSH layout. Output: (id_a, id_b, jaccard) with
     jaccard >= threshold, id_a < id_b.
+
+    Band buckets above ``max_bucket`` rows are dropped before the
+    self-join (:func:`cap_bucket_size` — quadratic-pair backstop for
+    template-spam buckets; the 4-band redundancy means a pair in one
+    hot bucket can still surface from its other bands). Pass
+    ``observation`` to read the degraded-bucket counters.
     """
     rows_per_band = num_hashes // bands
     # testdata parquet is single-row-group → 1 scan task; spread the
@@ -195,6 +325,7 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id_", F.explode(band_cols).alias("bb")).select(
         "doc_id_", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    banded = cap_bucket_size(banded, ["band", "bucket"], max_bucket, observation)
 
     cand = (
         banded.alias("a")
@@ -230,6 +361,8 @@ def ngram_jaccard_pairs(
     block_col: str | Column,
     threshold: float = 0.2,
     shingle_n: int = 2,
+    max_block: int = 1024,
+    observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs within a blocking key.
 
@@ -238,6 +371,13 @@ def ngram_jaccard_pairs(
     block key bounds the quadratic term — a coarse key (just lang)
     leaves quadratic blocks; compose it with a length bucket (near-dups
     have near-equal length) to keep group sizes bounded.
+
+    Blocks above ``max_block`` docs are dropped before the self-join
+    (:func:`cap_bucket_size`): a block that big means the key has
+    degenerated and its d² pair emission would dominate the job — the
+    right fix is a finer key, and the guard turns the failure mode from
+    a quadratic stall into an observable recall report (pass
+    ``observation`` for the counters).
     """
     block = F.col(block_col) if isinstance(block_col, str) else block_col
     from ..sources.tables import spread
@@ -247,6 +387,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id_"),
         word_shingles(tokenize(F.col(text_col)), shingle_n).alias("sh"),
     ).withColumn("sz", F.size("sh"))
+    prepped = cap_bucket_size(prepped, ["block_"], max_block, observation)
 
     # Inverted-index co-count instead of per-pair array_intersect: explode
     # shingles, self-join on (block, shingle), count common shingles per
@@ -444,17 +585,16 @@ def connected_components(
         )
 
     converged = False
+    # localCheckpoint: propagate() references the previous labels
+    # twice, so plain persist still doubles the logical plan per
+    # round and Catalyst re-optimization cost compounds; truncating
+    # lineage keeps every round O(1) planning work. Superseded
+    # generations are freed EXPLICITLY each round (CheckpointJanitor)
+    # — unpersist() is a no-op on checkpoint blocks and ContextCleaner
+    # only runs on driver GC, so storage otherwise grows with rounds.
+    janitor = CheckpointJanitor(labels.sparkSession)
     for _ in range(max_iter):
-        # localCheckpoint: propagate() references the previous labels
-        # twice, so plain persist still doubles the logical plan per
-        # round and Catalyst re-optimization cost compounds; truncating
-        # lineage keeps every round O(1) planning work.
-        # DataFrame.unpersist() does NOT free localCheckpoint RDD blocks,
-        # so superseded generations are released by dropping their last
-        # reference (labels rebinds each round) and letting Spark's
-        # ContextCleaner evict the orphaned checkpoint RDD — prompt
-        # here because nothing else holds the old generation.
-        new_labels = propagate(labels).localCheckpoint(eager=True)
+        new_labels = janitor.swap(propagate(labels).localCheckpoint(eager=True))
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -538,19 +678,20 @@ def _connected_components_star(
     first_gen = e  # the persist()'d input edge list
     prev_fp = fingerprint(e)
     converged = False
+    # CheckpointJanitor frees the superseded generation's blocks each
+    # round — executor storage stays one-generation flat however many
+    # rounds the contraction takes (see test_checkpoint_release)
+    janitor = CheckpointJanitor(e.sparkSession)
     for _ in range(max_iter):
         # localCheckpoint (not persist): each round's plan references the
         # previous round twice per star op, so the LOGICAL plan doubles
         # every round and Catalyst re-optimization comes to dominate
         # wall-clock (~70s/round by round 3 on a 999-edge chain);
         # checkpointing truncates lineage so each round plans O(1) work
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_e = janitor.swap(_small_star(_large_star(e)).localCheckpoint(eager=True))
         fp = fingerprint(new_e)
         if e is first_gen:
             e.unpersist()  # real persist() → real release
-        # superseded localCheckpoint generations can't be unpersist()'d
-        # (no-op on checkpoint blocks); rebinding e drops their last
-        # reference and ContextCleaner evicts the orphaned RDD
         e = new_e
         if fp == prev_fp:
             converged = True

@@ -94,11 +94,18 @@ def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
 def check_ref_integrity(
     child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
 ) -> DataFrame:
-    """n_failed = child rows whose key has no parent. One left join with
+    """n_failed = NON-NULL child keys with no parent. One left join with
     a hit marker + one aggregate — the child is scanned ONCE (an
     anti-join + separate total count would scan it twice). The parent
     side reduces to distinct keys first, so the join's build side is
-    keys-only; AQE broadcasts it when small."""
+    keys-only; AQE broadcasts it when small.
+
+    NULL-FK policy (explicit, SQL-standard FK semantics): a NULL child
+    key is NOT a referential failure — it is unverifiable, and belongs
+    to a ``not_null`` row check if the column is mandatory. The DuckDB
+    oracle twin mirrors this as a LEFT JOIN counting non-null misses
+    (a NOT IN subquery would silently degenerate to zero matches if the
+    parent ever contained a NULL key)."""
     name = f"ref:{child_key}->{parent_key}"
     parents = (
         parent.select(F.col(parent_key).alias(child_key))
@@ -108,7 +115,10 @@ def check_ref_integrity(
     marked = child.select(child_key).join(parents, child_key, "left")
     agg = marked.agg(
         F.count(F.lit(1)).alias("_n"),
-        F.coalesce(F.sum(F.when(F.col("_hit").isNull(), 1)), F.lit(0)).alias("_f"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hit").isNull() & F.col(child_key).isNotNull(), 1)),
+            F.lit(0),
+        ).alias("_f"),
     )
     return agg.select(*_result_row(name, F.col("_n"), F.col("_f")))
 

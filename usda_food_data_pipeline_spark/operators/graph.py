@@ -91,6 +91,9 @@ def pagerank(
     small = n <= broadcast_nodes_limit
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    from .dedup import CheckpointJanitor
+
+    janitor = CheckpointJanitor(edges.sparkSession)
     for _ in range(iters):
         # per-source share on the SMALL table; sinks (no out-edges) drop
         # out of the inner join and correctly contribute nothing
@@ -118,7 +121,10 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            # superseded rank generations freed explicitly each round
+            # (unpersist is a no-op on checkpoint blocks; ContextCleaner
+            # waits for driver GC) — storage stays one-generation flat
+            ranks = janitor.swap(ranks.localCheckpoint(eager=True))
     ed.unpersist()
     outdeg.unpersist()
     if not symmetric:

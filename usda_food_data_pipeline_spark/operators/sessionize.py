@@ -186,8 +186,16 @@ def rolling_hourly_anomaly(
     # guards: the first hour of a series has an EMPTY trailing window
     # (n=0 → no mean), and variance needs n ≥ 2 (ANSI division by zero)
     mean = F.when(win_n > 0, win_sum / win_n)
-    # sample variance from exact integer sums: (Σx² − (Σx)²/n) / (n−1)
-    var = F.when(win_n >= 2, (win_sumsq - win_sum * win_sum / win_n) / (win_n - 1))
+    # sample variance from exact integer sums: (Σx² − (Σx)²/n) / (n−1).
+    # (Σx)² is computed as double × int64 — the SAME rounding order as
+    # the oracle's CAST(sum AS DOUBLE) * sum — so the two engines agree
+    # even once Σx exceeds 2^26.5 (where an exact int64 product would
+    # round differently at the division) and the int64 product's own
+    # overflow at Σx ≈ 3e9 can't occur
+    var = F.when(
+        win_n >= 2,
+        (win_sumsq - win_sum.cast("double") * win_sum / win_n) / (win_n - 1),
+    )
     z = F.when(var > 0, (F.col("n_events") - mean) / F.sqrt(var))
     return hourly.select(
         type_col,
@@ -215,12 +223,20 @@ def interval_overlap_join(
 
     A naive theta-join is a cartesian product; instead each interval is
     exploded to the coarse time buckets it covers and the join runs as a
-    bucket equi-join + exact overlap filter + distinct — the same
-    banding trick as ``operators/range_join.py``, generalized to
-    interval×interval. With bucket width ~ median interval length the
-    per-bucket fan-out is O(1) and the join shuffles on a well-spread
-    integer key. Output columns are all of ``left``'s plus all of
-    ``right``'s (names must not collide).
+    bucket equi-join + exact overlap filter — the same banding trick as
+    ``operators/range_join.py``, generalized to interval×interval. With
+    bucket width ~ median interval length the per-bucket fan-out is O(1)
+    and the join shuffles on a well-spread integer key. Output columns
+    are all of ``left``'s plus all of ``right``'s (names must not
+    collide).
+
+    Multiplicity is EXACTLY the theta-join's: a pair that shares k
+    buckets is emitted only in its canonical bucket — the one containing
+    ``greatest(l.start, r.start)``, which both sides always cover when
+    they overlap — instead of emitted k times and distinct()'d. That
+    keeps duplicate input rows as duplicate output pairs (a whole-row
+    distinct would collapse them; ADVICE r03) and removes the distinct's
+    full-output shuffle from the plan.
     """
 
     def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
@@ -238,9 +254,15 @@ def interval_overlap_join(
 
     lb = bucketed(left, left_start, left_end)
     rb = bucketed(right, right_start, right_end)
+    canonical = F.floor(
+        F.unix_micros(F.greatest(F.col(left_start), F.col(right_start)))
+        / F.lit(bucket_seconds * 1_000_000)
+    ).cast("long")
     joined = lb.join(rb, "_bucket").filter(
         (F.col(left_start) < F.col(right_end))
         & (F.col(right_start) < F.col(left_end))
+        # emit each overlapping pair once: only in the bucket holding the
+        # overlap's start instant (covered by both sides by construction)
+        & (F.col("_bucket") == canonical)
     )
-    # an overlapping pair co-occurs in every shared bucket — dedup
-    return joined.drop("_bucket").distinct()
+    return joined.drop("_bucket")

@@ -134,15 +134,24 @@ def embedding_neardup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int = 1024,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine within a blocking key.
 
     The blocking key bounds the quadratic self-join (at scale: an LSH
     band or IVF centroid id instead of a label). Output (id_a, id_b,
     score), id_a < id_b, score >= threshold.
+
+    Blocks above ``max_block`` vectors are dropped before the self-join
+    (``operators.dedup.cap_bucket_size``): a block that size means the
+    key has degenerated (the r03 sf1 smoke measured 19× time at 10×
+    data on exactly this query) — the guard bounds per-block work at
+    max_block² and reports drops via ``observation``.
     """
     # precompute norms once per row — one fold per PAIR instead of three
     from ..sources.tables import spread
+    from .dedup import cap_bucket_size
 
     embeddings = spread(embeddings)
     prepped = embeddings.select(
@@ -150,6 +159,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("_id"),
         as_double_array(vec_col).alias("_v"),
     ).withColumn("_n", l2_norm(F.col("_v")))
+    prepped = cap_bucket_size(prepped, ["_blk"], max_block, observation)
     a, b = prepped.alias("a"), prepped.alias("b")
     score = F.try_divide(dot(F.col("a._v"), F.col("b._v")), F.col("a._n") * F.col("b._n"))
     return (
@@ -426,6 +436,8 @@ def semantic_dedup(
     bucket_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1024,
+    observation=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop every vector whose
     cosine similarity to a LOWER-id vector in the same sign-bit bucket
@@ -459,7 +471,13 @@ def semantic_dedup(
             "_bkt"
         ),
     ).withColumn("_n", l2_norm(F.col("_v")))
-    a, b = prepped.alias("a"), prepped.alias("b")
+    # quadratic-pair backstop: buckets above max_bucket generate no pairs
+    # (their vectors all SURVIVE — the guard applies to pair generation
+    # only, never to the output base); drops reported via `observation`
+    from .dedup import cap_bucket_size
+
+    joinable = cap_bucket_size(prepped, ["_bkt"], max_bucket, observation)
+    a, b = joinable.alias("a"), joinable.alias("b")
     score = F.try_divide(dot(F.col("a._v"), F.col("b._v")), F.col("a._n") * F.col("b._n"))
     dropped = (
         a.join(b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")))

@@ -235,9 +235,15 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) g
     ),
     ref AS (
+      -- LEFT JOIN miss-count, NOT "NOT IN": shares check_ref_integrity's
+      -- NULL-FK policy (NULL child keys are unverifiable, not failures;
+      -- NOT IN degenerates entirely if the parent holds a NULL key)
       SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,
-             (SELECT CAST(count(*) AS BIGINT) FROM orders
-              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS f
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM orders o
+              LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL) AS f
     )
     SELECT 'not_null:o_custkey' AS check_name, n AS n_rows, f0 AS n_failed, f0 = 0 AS ok FROM agg
     UNION ALL

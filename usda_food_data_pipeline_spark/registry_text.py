@@ -71,8 +71,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH prepped AS (
+    -- QUALIFY = oversized-block guard twin (operators/dedup.cap_bucket_size)
     SELECT lang || '_' || CAST(n_chars // 200 AS VARCHAR) AS block_,
            doc_id, {shingles_sql(TOKS_SQL, 2)} AS sh FROM documents
+    QUALIFY count(*) OVER (
+        PARTITION BY lang || '_' || CAST(n_chars // 200 AS VARCHAR)) <= 1024
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -170,9 +173,14 @@ sigs AS (
 banded AS (
 {band_selects}
 ),
+banded_g AS (
+    -- oversized-bucket guard twin (operators/dedup.cap_bucket_size)
+    SELECT * FROM banded
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1024
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b
+    FROM banded_g a JOIN banded_g b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
 mh_pairs AS (

@@ -91,9 +91,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_ORACLE = f"""
+WITH g AS (
+    -- oversized-block guard twin (operators/dedup.cap_bucket_size)
+    SELECT * FROM embeddings
+    QUALIFY count(*) OVER (PARTITION BY label) <= 1024
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS score
-FROM embeddings a JOIN embeddings b
+FROM g a JOIN g b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= 0.3
 """
@@ -292,9 +297,14 @@ WITH p AS (
     SELECT vec_id, embedding::DOUBLE[] AS v, {_pack_sql(1, 8)} AS bkt
     FROM embeddings
 ),
+pg AS (
+    -- oversized-bucket guard twin: pair generation only; vectors in
+    -- over-cap buckets still appear in the survivor base below
+    SELECT * FROM p QUALIFY count(*) OVER (PARTITION BY bkt) <= 1024
+),
 dropped AS (
     SELECT DISTINCT b.vec_id
-    FROM p a JOIN p b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    FROM pg a JOIN pg b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
     WHERE {_cos('a.v', 'b.v')} >= 0.3
 )
 SELECT vec_id, bkt AS bucket FROM p

@@ -10,15 +10,20 @@ travel until a retention sweep). Reading any historical version is
 just `spark.read.parquet(*files_of_that_manifest)` — no data is ever
 copied or rewritten, so versioning cost is O(new data), not O(table).
 
-Commit protocol: manifests are written to a temp name and renamed —
-atomic on POSIX filesystems. On object stores (no atomic rename) this
-step is what Iceberg/Delta delegate to a metastore or conditional-put;
-the seam to swap is `_commit_manifest`.
+Commit protocol: the manifest is written to a temp name and published
+with a FAIL-ON-EXISTS primitive (os.link — atomic on POSIX, and unlike
+os.rename it cannot clobber a manifest another writer just committed);
+on conflict the writer retries with the next version number, so two
+concurrent committers serialize as versions N and N+1 instead of the
+second silently discarding the first. On object stores (no atomic
+link) this step is what Iceberg/Delta delegate to a metastore or
+conditional-put; the seam to swap is `_commit_manifest`.
 """
 
 from __future__ import annotations
 
 import glob
+import itertools
 import json
 import os
 
@@ -41,12 +46,17 @@ def _read_manifest(table_dir: str, version: int) -> list[str]:
 
 def _commit_manifest(table_dir: str, version: int, files: list[str]) -> None:
     """Atomic publish: readers see either the old latest version or the
-    new one, never a partial manifest."""
+    new one, never a partial manifest. Raises ``FileExistsError`` when
+    another writer already committed this version (os.link fails on an
+    existing target where os.rename would silently clobber it)."""
     final = _manifest_path(table_dir, version)
-    tmp = final + ".tmp"
+    tmp = final + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"version": version, "files": sorted(files)}, f)
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)
+    finally:
+        os.unlink(tmp)
 
 
 def write_snapshot(df: DataFrame, table_dir: str, mode: str = "append") -> int:
@@ -55,18 +65,35 @@ def write_snapshot(df: DataFrame, table_dir: str, mode: str = "append") -> int:
     ``mode="append"``: the new version is previous files + new files.
     ``mode="overwrite"``: the new version is the new files only (old
     versions stay readable — logical truncate, no deletion).
+
+    Concurrency: the data files are written ONCE to a writer-unique txn
+    directory; only the manifest commit retries on version conflict, so
+    a lost race never orphans data or re-runs the Spark job. With
+    ``mode="append"`` the retry re-reads the just-committed winner's
+    manifest, so the loser's version includes BOTH writers' files.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
-    versions = list_versions(table_dir)
-    version = (versions[-1] + 1) if versions else 0
-    data_dir = os.path.join(table_dir, "data", f"txn-{version:06d}")
+    # writer-unique txn dir: version numbers can shift on commit retry,
+    # so the data path must not encode the version
+    for attempt in itertools.count():
+        data_dir = os.path.join(table_dir, "data", f"txn-{os.getpid():08d}-{attempt:04d}")
+        if not os.path.exists(data_dir):
+            break
     df.write.mode("errorifexists").parquet(data_dir)
     new_files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
-    prev_files = _read_manifest(table_dir, versions[-1]) if (versions and mode == "append") else []
-    _commit_manifest(table_dir, version, prev_files + new_files)
-    return version
+    while True:
+        versions = list_versions(table_dir)
+        version = (versions[-1] + 1) if versions else 0
+        prev_files = (
+            _read_manifest(table_dir, versions[-1]) if (versions and mode == "append") else []
+        )
+        try:
+            _commit_manifest(table_dir, version, prev_files + new_files)
+        except FileExistsError:
+            continue  # another writer took this version; re-read and retry
+        return version
 
 
 def read_snapshot(

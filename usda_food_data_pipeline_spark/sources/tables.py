@@ -112,17 +112,34 @@ USDA_CSV_TYPES: dict[str, dict[str, str]] = {
 
 
 def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+    from functools import reduce
+
     from pyspark.sql import types as T
 
     dtypes = {"bigint": T.LongType(), "double": T.DoubleType(), "string": T.StringType()}
     types = USDA_CSV_TYPES[table]
+
+    def schema_for(cols: list[str]) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c, dtypes[types.get(c, "string")], True) for c in cols]
+        )
+
     # header-only pass through the CSV source itself: quoted header names
-    # (commas inside quotes) parse correctly, and on a multi-file glob the
-    # source resolves the same leading file it will use for the real read —
-    # unlike a read.text(...).first() probe, which picks an arbitrary file
-    # and splits the header naively on ','.
-    cols = spark.read.option("header", True).csv(path).columns
-    schema = T.StructType(
-        [T.StructField(c, dtypes[types.get(c, "string")], True) for c in cols]
-    )
-    return spark.read.option("header", True).schema(schema).csv(path)
+    # (commas inside quotes) parse correctly — unlike a read.text(...)
+    # .first() probe, which splits the header naively on ','.
+    base = spark.read.option("header", True).csv(path)
+    files = sorted(set(base.inputFiles()))
+    # With an explicit schema + header=True, Spark binds CSV columns
+    # POSITIONALLY per file (the header row is merely skipped) — a glob
+    # whose files disagree on column order would silently transpose
+    # values. Probe each file's header (first line only; a USDA release
+    # is dozens of files, not thousands) and fall back to per-file reads
+    # + unionByName when they differ.
+    headers = {f: tuple(spark.read.option("header", True).csv(f).columns) for f in files}
+    if len(set(headers.values())) <= 1:
+        return spark.read.option("header", True).schema(schema_for(base.columns)).csv(path)
+    parts = [
+        spark.read.option("header", True).schema(schema_for(list(h))).csv(f)
+        for f, h in headers.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
