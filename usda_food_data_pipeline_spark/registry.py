@@ -127,7 +127,12 @@ _ORDER: list[str] = [
     # one unioned attestation, freeing a slot for hamming_topk
     "window_tumbling_sliding",
     "window_session",
-    "events_agg",
+    # events_twap takes events_agg's slot (round 4 rotation): the plain
+    # time-bucketed events aggregate is the same shape family as
+    # window_tumbling_sliding; exact time-weighted-average-price is a
+    # distinct temporal operator that deserves a driver row. events_agg
+    # keeps its local+CI row beyond the window.
+    "events_twap",
     "funnel_conversion",
     "asof_join_events",
     "range_join_bands",
@@ -136,7 +141,12 @@ _ORDER: list[str] = [
     # data_expectations' result assembly); the declarative quality gate
     # is a new operator family that needs a driver row
     "data_expectations",
-    "unpivot_orders",
+    # scd2_history takes unpivot_orders' slot (round 4 rotation): the
+    # unpivot/stack Expand shape stays attested by grouping_sets (same
+    # Expand plan family; unpivot keeps its local+CI row); SCD-2
+    # validity-interval history is a warehouse operator family distinct
+    # from merge_upsert and needs its own driver row
+    "scd2_history",
     # sessionize_gaps takes window_running's slot: the analytic-window
     # family stays attested by dedup_latest_order (row_number) and
     # percentile_quantity (rank windows); window_running keeps its
@@ -144,7 +154,12 @@ _ORDER: list[str] = [
     # the batch twin of the streaming session window and needs a driver
     # row of its own
     "sessionize_gaps",
-    "percentile_quantity",
+    # triangle_count takes percentile_quantity's slot (round 4
+    # rotation): the rank-window family stays attested by
+    # dedup_latest_order's row_number window (percentile keeps its
+    # local+CI row); the degree-ordered O(m^1.5) wedge join is a graph
+    # operator family with no in-window twin beyond PageRank
+    "triangle_count",
     # chunk_documents subsumes posexplode's lateral/Generate attestation
     # (sequence explode WITH position + array slice); posexplode keeps
     # its local+CI row
@@ -166,9 +181,13 @@ _ORDER: list[str] = [
     "bpe_train",
     "rolling_anomaly",
     "quality_bins",
-    "triangle_count",
-    "events_twap",
     "hamming_topk",
+    # displaced from the window round 4 (family attested by an in-window
+    # twin: events_agg ⊂ window_tumbling_sliding, unpivot's Expand ⊂
+    # grouping_sets, percentile's rank window ⊂ dedup_latest_order)
+    "events_agg",
+    "unpivot_orders",
+    "percentile_quantity",
     # displaced from the window round 6 (family attested by an in-window twin)
     "ivf_topk",
     "set_ops",
@@ -205,7 +224,6 @@ _ORDER: list[str] = [
     "incremental_dedup",
     "tfidf_keywords",
     "rrf_fusion",
-    "scd2_history",
     "multimodal_resize",
     "profile_orders",
     "dataset_split",
