@@ -180,13 +180,15 @@ class CheckpointJanitor:
 
         df = janitor.swap(df.localCheckpoint(eager=True))
 
-    where ``swap`` must wrap the checkpoint call site: it diffs the
-    persistent-RDD registry around nothing — the caller checkpoints,
-    then swap records the NEW generation's ids (registry minus baseline
-    minus previous generation) and releases the previous one.  Call
-    ``close()`` after the final result is materialized if the last
-    generation should be freed too (leave it to GC when the returned
-    DataFrame is still lazy).
+    ``swap`` reads the checkpointed-RDD registry after the (eager)
+    checkpoint has materialized: the new generation is whatever
+    checkpoint ids appeared since the janitor's baseline that aren't
+    the previous generation; the previous generation's blocks are then
+    released. The checkpointed-only filter guarantees a persist()'d
+    cache that happens to materialize during the same action (e.g. the
+    CC loop's edge table on round 1) is never touched. Call ``close()``
+    only once the final result is materialized (leave it to GC while
+    the returned DataFrame is still lazy).
     """
 
     def __init__(self, spark):
@@ -721,12 +723,18 @@ def minhash_lsh_pairs_cross(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 1024,
+    observation=None,
 ) -> DataFrame:
     """Cross-table MinHash-LSH: near-dup pairs between two corpora (one
     doc from each side), same banding scheme as :func:`minhash_lsh_pairs`
     but an A×B bucket join instead of a self-join — the candidate step of
     incremental dedup. Output: (id_a from left, id_b from right, jaccard
-    >= threshold)."""
+    >= threshold).
+
+    Each side's band buckets are capped at ``max_bucket`` rows
+    (:func:`cap_bucket_size`), bounding the per-bucket A×B product at
+    max_bucket² — same backstop as the self-join path."""
     rows_per_band = num_hashes // bands
     from ..sources.tables import spread
 
@@ -762,11 +770,13 @@ def minhash_lsh_pairs_cross(
         )
 
     sig_a, sig_b = sig_of(left), sig_of(right)
+    banded_a = cap_bucket_size(banded_of(sig_a), ["band", "bucket"], max_bucket, observation)
+    banded_b = cap_bucket_size(banded_of(sig_b), ["band", "bucket"], max_bucket)
     cand = (
-        banded_of(sig_a)
+        banded_a
         .alias("a")
         .join(
-            banded_of(sig_b).alias("b"),
+            banded_b.alias("b"),
             (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")),
         )
         .select(F.col("a.doc_id_").alias("id_a"), F.col("b.doc_id_").alias("id_b"))

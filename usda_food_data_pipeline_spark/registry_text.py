@@ -971,9 +971,18 @@ xa_banded AS (
 xb_banded AS (
 {bands_of('xb_sigs')}
 ),
+xa_banded_g AS (
+    -- oversized-bucket guard twin (operators/dedup.cap_bucket_size)
+    SELECT * FROM xa_banded
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1024
+),
+xb_banded_g AS (
+    SELECT * FROM xb_banded
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1024
+),
 x_cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM xa_banded a JOIN xb_banded b
+    FROM xa_banded_g a JOIN xb_banded_g b
       ON a.band = b.band AND a.bucket = b.bucket
 ),
 x_pairs AS (
