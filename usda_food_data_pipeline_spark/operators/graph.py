@@ -124,7 +124,7 @@ def pagerank(
             # superseded rank generations freed explicitly each round
             # (unpersist is a no-op on checkpoint blocks; ContextCleaner
             # waits for driver GC) — storage stays one-generation flat
-            ranks = janitor.swap(ranks.localCheckpoint(eager=True))
+            ranks = janitor.checkpoint(ranks)
     ed.unpersist()
     outdeg.unpersist()
     if not symmetric:
