@@ -91,7 +91,10 @@ def main() -> None:
     }
     print(json.dumps(full))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_sf{sf}.json"
+        )
+        with open(out, "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass
