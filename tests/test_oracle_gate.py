@@ -63,12 +63,16 @@ def test_gate_rejects_nonscalar_output(spark, duck):
     assert "arr" in res.get("nonscalar_cols", {})
 
 
-def test_no_registered_query_returns_nonscalar(spark):
-    """Every oracle-paired registered query must emit only scalar columns
-    (driver canonicalizer contract).  Schema-only check — no execution."""
+def test_no_rows_only_query_returns_nonscalar(spark):
+    """Rows-only queries (no oracle) skip compare()'s nonscalar rejection,
+    so their schemas are checked here. Oracle-paired queries are already
+    covered: test_query_matches_oracle routes every one of them through
+    compare(), which now fails on any list/struct/map output column.
+    (Scoped to rows-only queries on purpose — building the oracle-paired
+    DataFrames here would re-execute the eager iterative queries.)"""
     offenders = {}
-    for name, fn in _QUERIES.items():
-        if _ORACLES.get(name) is None:
+    for name in _QUERIES:
+        if _ORACLES.get(name) is not None:
             continue
         df = _QUERIES[name](spark, SF_DIR)
         bad = [

@@ -84,6 +84,12 @@ def oracle_md5_int_sql(expr: str, seed: int, nibbles: int = 12) -> str:
     )
 
 
+# shared Spark-default / oracle-literal cap — the five DuckDB twins
+# interpolate this same constant via cap_bucket_qualify_sql, so changing
+# it cannot desynchronize the engines
+DEFAULT_MAX_BUCKET = 1024
+
+
 def cap_bucket_size(
     df: DataFrame,
     keys: list[str],
@@ -284,7 +290,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
-    max_bucket: int = 1024,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
     observation=None,
 ) -> DataFrame:
     """MinHash + LSH candidate generation + exact Jaccard verification.
@@ -373,7 +379,7 @@ def ngram_jaccard_pairs(
     block_col: str | Column,
     threshold: float = 0.2,
     shingle_n: int = 2,
-    max_block: int = 1024,
+    max_block: int = DEFAULT_MAX_BUCKET,
     observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs within a blocking key.
@@ -733,8 +739,9 @@ def minhash_lsh_pairs_cross(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
-    max_bucket: int = 1024,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
     observation=None,
+    observation_right=None,
 ) -> DataFrame:
     """Cross-table MinHash-LSH: near-dup pairs between two corpora (one
     doc from each side), same banding scheme as :func:`minhash_lsh_pairs`
@@ -781,7 +788,7 @@ def minhash_lsh_pairs_cross(
 
     sig_a, sig_b = sig_of(left), sig_of(right)
     banded_a = cap_bucket_size(banded_of(sig_a), ["band", "bucket"], max_bucket, observation)
-    banded_b = cap_bucket_size(banded_of(sig_b), ["band", "bucket"], max_bucket)
+    banded_b = cap_bucket_size(banded_of(sig_b), ["band", "bucket"], max_bucket, observation_right)
     cand = (
         banded_a
         .alias("a")

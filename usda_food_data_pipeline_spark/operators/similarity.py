@@ -134,7 +134,7 @@ def embedding_neardup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_block: int = 1024,
+    max_block: int | None = None,
     observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine within a blocking key.
@@ -151,8 +151,10 @@ def embedding_neardup_pairs(
     """
     # precompute norms once per row — one fold per PAIR instead of three
     from ..sources.tables import spread
-    from .dedup import cap_bucket_size
+    from .dedup import DEFAULT_MAX_BUCKET, cap_bucket_size
 
+    if max_block is None:
+        max_block = DEFAULT_MAX_BUCKET
     embeddings = spread(embeddings)
     prepped = embeddings.select(
         F.col(block_col).alias("_blk"),
@@ -436,7 +438,7 @@ def semantic_dedup(
     bucket_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int = 1024,
+    max_bucket: int | None = None,
     observation=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop every vector whose
@@ -474,8 +476,10 @@ def semantic_dedup(
     # quadratic-pair backstop: buckets above max_bucket generate no pairs
     # (their vectors all SURVIVE — the guard applies to pair generation
     # only, never to the output base); drops reported via `observation`
-    from .dedup import cap_bucket_size
+    from .dedup import DEFAULT_MAX_BUCKET, cap_bucket_size
 
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
     joinable = cap_bucket_size(prepped, ["_bkt"], max_bucket, observation)
     a, b = joinable.alias("a"), joinable.alias("b")
     score = F.try_divide(dot(F.col("a._v"), F.col("b._v")), F.col("a._n") * F.col("b._n"))

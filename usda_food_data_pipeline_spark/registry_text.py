@@ -25,6 +25,8 @@ from .functions.textstats import (
     tokenize,
 )
 from .operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    cap_bucket_qualify_sql,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -71,11 +73,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH prepped AS (
-    -- QUALIFY = oversized-block guard twin (operators/dedup.cap_bucket_size)
+    -- oversized-block guard twin (operators/dedup.cap_bucket_size)
     SELECT lang || '_' || CAST(n_chars // 200 AS VARCHAR) AS block_,
            doc_id, {shingles_sql(TOKS_SQL, 2)} AS sh FROM documents
-    QUALIFY count(*) OVER (
-        PARTITION BY lang || '_' || CAST(n_chars // 200 AS VARCHAR)) <= 1024
+    {cap_bucket_qualify_sql("lang || '_' || CAST(n_chars // 200 AS VARCHAR)", DEFAULT_MAX_BUCKET)}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -176,7 +177,7 @@ banded AS (
 banded_g AS (
     -- oversized-bucket guard twin (operators/dedup.cap_bucket_size)
     SELECT * FROM banded
-    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1024
+    {cap_bucket_qualify_sql('band, bucket', DEFAULT_MAX_BUCKET)}
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -974,11 +975,11 @@ xb_banded AS (
 xa_banded_g AS (
     -- oversized-bucket guard twin (operators/dedup.cap_bucket_size)
     SELECT * FROM xa_banded
-    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1024
+    {cap_bucket_qualify_sql('band, bucket', DEFAULT_MAX_BUCKET)}
 ),
 xb_banded_g AS (
     SELECT * FROM xb_banded
-    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1024
+    {cap_bucket_qualify_sql('band, bucket', DEFAULT_MAX_BUCKET)}
 ),
 x_cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.dedup import DEFAULT_MAX_BUCKET, cap_bucket_qualify_sql
 from .operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
@@ -94,7 +95,7 @@ NEARDUP_ORACLE = f"""
 WITH g AS (
     -- oversized-block guard twin (operators/dedup.cap_bucket_size)
     SELECT * FROM embeddings
-    QUALIFY count(*) OVER (PARTITION BY label) <= 1024
+    {cap_bucket_qualify_sql('label', DEFAULT_MAX_BUCKET)}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS score
@@ -300,7 +301,7 @@ WITH p AS (
 pg AS (
     -- oversized-bucket guard twin: pair generation only; vectors in
     -- over-cap buckets still appear in the survivor base below
-    SELECT * FROM p QUALIFY count(*) OVER (PARTITION BY bkt) <= 1024
+    SELECT * FROM p {cap_bucket_qualify_sql('bkt', DEFAULT_MAX_BUCKET)}
 ),
 dropped AS (
     SELECT DISTINCT b.vec_id

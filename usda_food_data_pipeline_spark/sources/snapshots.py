@@ -26,6 +26,19 @@ import glob
 import itertools
 import json
 import os
+import socket
+import threading
+
+# writer identity must be unique across hosts (shared FS), processes AND
+# threads — pid alone collides for same-driver threads and cross-host pids
+_WRITER_SEQ = itertools.count()
+_WRITER_LOCK = threading.Lock()
+
+
+def _writer_token() -> str:
+    with _WRITER_LOCK:
+        seq = next(_WRITER_SEQ)
+    return f"{socket.gethostname()}-{os.getpid()}-{threading.get_ident()}-{seq}"
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,7 +63,7 @@ def _commit_manifest(table_dir: str, version: int, files: list[str]) -> None:
     another writer already committed this version (os.link fails on an
     existing target where os.rename would silently clobber it)."""
     final = _manifest_path(table_dir, version)
-    tmp = final + f".tmp.{os.getpid()}"
+    tmp = final + f".tmp.{_writer_token()}"
     with open(tmp, "w") as f:
         json.dump({"version": version, "files": sorted(files)}, f)
     try:
@@ -76,11 +89,9 @@ def write_snapshot(df: DataFrame, table_dir: str, mode: str = "append") -> int:
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
     # writer-unique txn dir: version numbers can shift on commit retry,
-    # so the data path must not encode the version
-    for attempt in itertools.count():
-        data_dir = os.path.join(table_dir, "data", f"txn-{os.getpid():08d}-{attempt:04d}")
-        if not os.path.exists(data_dir):
-            break
+    # so the data path must not encode the version; the token includes
+    # host+pid+thread+sequence so concurrent writers never share a path
+    data_dir = os.path.join(table_dir, "data", f"txn-{_writer_token()}")
     df.write.mode("errorifexists").parquet(data_dir)
     new_files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
     while True:

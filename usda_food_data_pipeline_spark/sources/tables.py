@@ -129,6 +129,9 @@ def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
     # .first() probe, which splits the header naively on ','.
     base = spark.read.option("header", True).csv(path)
     files = sorted(set(base.inputFiles()))
+    if len(files) <= 1:
+        # single file: header divergence is impossible, skip the probes
+        return spark.read.option("header", True).schema(schema_for(base.columns)).csv(path)
     # With an explicit schema + header=True, Spark binds CSV columns
     # POSITIONALLY per file (the header row is merely skipped) — a glob
     # whose files disagree on column order would silently transpose
