@@ -16,6 +16,7 @@ from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 from usda_food_data_pipeline_spark.operators.dedup import (
+    GuardStats,
     cap_bucket_size,
     ngram_jaccard_pairs,
 )
@@ -39,6 +40,52 @@ def test_cap_bucket_size_counters(spark):
     assert m["guard_dropped_rows"] == 5
     assert m["guard_dropped_buckets"] == 1
     assert m["guard_max_bucket"] == 5
+
+
+def test_cap_bucket_size_keeps_null_key_bucket(spark):
+    # NULL keys form a bucket of their own, kept when under cap and
+    # dropped when over — matching the QUALIFY twin's NULL partition
+    # (a plain equi-join rejoin would drop them unconditionally)
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 10), ("a", 11), ("a", 12)],
+        "k string, v int",
+    )
+    out = cap_bucket_size(df, ["k"], max_rows=2)
+    assert {(r.k, r.v) for r in out.collect()} == {(None, 1), (None, 2)}
+    out2 = cap_bucket_size(df, ["k"], max_rows=1)
+    assert out2.count() == 0
+
+
+def test_guard_stats_readable_under_aqe(spark):
+    # Observation.get crashes on AQE-planned queries in Spark 4.1.2
+    # (PythonSQLUtils.toPyRow assertion); GuardStats reads the counters
+    # through a separate aggregate action on the keys-only occupancy
+    # projection, which is AQE-proof. Size the input past the trivial
+    # range so AQE genuinely re-plans (shuffle coalescing kicks in).
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        df = spark.range(20_000).select(
+            (F.col("id") % 64).cast("string").alias("k"), F.col("id").alias("v")
+        )
+        # 64 buckets x ~312 rows; cap at 300 → buckets with 313 rows
+        # (id%64 < 16 have 313) exceed; exact: 20000 = 64*312 + 32 →
+        # buckets 0..31 have 313 rows, 32..63 have 312
+        stats = GuardStats()
+        out = cap_bucket_size(df, ["k"], max_rows=312, observation=stats)
+        assert out.count() == 32 * 312
+        m = stats.get
+        assert m["guard_dropped_buckets"] == 32
+        assert m["guard_dropped_rows"] == 32 * 313
+        assert m["guard_max_bucket"] == 313
+        # readable repeatedly, and even before any action on `out`
+        stats2 = GuardStats()
+        cap_bucket_size(df, ["k"], max_rows=1000, observation=stats2)
+        m2 = stats2.get
+        assert m2["guard_dropped_buckets"] == 0
+        assert m2["guard_max_bucket"] == 313
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _docs(spark, hot_n: int, cold_texts: list[str]):

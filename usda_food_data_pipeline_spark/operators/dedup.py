@@ -90,6 +90,52 @@ def oracle_md5_int_sql(expr: str, seed: int, nibbles: int = 12) -> str:
 DEFAULT_MAX_BUCKET = 1024
 
 
+class GuardStats:
+    """AQE-safe guard telemetry for :func:`cap_bucket_size`.
+
+    ``pyspark.sql.Observation.get`` crashes on AQE-planned queries in
+    Spark 4.1.2 (``PythonSQLUtils.toPyRow`` assertion once the plan is
+    re-planned at runtime) — exactly the production sessions where the
+    degraded-block counters matter most. This variant skips the
+    CollectMetrics node entirely: :func:`cap_bucket_size` hands it the
+    slim keys-only occupancy frame, and reading ``.get`` runs ONE extra
+    aggregate action over that projection (bucket keys + counts only —
+    the heavy payload rows are never touched), which is an ordinary
+    collect and therefore AQE-proof.
+
+    Same reading contract as Observation: access ``stats.get`` for
+    ``{guard_dropped_rows, guard_dropped_buckets, guard_max_bucket}``.
+    Unlike Observation it can be read BEFORE any action on the guarded
+    frame (it recomputes the counts from lineage), and re-reads refresh.
+    """
+
+    def __init__(self) -> None:
+        self._counts: DataFrame | None = None
+        self._max_rows: int | None = None
+
+    def _attach(self, counts: DataFrame, max_rows: int) -> None:
+        self._counts = counts
+        self._max_rows = max_rows
+
+    @property
+    def get(self) -> dict[str, int]:
+        if self._counts is None:
+            raise RuntimeError(
+                "GuardStats not attached: pass it as cap_bucket_size(observation=...)"
+            )
+        over = F.col("_bkt_n") > self._max_rows
+        row = self._counts.agg(
+            F.coalesce(
+                F.sum(F.when(over, F.col("_bkt_n")).otherwise(F.lit(0))), F.lit(0)
+            ).alias("guard_dropped_rows"),
+            F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0)).alias(
+                "guard_dropped_buckets"
+            ),
+            F.coalesce(F.max("_bkt_n"), F.lit(0)).alias("guard_max_bucket"),
+        ).collect()[0]
+        return row.asDict()
+
+
 def cap_bucket_size(
     df: DataFrame,
     keys: list[str],
@@ -107,12 +153,19 @@ def cap_bucket_size(
     filter is a deterministic function of bucket occupancy, so the
     DuckDB oracles mirror it exactly (``QUALIFY count(*) OVER
     (PARTITION BY keys) <= cap``) and value-parity holds at every scale,
-    engaged or not.
+    engaged or not. NULL bucket keys form a bucket of their own and are
+    KEPT when under the cap (null-safe rejoin), matching the QUALIFY
+    twin's NULL window partition — callers whose downstream self-join is
+    null-rejecting drop them there, not here.
 
-    Degradation is surfaced, not silent: pass a
-    ``pyspark.sql.Observation`` and after the first action on the
-    result ``observation.get`` carries ``guard_dropped_rows``,
-    ``guard_dropped_buckets`` and ``guard_max_bucket``.
+    Degradation is surfaced, not silent: pass either
+    - a ``pyspark.sql.Observation`` — zero extra jobs; readable after
+      the first action on the result, but NOT under AQE (Spark 4.1.2's
+      ``Observation.get`` crashes on AQE-planned queries), or
+    - a :class:`GuardStats` — AQE-safe; ``stats.get`` runs one cheap
+      aggregate action over the keys-only occupancy projection.
+    Both carry ``guard_dropped_rows``, ``guard_dropped_buckets`` and
+    ``guard_max_bucket``.
 
     Shape: occupancy is counted on a KEYS-ONLY projection (map-side
     partial agg → one slim row per bucket), then inner-joined back —
@@ -122,7 +175,9 @@ def cap_bucket_size(
     count over the payload would shuffle every heavy row instead.
     """
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bkt_n"))
-    if observation is not None:
+    if isinstance(observation, GuardStats):
+        observation._attach(counts, max_rows)
+    elif observation is not None:
         over = F.col("_bkt_n") > max_rows
         counts = counts.observe(
             observation,
@@ -132,8 +187,19 @@ def cap_bucket_size(
             F.sum(F.when(over, 1).otherwise(0)).alias("guard_dropped_buckets"),
             F.max("_bkt_n").alias("guard_max_bucket"),
         )
-    keep = counts.filter(F.col("_bkt_n") <= max_rows).select(*keys)
-    return df.join(keep, keys)
+    # null-safe rejoin: a plain equi-join on `keys` would silently drop
+    # every NULL-key row regardless of bucket size, diverging from the
+    # QUALIFY twin (which keeps the NULL partition when under cap).
+    # EqualNullSafe is still an extractable equi-join key, so the join
+    # stays hash/broadcast-plannable exactly like the plain form.
+    keep = counts.filter(F.col("_bkt_n") <= max_rows).select(
+        *[F.col(k).alias(f"_keep_{k}") for k in keys]
+    )
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(keep[f"_keep_{k}"])
+        cond = c if cond is None else cond & c
+    return df.join(keep, cond).select(df["*"])
 
 
 def cap_bucket_qualify_sql(keys: str, max_rows: int) -> str:
