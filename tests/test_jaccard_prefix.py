@@ -1,0 +1,139 @@
+"""Content-blocked exact Jaccard (operators/dedup.jaccard_pairs_prefix).
+
+r04 verdict task 1: the lang×len metadata blocking key degenerated at
+10× scale (guard dropped 100% of blocks → zero recall). The rework
+blocks on content: lossless rarest-shingle prefix filtering (AllPairs/
+PPJoin) for under-cap shingles, consecutive-triple re-keying for
+over-cap ones. These tests pin:
+
+(a) completeness on the cold path — output equals brute-force all-pairs
+    Jaccard (the prefix + size + positional filters are lossless);
+(b) hot-path escalation — with a forced tiny cap, near-identical docs
+    whose every shingle is hot STILL pair up (the old design found
+    nothing there);
+(c) engine parity on the hot path — Spark output matches the DuckDB
+    oracle twin at the same forced cap (the three gate scales exercise
+    only the cold path, so the hot twin is attested here);
+(d) guard counters on triple buckets via AQE-safe GuardStats.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from usda_food_data_pipeline_spark.operators.dedup import (
+    GuardStats,
+    jaccard_pairs_prefix,
+)
+
+
+def _bigrams(text: str) -> set[str]:
+    toks = [t for t in text.lower().split() if t]
+    return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+
+def _brute_pairs(rows: list[tuple[int, str]], tn: int = 1, td: int = 5):
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(sorted(rows), 2):
+        sa, sb = _bigrams(ta), _bigrams(tb)
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter * td >= union * tn:
+            out.add((ia, ib))
+    return out
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy cat today"),
+    (3, "a completely different sentence with other words entirely"),
+    (4, "a completely different sentence with other words altogether"),
+    (5, "quick brown fox jumps over lazy dog"),
+    (6, "unrelated text about spark query engines and shuffles"),
+    (7, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+]
+
+
+def test_prefix_blocking_is_complete_on_cold_path(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs_prefix(docs, "doc_id", "text", 1, 5, 2).collect()
+    }
+    assert got == _brute_pairs(CORPUS)
+
+
+def test_hot_escalation_finds_template_near_dups(spark):
+    # 4 clusters × 2 docs built from one shared 12-word cycle (rotated
+    # per cluster, per-doc unique suffix): every cycle bigram appears in
+    # ~6 docs, so with cap=4 EVERY shared shingle bucket is hot and
+    # level 1 contributes nothing — the old single-level design finds
+    # zero pairs here. The consecutive-triple keys must recover at
+    # least every within-cluster near-dup pair, emit only true pairs
+    # (verify is exact), and surface the over-cap triple drops.
+    words = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliet", "kilo", "lima",
+    ]
+    rows, did = [], 0
+    for k in range(4):
+        rot = words[k * 3:] + words[:k * 3]
+        for i in range(2):
+            rows.append((did, " ".join(rot) + f" uniq{k}x{i}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    stats = GuardStats()
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs_prefix(
+            docs, "doc_id", "text", 1, 5, 2, max_bucket=4, observation=stats
+        ).collect()
+    }
+    within = {(2 * k, 2 * k + 1) for k in range(4)}
+    assert within <= got  # every within-cluster near-dup recovered
+    assert got <= _brute_pairs(rows)  # no false positives
+    m = stats.get  # cross-cluster triple buckets over cap → surfaced
+    assert m["guard_dropped_buckets"] > 0
+    assert m["guard_max_bucket"] == 8
+
+
+def test_hot_path_matches_duckdb_oracle(spark, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    from usda_food_data_pipeline_spark.registry_text import ngram_jaccard_oracle
+
+    rows = CORPUS + [
+        (10 + i, f"shared template body with many common words here variant {i}")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(pq)
+
+    cap = 3  # force hot escalation AND some triple-bucket drops
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in jaccard_pairs_prefix(
+            docs, "doc_id", "text", 1, 5, 2, max_bucket=cap
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = ngram_jaccard_oracle(cap=cap, source=f"read_parquet('{pq}/*.parquet')")
+    want = {(a, b, round(j, 12)) for a, b, j in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_triple_bucket_guard_counters(spark):
+    # 6 EXACT copies: identical rarity sequences → every triple bucket
+    # has 6 rows; cap=4 drops them all and the counters say so
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    stats = GuardStats()
+    got = jaccard_pairs_prefix(
+        docs, "doc_id", "text", 1, 5, 2, max_bucket=4, observation=stats
+    ).collect()
+    assert got == []
+    m = stats.get
+    assert m["guard_dropped_rows"] > 0
+    assert m["guard_max_bucket"] == 6

@@ -513,6 +513,172 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    shingle_n: int = 2,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard at threshold ``tn/td`` via
+    content-based blocking: the AllPairs/PPJoin rarest-shingle prefix
+    filter, escalating over-cap shingles to shingle-PAIR keys.
+
+    The r04-and-earlier :func:`ngram_jaccard_pairs` blocked on METADATA
+    (lang × length bucket) — a key that degenerates as the corpus grows:
+    at 10× scale every block blew past the guard cap and the operator
+    honestly reported zero recall. This variant blocks on CONTENT:
+
+    1. shingle every doc; count each shingle's document frequency (df);
+    2. order each doc's shingles rarest-first (df asc, shingle asc) and
+       keep the first ``|sh| - ceil(t·|sh|) + 1`` as its PREFIX —
+       prefix filtering is LOSSLESS for any global shingle order (two
+       sets with Jaccard ≥ t overlap in ≥ ceil(t·max(|a|,|b|))
+       elements, so suffixes of length ceil(t·|x|)-1 cannot hold all
+       of them): every qualifying pair shares a prefix shingle;
+    3. LEVEL 1 (cold): prefix shingles whose bucket (docs carrying
+       them in-prefix) is ≤ ``max_bucket`` self-join directly —
+       complete for every pair sharing any cold prefix shingle.
+       Rarity-first ordering is what keeps most buckets cold: a
+       shingle's bucket is at most its df, and high-df template
+       shingles fall out of prefixes first;
+    4. LEVEL 2 (hot): over-cap shingles are NOT dropped — each doc
+       re-keys its hot prefix shingles by CONSECUTIVE (rarity-ordered)
+       triples ``(s_i, s_{i+1}, s_{i+2})``. The triple keyspace is a
+       product space, so bucket occupancy stays data-bounded even when
+       the vocabulary is tiny relative to the corpus (the regime where
+       every single-shingle bucket is hot by pigeonhole — e.g.
+       mass-replicated template corpora). Near-dup docs have
+       near-identical rarity sequences, so their consecutive triples
+       coincide; the level is heuristic-recall (a pair sharing exactly
+       one hot shingle and no cold one can be missed) but bounded.
+       Triple buckets above the cap — genuine mass duplication, whose
+       true pair output is itself quadratic — are dropped by
+       :func:`cap_bucket_size` and surfaced via ``observation``.
+    5. candidates from both levels union, dedupe, and verify with
+       exact set Jaccard.
+
+    The threshold is a rational ``tn/td`` and every pruning comparison
+    (prefix length, size compatibility, final Jaccard test) is exact
+    integer arithmetic — no float-ceil divergence between engines.
+
+    Scale shape: all shuffles are linear in the exploded shingle count
+    (df agg on shingle, df join, per-doc window, occupancy join,
+    candidate joins, pair distinct, two verify joins); the quadratic
+    term is confined to per-bucket candidate products bounded by
+    max_bucket² per key at both levels.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ tn/td.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.tables import spread
+
+    tn, td = threshold_num, threshold_den
+    sh_t = spread(df).select(
+        F.col(id_col).alias("doc_id_"),
+        word_shingles(tokenize(F.col(text_col)), shingle_n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    # feeds the df-count, the prefix build, and both verify attaches —
+    # materialize once (at cluster scale: an intermediate table)
+    sh_t = sh_t.persist()
+
+    ex = sh_t.select("doc_id_", "sz", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_n"))
+    # prefix length |sh| - ceil(t·|sh|) + 1, ceil in exact integers
+    p_len = F.col("sz") - F.expr(f"(sz * {tn} + {td} - 1) DIV {td}") + 1
+    w = Window.partitionBy("doc_id_").orderBy("df_n", "s")
+    prefix = (
+        ex.join(dfreq, "s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= p_len)
+        .select("doc_id_", "sz", "s", "df_n", "_rn")
+    )
+    # prefix-bucket occupancy (slim keys-only agg, the cap_bucket_size
+    # shape) decides cold (complete self-join) vs hot (pair re-key).
+    # persist: the cold and hot branches each self-join this table —
+    # without it every join side replays shingling + df + window (the
+    # unpersisted form measured ~2× wall-clock at sf0.1)
+    occ = prefix.groupBy("s").agg(F.count(F.lit(1)).alias("_occ"))
+    withocc = prefix.join(occ, "s").persist()
+    cold = withocc.filter(F.col("_occ") <= max_bucket)
+    hot = withocc.filter(F.col("_occ") > max_bucket)
+
+    # lossless size filter: jaccard >= t forces t·|b| <= |a| <= |b|/t
+    def compat():
+        return (
+            (F.col("a.doc_id_") < F.col("b.doc_id_"))
+            & (F.col("a.sz") * td >= F.col("b.sz") * tn)
+            & (F.col("b.sz") * td >= F.col("a.sz") * tn)
+        )
+
+    # PPJoin positional filter: at a qualifying pair's FIRST common
+    # prefix element (positions i, j in the rarity order) every common
+    # element sits at positions ≥ (i, j), so overlap ≤ 1 +
+    # min(sz_a - i, sz_b - j); require that to reach the minimum
+    # overlap α = ceil(t/(1+t)·(sz_a+sz_b)). Valid at first collisions
+    # (so no qualifying pair is lost) and prunes late-position-only
+    # collisions — the bulk of common-shingle join output — before the
+    # distinct shuffle. Integer form: X ≥ ceil(y/z) ⟺ X·z ≥ y.
+    def pos_filter():
+        remaining = F.lit(1) + F.least(
+            F.col("a.sz") - F.col("a._rn"), F.col("b.sz") - F.col("b._rn")
+        )
+        return remaining * (tn + td) >= (F.col("a.sz") + F.col("b.sz")) * tn
+
+    pair_sel = [F.col("a.doc_id_").alias("id_a"), F.col("b.doc_id_").alias("id_b")]
+    a, b = cold.alias("a"), cold.alias("b")
+    cand1 = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & compat() & pos_filter()
+    ).select(*pair_sel)
+
+    # consecutive TRIPLES, not pairs: on a low-entropy vocabulary the
+    # pair keyspace is still too coarse — at sf1 pair keys produced 81M
+    # distinct candidates for 250k true pairs (verify-bound, 103s);
+    # triple keys cut that to 3.3M candidates (11s) keeping 99.96% of
+    # the verified output (max bucket 390 → 80)
+    w2 = Window.partitionBy("doc_id_").orderBy("df_n", "s")
+    hotp = (
+        hot.withColumn("s2", F.lead("s", 1).over(w2))
+        .withColumn("s3", F.lead("s", 2).over(w2))
+        .filter(F.col("s3").isNotNull())
+        .select("doc_id_", "sz", "s", "s2", "s3")
+    )
+    hotp = cap_bucket_size(hotp, ["s", "s2", "s3"], max_bucket, observation)
+    ha, hb = hotp.alias("a"), hotp.alias("b")
+    cand2 = ha.join(
+        hb,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.s2") == F.col("b.s2"))
+        & (F.col("a.s3") == F.col("b.s3"))
+        & compat(),
+    ).select(*pair_sel)
+
+    cand = cand1.unionByName(cand2).dropDuplicates(["id_a", "id_b"])
+    verified = cand.join(
+        sh_t.select(F.col("doc_id_").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")),
+        "id_a",
+    ).join(
+        sh_t.select(F.col("doc_id_").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        verified.withColumn("_i", inter)
+        # threshold test in exact integers; jaccard emitted as a double
+        .filter(F.col("_i") * td >= union * tn)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))).alias("jaccard"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -131,23 +131,37 @@ def ivf_topk(
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float,
-    block_col: str = "label",
+    block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_block: int | None = None,
     observation=None,
+    bucket_bits: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine within a blocking key.
 
-    The blocking key bounds the quadratic self-join (at scale: an LSH
-    band or IVF centroid id instead of a label). Output (id_a, id_b,
-    score), id_a < id_b, score >= threshold.
+    Default blocking (``block_col=None``) is CONTENT-based: the sign
+    pattern of the first ``bucket_bits`` embedding dimensions (the
+    :func:`sign_bitpack` sketch — exactly the scheme that keeps
+    :func:`semantic_dedup` bounded: max bucket 160 at sf1, zero
+    drops). r04 verdict task 1: the previous metadata default (a label
+    column) degenerated at 10× scale — label cardinality is fixed, so
+    every block outgrew the guard cap and recall honestly dropped to
+    zero; sign-bucket occupancy instead tracks the local density of the
+    embedding space, which is what near-dup pair generation actually
+    costs. Near-identical vectors share the sign pattern, so recall
+    concentrates exactly on the near-dup pairs the operator exists to
+    find (ANN semantics: a pair straddling a sign boundary can be
+    missed). Pass an explicit ``block_col`` for partition-scoped
+    variants (per-tenant, per-shard).
+
+    Output (id_a, id_b, score), id_a < id_b, score >= threshold.
 
     Blocks above ``max_block`` vectors are dropped before the self-join
-    (``operators.dedup.cap_bucket_size``): a block that size means the
-    key has degenerated (the r03 sf1 smoke measured 19× time at 10×
-    data on exactly this query) — the guard bounds per-block work at
-    max_block² and reports drops via ``observation``.
+    (``operators.dedup.cap_bucket_size``): genuine mass duplication
+    (thousands of identical vectors) has inherently quadratic true
+    output — the guard bounds per-block work at max_block² and reports
+    drops via ``observation``.
     """
     # precompute norms once per row — one fold per PAIR instead of three
     from ..sources.tables import spread
@@ -156,8 +170,13 @@ def embedding_neardup_pairs(
     if max_block is None:
         max_block = DEFAULT_MAX_BUCKET
     embeddings = spread(embeddings)
+    block = (
+        F.col(block_col)
+        if block_col is not None
+        else sign_bitpack(F.col(vec_col), dim=bucket_bits, word_bits=bucket_bits)[0]
+    )
     prepped = embeddings.select(
-        F.col(block_col).alias("_blk"),
+        block.alias("_blk"),
         F.col(id_col).alias("_id"),
         as_double_array(vec_col).alias("_v"),
     ).withColumn("_n", l2_norm(F.col("_v")))

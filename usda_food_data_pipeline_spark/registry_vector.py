@@ -91,16 +91,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, centroids, query, k=10)
 
 
+def _pack_sql(lo: int, hi: int) -> str:
+    """DuckDB twin of operators/similarity.sign_bitpack for one word:
+    integer fold acc*2 + (v>0) over the 1-based inclusive slice."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(embedding[{lo}:{hi}], "
+        f"v -> CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+        f"(a, x) -> a * 2 + x)"
+    )
+
+
 NEARDUP_ORACLE = f"""
-WITH g AS (
+WITH p AS (
+    -- content blocking: sign pattern of the first 8 dims (the
+    -- semantic_dedup bucket scheme — data-bounded occupancy), not a
+    -- fixed-cardinality metadata label (degenerates at scale)
+    SELECT vec_id, embedding, {_pack_sql(1, 8)} AS bkt FROM embeddings
+),
+g AS (
     -- oversized-block guard twin (operators/dedup.cap_bucket_size)
-    SELECT * FROM embeddings
-    {cap_bucket_qualify_sql('label', DEFAULT_MAX_BUCKET)}
+    SELECT * FROM p
+    {cap_bucket_qualify_sql('bkt', DEFAULT_MAX_BUCKET)}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS score
 FROM g a JOIN g b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+  ON a.bkt = b.bkt AND a.vec_id < b.vec_id
 WHERE {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= 0.3
 """
 
@@ -108,11 +125,16 @@ WHERE {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= 0.3
 @register(
     "embedding_neardup",
     NEARDUP_ORACLE,
-    "embedding-cosine near-duplicate pairs within a blocking key",
+    "embedding-cosine near-duplicate pairs, sign-bit-bucket content blocking",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 rework (r04 verdict task 1): label blocking degenerated
+    at 10× scale (fixed cardinality → every block over cap → zero
+    recall); the sign-bit bucket is the semantic_dedup scheme whose
+    occupancy tracks embedding-space density (sf1: max bucket 160,
+    zero drops)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.3, block_col="label")
+    return embedding_neardup_pairs(emb, threshold=0.3, bucket_bits=8)
 
 
 KNN_JOIN_ORACLE = f"""
@@ -185,17 +207,6 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Binary sign-bit sketch + Hamming ANN (256-bit -> 64-bit index path)
 # ---------------------------------------------------------------------------
-
-def _pack_sql(lo: int, hi: int) -> str:
-    """DuckDB twin of operators/similarity.sign_bitpack for one word:
-    integer fold acc*2 + (v>0) over the 1-based inclusive slice."""
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(embedding[{lo}:{hi}], "
-        f"v -> CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
-        f"(a, x) -> a * 2 + x)"
-    )
-
 
 HAMMING_ORACLE = f"""
 WITH packed AS (
