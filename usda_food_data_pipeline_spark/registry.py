@@ -103,11 +103,24 @@ _ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "text_tokens",
+    # gap_fill_daily takes text_tokens' slot (round 5 rotation): the
+    # per-doc tokenize-and-derive projection family stays attested by
+    # text_signals (same two-stage tokenize + regex-scan shape; the
+    # mean-token-length formula runs inside its quality term) and
+    # text_tokens keeps its local+CI row; calendar gap-fill (sequence()
+    # explode + last-observation-carried-forward window) is a distinct
+    # warehouse operator family that needs a driver row
+    "gap_fill_daily",
     # text_signals = text_langid + text_quality merged (round 4): one
     # per-doc row attests both formulas, freeing a slot for bm25_retrieval
     "text_signals",
-    "text_fingerprint",
+    # rolling_anomaly takes text_fingerprint's slot (round 5 rotation):
+    # the md5-derived per-doc integer-fold family stays attested by
+    # dedup_simhash (token-hash array + bit folds) and text_embed
+    # (hashing featurizer); fingerprint keeps its local+CI row. The
+    # rows-between rolling mean/std z-score screen is the time-series
+    # quality-gate family with no in-window twin
+    "rolling_anomaly",
     # round-4 operator families: lexical retrieval + binary-sketch ANN
     "bm25_retrieval",
     # fuzzy_name_join takes hamming_topk's slot (round 6): the ANN
@@ -126,7 +139,15 @@ _ORDER: list[str] = [
     # window_tumbling_sliding = tumbling + sliding merged (round 4):
     # one unioned attestation, freeing a slot for hamming_topk
     "window_tumbling_sliding",
-    "window_session",
+    # interval_overlap takes window_session's slot (round 5 rotation):
+    # session-window semantics stay attested in-window by
+    # sessionize_gaps (the batch twin assembles the same sessions via
+    # lag + cumulative flag sum) and the streaming-window family by
+    # window_tumbling_sliding + funnel_conversion; window_session keeps
+    # its local+CI row and its readStream twin in test_streaming.py.
+    # The canonical-bucket interval-overlap join is a temporal join
+    # family distinct from as-of (backward-only) and band range joins
+    "interval_overlap",
     # events_twap takes events_agg's slot (round 4 rotation): the plain
     # time-bucketed events aggregate is the same shape family as
     # window_tumbling_sliding; exact time-weighted-average-price is a
@@ -175,13 +196,17 @@ _ORDER: list[str] = [
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
     # round-6 operators whose families are already driver-attested
-    "gap_fill_daily",
-    "interval_overlap",
     "skew_salted_join",
     "bpe_train",
-    "rolling_anomaly",
     "quality_bins",
     "hamming_topk",
+    # displaced from the window round 5 (family attested by an in-window
+    # twin: text_tokens' tokenize projection ⊂ text_signals,
+    # text_fingerprint's md5 folds ⊂ dedup_simhash, window_session ⊂
+    # window_tumbling_sliding/sessionize_gaps)
+    "text_tokens",
+    "text_fingerprint",
+    "window_session",
     # displaced from the window round 4 (family attested by an in-window
     # twin: events_agg ⊂ window_tumbling_sliding, unpivot's Expand ⊂
     # grouping_sets, percentile's rank window ⊂ dedup_latest_order)
@@ -227,6 +252,9 @@ _ORDER: list[str] = [
     "multimodal_resize",
     "profile_orders",
     "dataset_split",
+    # round-5: manifest time-travel read path, oracle-attested (r04
+    # verdict task 4); rotates into the window when a slot frees
+    "snapshot_read",
 ]
 
 
