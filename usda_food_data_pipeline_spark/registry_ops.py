@@ -537,3 +537,90 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "part")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot time travel (sources/snapshots.py) — r04 verdict task 4: the
+# manifest-versioning layer was tests-only; this query commits two table
+# versions and reads BOTH back through the manifests, so the driver's
+# oracle gate attests the read path end-to-end. The oracle recomputes
+# the per-version content (row count + portable md5 content hash) from
+# the orders view directly — what each version MUST contain by
+# construction (v0 = 'F'-status orders, v1 = v0 plus appended
+# 'O'-status orders).
+# ---------------------------------------------------------------------------
+
+def _snapshot_row_hash_sql() -> str:
+    from .operators.dedup import oracle_md5_int_sql
+
+    expr = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus"
+    # 8 nibbles (< 2^32) keeps the bigint sum overflow-free at any sf
+    return oracle_md5_int_sql(expr, seed=11, nibbles=8)
+
+
+SNAPSHOT_READ_ORACLE = f"""
+WITH v0 AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+),
+v1 AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
+)
+SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum({_snapshot_row_hash_sql()}), 0) AS BIGINT) AS content_sum
+FROM v0
+UNION ALL
+SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum({_snapshot_row_hash_sql()}), 0) AS BIGINT) AS content_sum
+FROM v1
+"""
+
+
+@register(
+    "snapshot_read",
+    SNAPSHOT_READ_ORACLE,
+    "manifest time travel: commit v0 + append v1, read both versions back, content-hash each",
+)
+def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes snapshots to a per-call temp dir, reads both versions back
+    through their manifests, summarizes (version, n_rows, md5 content
+    sum), then eagerly checkpoints the 2-row result so the temp table
+    dir can be removed before returning (the caller's later collect
+    must not depend on the files)."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import md5_int
+    from .sources.snapshots import read_snapshot, write_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="snapshot_read_")
+    try:
+        v0 = write_snapshot(orders.filter(F.col("o_orderstatus") == "F"), tmp)
+        v1 = write_snapshot(orders.filter(F.col("o_orderstatus") == "O"), tmp, mode="append")
+
+        def summary(version: int) -> DataFrame:
+            df = read_snapshot(spark, tmp, version)
+            row_hash = md5_int(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                ),
+                seed=11,
+                nibbles=8,
+            )
+            return df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum(row_hash), F.lit(0)).cast("bigint").alias("content_sum"),
+            ).select(
+                F.lit(version).cast("int").alias("version"), "n_rows", "content_sum"
+            )
+
+        out = summary(v0).unionByName(summary(v1)).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -15,13 +15,16 @@ with a FAIL-ON-EXISTS primitive (os.link — atomic on POSIX, and unlike
 os.rename it cannot clobber a manifest another writer just committed);
 on conflict the writer retries with the next version number, so two
 concurrent committers serialize as versions N and N+1 instead of the
-second silently discarding the first. On object stores (no atomic
-link) this step is what Iceberg/Delta delegate to a metastore or
-conditional-put; the seam to swap is `_commit_manifest`.
+second silently discarding the first. This requires a
+HARDLINK-CAPABLE filesystem — some NFS/FUSE/overlay mounts reject
+os.link outright; on those (and on object stores, which have no atomic
+link at all) swap `_commit_manifest` for a metastore or
+conditional-put commit, exactly the seam Iceberg/Delta delegate.
 """
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import itertools
 import json
@@ -69,7 +72,11 @@ def _commit_manifest(table_dir: str, version: int, files: list[str]) -> None:
     try:
         os.link(tmp, final)
     finally:
-        os.unlink(tmp)
+        # suppress cleanup errors: an unlink failure here must never
+        # mask the os.link FileExistsError that write_snapshot's
+        # version-conflict retry loop depends on
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
 
 
 def write_snapshot(df: DataFrame, table_dir: str, mode: str = "append") -> int:
