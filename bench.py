@@ -46,6 +46,36 @@ def warmup(spark, sf_dir: str) -> None:
     base.join(dim.hint("broadcast"), "k").count()
 
 
+def build_compact(
+    timings: dict[str, float], errors: list[str], sf: float, repeats: int,
+    max_chars: int = 1100,
+) -> dict:
+    """Compact headline line for the driver's ~2000-char stdout tail:
+    headline metric + the slowest queries that fit. ``n_errors`` counts
+    QUERIES THAT RAISED (tracked by name, not inferred from negative
+    timings — r04 verdict: an error before timing must not be
+    invisible); the names ship in ``errors`` whenever nonzero."""
+    compact = {
+        "metric": "sum_query_sec",
+        "value": round(sum(v for v in timings.values() if v >= 0), 3),
+        "unit": "sec",
+        "sf": sf,
+        "repeats": repeats,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {},
+    }
+    if errors:
+        compact["errors"] = sorted(errors)
+    # fill with the slowest queries while the line stays inside the window
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact)) > max_chars:
+            del compact["queries"][name]
+            break
+    return compact
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -57,6 +87,7 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
+    errors: list[str] = []
     for name, fn in registry.queries().items():
         best = -1.0
         try:
@@ -71,6 +102,7 @@ def main() -> None:
                 spark.catalog.clearCache()
         except Exception as ex:  # noqa: BLE001
             best = -1.0
+            errors.append(name)
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             spark.catalog.clearCache()
         timings[name] = best
@@ -88,6 +120,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "repeats": repeats,
+        "errors": sorted(errors),
     }
     print(json.dumps(full))
     try:
@@ -98,24 +131,7 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    compact = {
-        "metric": "sum_query_sec",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "repeats": repeats,
-        "n_queries": len(timings),
-        "n_errors": sum(1 for v in timings.values() if v < 0),
-        "queries": {},
-    }
-    # fill with the slowest queries while the line stays well inside the
-    # driver's 2000-char tail window
-    for name in sorted(timings, key=lambda n: -timings[n]):
-        compact["queries"][name] = timings[name]
-        if len(json.dumps(compact)) > 1100:
-            del compact["queries"][name]
-            break
-    print(json.dumps(compact))
+    print(json.dumps(build_compact(timings, errors, sf, repeats)))
 
 
 if __name__ == "__main__":

@@ -35,3 +35,30 @@ def test_each_query_runs_at_smoke_sf(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_bench_compact_counts_raised_queries():
+    """r04 verdict task 6: a query that raised must show up in n_errors
+    and by name in errors, even though its timing is just -1."""
+    import json
+
+    from bench import build_compact
+
+    timings = {"ok_a": 1.5, "ok_b": 0.3, "boom": -1.0}
+    compact = build_compact(timings, ["boom"], sf=0.1, repeats=2)
+    assert compact["n_errors"] == 1
+    assert compact["errors"] == ["boom"]
+    assert compact["value"] == 1.8  # errored run excluded from the sum
+    assert compact["n_queries"] == 3
+    # stays a single parseable line within the driver's tail window
+    assert len(json.dumps(compact)) < 2000
+
+    clean = build_compact({"ok_a": 1.0}, [], sf=0.1, repeats=2)
+    assert clean["n_errors"] == 0
+    assert "errors" not in clean
+
+    # char budget still trims the per-query map, never the error list
+    many = {f"q{i:03d}": float(i) for i in range(300)}
+    trimmed = build_compact(many, ["q001"], sf=0.1, repeats=1, max_chars=500)
+    assert len(json.dumps(trimmed)) < 700
+    assert trimmed["errors"] == ["q001"]
