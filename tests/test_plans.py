@@ -194,3 +194,43 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     # the wedge/probe stages are equi-joins; the only cross joins are the
     # three 1-row summary combines
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_beyond_broadcast_limit_no_edge_reshuffle(spark):
+    """r04 verdict task 7: the n > broadcast_nodes_limit branch — edges
+    are hash-partitioned once and every iteration's share join streams
+    the cached layout (shuffled hash join, shares build side): no
+    per-iteration edge exchange, no per-iteration edge sort, and the
+    ranks match the broadcast path exactly."""
+    import re
+
+    from usda_food_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(a, (a * 7 + b) % 40) for a in range(40) for b in range(1, 4)],
+        "src long, dst long",
+    ).filter("src != dst")
+
+    # checkpoint=False keeps the full 2-iteration lineage visible
+    shuffled = pagerank(
+        edges, iters=2, checkpoint=False, broadcast_nodes_limit=0
+    )
+    shuffled.write.format("noop").mode("overwrite").save()
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    # the share⋈edges join is a shuffled hash join (shares build side),
+    # never a sort-merge join over the edge cache — the only SMJs left
+    # are the nodes-sized rank-update joins
+    assert "ShuffledHashJoin" in plan
+    assert not re.search(r"SortMergeJoin \[src#", plan), plan
+    # the edge side must come straight from the cached pre-partitioned
+    # layout: no Exchange directly above the edge InMemoryTableScan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "InMemoryTableScan" in line and "src#" in line:
+            above = lines[max(0, i - 2):i]
+            assert not any("Exchange" in l for l in above), plan
+
+    broadcasted = pagerank(edges, iters=2, checkpoint=False)
+    got = {r.node: r.rank for r in shuffled.collect()}
+    want = {r.node: r.rank for r in broadcasted.collect()}
+    assert got == want  # dyadic-grid sums → exactly equal, not approx

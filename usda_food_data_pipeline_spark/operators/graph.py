@@ -66,7 +66,11 @@ def pagerank(
     join), which is broadcast into the edge scan whenever N fits under
     ``broadcast_nodes_limit``. The only exchange per iteration carries
     map-side partial decimal sums — O(distinct nodes per partition)
-    rows, not O(edges). With ``symmetric=True`` the node set is read
+    rows, not O(edges). Beyond the limit, edges are hash-partitioned
+    by src ONCE (cached layout reused by every iteration's shuffled
+    hash join — shares build side, edges streamed unsorted), so each
+    extra iteration still moves only nodes-sized tables. With
+    ``symmetric=True`` the node set is read
     off the degree table instead of a union-distinct over both endpoint
     columns. Lineage truncates per round with ``localCheckpoint`` (same
     pattern as the CC loops, dedup.py:448).
@@ -90,6 +94,20 @@ def pagerank(
     base = (1.0 - damping) / n
     small = n <= broadcast_nodes_limit
 
+    if small:
+        ed_loop = ed
+    else:
+        # beyond the broadcast limit the share join degrades to a
+        # shuffle — pay the edge exchange ONCE here, not per iteration:
+        # the cached hash-partitioned layout satisfies the join's
+        # distribution requirement every round, so only the nodes-sized
+        # shares table moves per iteration. outdeg materializes from
+        # the original cache first so the source lineage never replays.
+        outdeg.count()
+        ed_loop = ed.repartition("src").persist()
+        ed_loop.count()
+        ed.unpersist()
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     from .dedup import CheckpointJanitor
 
@@ -100,8 +118,11 @@ def pagerank(
         shares = ranks.join(outdeg, "node").select(
             "node", (F.col("rank") / F.col("outdeg")).alias("share")
         )
-        r = F.broadcast(shares) if small else shares
-        contribs = ed.join(r, ed["src"] == r["node"]).select(
+        # non-broadcast: hash-build on the nodes-sized shares side and
+        # STREAM the pre-partitioned edges (no per-iteration edge sort
+        # — a sort-merge join would re-sort the edge cache every round)
+        r = F.broadcast(shares) if small else shares.hint("shuffle_hash")
+        contribs = ed_loop.join(r, ed_loop["src"] == r["node"]).select(
             F.col("dst").alias("node2"), F.col("share").alias("c")
         )
         summed = contribs.groupBy(F.col("node2").alias("node")).agg(
@@ -125,7 +146,8 @@ def pagerank(
             # (unpersist is a no-op on checkpoint blocks; ContextCleaner
             # waits for driver GC) — storage stays one-generation flat
             ranks = janitor.checkpoint(ranks)
-    ed.unpersist()
+    # small path: ed_loop IS ed; non-small: ed was released at setup
+    ed_loop.unpersist()
     outdeg.unpersist()
     if not symmetric:
         nodes.unpersist()
