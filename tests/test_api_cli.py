@@ -178,3 +178,39 @@ def test_retrieve_hybrid_fuses_both_sides(spark, sf_dir, workdir):
         assert r["rank_lexical"] is not None or r["rank_vector"] is not None
     # empty query -> no candidates, not k arbitrary rows
     assert api.retrieve_hybrid(spark, index_path, docs, "   ", dim=16) == []
+
+
+def test_read_usda_csv_header_probe_cached(spark, workdir):
+    """ADVICE r04: multi-file loads must not re-pay O(files) header
+    probes on every call — results are cached per resolved file list.
+    Proof of use: poisoning the cached probe result with divergent
+    headers flips the second call onto the per-file union path."""
+    import os
+
+    from usda_food_data_pipeline_spark.sources.tables import (
+        _HEADER_PROBE_CACHE,
+        read_usda_csv,
+    )
+
+    d = f"{workdir}/landing_cache"
+    os.makedirs(d, exist_ok=True)
+    for i in (1, 2):
+        with open(f"{d}/part{i}.csv", "w") as f:
+            f.write(f"fdc_id,nutrient_id,amount\n{i}1,{i},{i}.5\n")
+    _HEADER_PROBE_CACHE.clear()
+    df1 = read_usda_csv(spark, f"{d}/*.csv", "food_nutrient")
+    assert df1.count() == 2
+    assert len(_HEADER_PROBE_CACHE) == 1  # one probe set, cached
+    key = next(iter(_HEADER_PROBE_CACHE))
+    # poison: pretend the files disagree; a re-probe would overwrite
+    # this, so the divergent-path switch proves the cache was used
+    files = list(key)
+    _HEADER_PROBE_CACHE[key] = {
+        files[0]: ("fdc_id", "nutrient_id", "amount"),
+        files[1]: ("amount", "fdc_id", "nutrient_id"),
+    }
+    df2 = read_usda_csv(spark, f"{d}/*.csv", "food_nutrient")
+    # per-file path binds part2 by the poisoned header order
+    rows = {r["fdc_id"]: r["amount"] for r in df2.collect()}
+    assert rows != {11: 1.5, 21: 2.5}
+    _HEADER_PROBE_CACHE.clear()

@@ -111,6 +111,13 @@ USDA_CSV_TYPES: dict[str, dict[str, str]] = {
 }
 
 
+# header-probe results per resolved file list: the per-file probe costs
+# one driver round trip per file, and re-reading the same staged release
+# within a session (the hot path — every pipeline stage re-reads the
+# staged CSVs) must not re-pay O(files) probes when nothing changed
+_HEADER_PROBE_CACHE: dict[tuple[str, ...], dict[str, tuple[str, ...]]] = {}
+
+
 def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
     from functools import reduce
 
@@ -128,7 +135,7 @@ def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
     # (commas inside quotes) parse correctly — unlike a read.text(...)
     # .first() probe, which splits the header naively on ','.
     base = spark.read.option("header", True).csv(path)
-    files = sorted(set(base.inputFiles()))
+    files = tuple(sorted(set(base.inputFiles())))
     if len(files) <= 1:
         # single file: header divergence is impossible, skip the probes
         return spark.read.option("header", True).schema(schema_for(base.columns)).csv(path)
@@ -137,8 +144,15 @@ def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
     # whose files disagree on column order would silently transpose
     # values. Probe each file's header (first line only; a USDA release
     # is dozens of files, not thousands) and fall back to per-file reads
-    # + unionByName when they differ.
-    headers = {f: tuple(spark.read.option("header", True).csv(f).columns) for f in files}
+    # + unionByName when they differ. Probes are cached per resolved
+    # file list, so repeat loads of an unchanged staging dir cost zero
+    # extra driver round trips.
+    headers = _HEADER_PROBE_CACHE.get(files)
+    if headers is None:
+        headers = {
+            f: tuple(spark.read.option("header", True).csv(f).columns) for f in files
+        }
+        _HEADER_PROBE_CACHE[files] = headers
     if len(set(headers.values())) <= 1:
         return spark.read.option("header", True).schema(schema_for(base.columns)).csv(path)
     parts = [
