@@ -255,6 +255,11 @@ _ORDER: list[str] = [
     # round-5: manifest time-travel read path, oracle-attested (r04
     # verdict task 4); rotates into the window when a slot frees
     "snapshot_read",
+    # round-5: dedup observability (cluster-size histogram) + per-doc
+    # novelty signal (corpus-unique shingle fraction via the inverted
+    # index — linear, no pair generation)
+    "dedup_stats",
+    "doc_novelty",
 ]
 
 

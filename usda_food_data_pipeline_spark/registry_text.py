@@ -1583,3 +1583,102 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_q").cast("decimal(38,9)").alias("sum_quality"),
         F.sum("_dup").cast("long").alias("n_exact_dup_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup observability: cluster-size histogram + per-doc novelty signal
+# ---------------------------------------------------------------------------
+
+DEDUP_STATS_ORACLE = """
+WITH g AS (
+    SELECT md5(text) AS h, count(*) AS n_copies FROM documents GROUP BY md5(text)
+)
+SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs
+FROM g GROUP BY n_copies
+"""
+
+
+@register(
+    "dedup_stats",
+    DEDUP_STATS_ORACLE,
+    "dedup report: histogram of exact-duplicate cluster sizes (groups + docs per size)",
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the exact-dedup groups — the
+    one-line dedup report a curation run publishes (how much mass sits
+    in how-big duplicate clusters). Two cheap aggregations: the md5
+    group shuffle exact_dedup already pays, then a histogram over the
+    GROUPS table (≤ one row per distinct content — tiny)."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = exact_dedup(docs, "text", "doc_id")
+    return (
+        groups.groupBy("n_copies")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def _novelty_oracle(shingle_n: int = 3) -> str:
+    return f"""
+WITH sh_t AS (
+    SELECT doc_id, {shingles_sql(TOKS_SQL, shingle_n)} AS sh FROM documents
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+dfreq AS (SELECT s, count(*) AS df_n FROM ex GROUP BY s),
+per AS (
+    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.df_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           sum(d.df_n) AS sum_df
+    FROM ex e JOIN dfreq d ON e.s = d.s GROUP BY e.doc_id
+)
+SELECT doc_id, n_shingles, n_unique,
+       CAST(n_unique AS DOUBLE) / n_shingles AS novelty,
+       CAST(sum_df AS DOUBLE) / n_shingles AS mean_df
+FROM per
+"""
+
+
+@register(
+    "doc_novelty",
+    _novelty_oracle(),
+    "per-doc novelty: fraction of corpus-unique word-trigrams + mean shingle document frequency",
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty scoring — the curation signal behind
+    'keep documents that add new content' sampling: the fraction of a
+    doc's trigrams appearing nowhere else, and the mean corpus
+    document-frequency of its trigrams. Same inverted-index shape the
+    prefix-filter dedup uses: one shingle-keyed shuffle for df, one
+    doc-keyed aggregation back — linear at any corpus size, no pair
+    generation at all. Ratios are single BIGINT-exact-sum → one double
+    division, deterministic on both engines."""
+    from .operators.dedup import tokenize as ws_tokenize
+    from .operators.dedup import word_shingles
+    from .sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_t = spread(docs).select(
+        F.col("doc_id"),
+        word_shingles(ws_tokenize(F.col("text")), 3).alias("sh"),
+    )
+    ex = sh_t.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_n"))
+    per = (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df_n") == 1, 1).otherwise(0)).cast("bigint").alias("n_unique"),
+            F.sum("df_n").alias("_sum_df"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        (F.col("n_unique").cast("double") / F.col("n_shingles")).alias("novelty"),
+        (F.col("_sum_df").cast("double") / F.col("n_shingles")).alias("mean_df"),
+    )
