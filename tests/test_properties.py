@@ -483,3 +483,47 @@ def test_sessionize_session_count_matches_gap_count(spark, gaps):
     assert n_sessions == want
     # every event lands in exactly one session
     assert sum(r["n_events"] for r in out.collect()) == len(rows)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha bravo charlie delta echo foxtrot golf".split()),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_jaccard_prefix_blocking_complete_vs_brute_force(spark, docs):
+    """Prefix filtering (cold path) is LOSSLESS: for any corpus, the
+    content-blocked operator returns exactly the brute-force all-pairs
+    bigram-Jaccard >= 1/5 set (cap high enough that no shingle is hot).
+    Random small-alphabet corpora maximize shared-shingle collisions —
+    the regime where a broken prefix/positional/size filter would drop
+    a qualifying pair."""
+    import itertools
+
+    from usda_food_data_pipeline_spark.operators.dedup import jaccard_pairs_prefix
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs_prefix(sdf, "doc_id", "text", 1, 5, 2).collect()
+    }
+
+    def bigrams(t):
+        ts = [x for x in t.lower().split() if x]
+        return {f"{a} {b}" for a, b in zip(ts, ts[1:])}
+
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = bigrams(ta), bigrams(tb)
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter * 5 >= union * 1:
+            want.add((ia, ib))
+    assert got == want
