@@ -389,3 +389,39 @@ def test_snapshot_commit_conflict_retries_next_version(spark, tmp_path, monkeypa
     assert snapshots._read_manifest(t, 1) == ["competitor.parquet"]
     # the retried commit (append mode) folded the winner's files in
     assert "competitor.parquet" in snapshots._read_manifest(t, 2)
+
+
+def test_shuffled_export_deterministic_and_sharded(spark, tmp_path):
+    import glob
+
+    from usda_food_data_pipeline_spark.sources.sinks import shuffled_export
+
+    df = spark.range(5000).selectExpr("id AS doc_id", "CAST(id % 7 AS STRING) AS src")
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    shuffled_export(df, p1, n_shards=4, seed=42, order_col="doc_id")
+    # same seed, adversarially re-partitioned input -> identical layout
+    shuffled_export(df.repartition(17), p2, n_shards=4, seed=42, order_col="doc_id")
+
+    def shard_rows(base, shard):
+        fs = sorted(glob.glob(f"{base}/_shard={shard}/part-*.parquet"))
+        return [r.doc_id for f in fs for r in spark.read.parquet(f).collect()]
+
+    for shard in range(4):
+        r1, r2 = shard_rows(p1, shard), shard_rows(p2, shard)
+        assert r1 and r1 == r2  # membership AND in-shard order reproducible
+    # all rows present exactly once; order genuinely shuffled
+    allrows = [d for s_ in range(4) for d in shard_rows(p1, s_)]
+    assert sorted(allrows) == list(range(5000))
+    first = shard_rows(p1, 0)
+    assert first != sorted(first)
+    # different seed -> different membership
+    p3 = str(tmp_path / "e3")
+    shuffled_export(df, p3, n_shards=4, seed=43, order_col="doc_id")
+    assert shard_rows(p3, 0) != first
+    # max_records_per_file bounds file sizes
+    p4 = str(tmp_path / "e4")
+    shuffled_export(df, p4, n_shards=2, seed=1, order_col="doc_id", max_records_per_file=1000)
+    f4 = glob.glob(p4 + "/_shard=*/part-*.parquet")
+    assert len(f4) >= 5  # 5000 rows / 1000 per file
+    for f in f4:
+        assert spark.read.parquet(f).count() <= 1000

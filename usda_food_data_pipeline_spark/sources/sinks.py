@@ -284,3 +284,54 @@ def read_parquet_evolved(spark, *paths: str) -> DataFrame:
     scan.
     """
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def shuffled_export(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    order_col: str | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Deterministic global shuffle + sharded export — the last step of
+    a training-data pipeline: break source/topic ordering so sequential
+    shard readers see an i.i.d.-like stream, with a layout that is
+    REPRODUCIBLE (same seed → byte-identical shard membership and
+    in-shard order) and stable under input partitioning.
+
+    The shuffle key is a content-derived hash ``xxhash64(order_col,
+    seed)`` — NOT ``F.rand`` (partition-order-dependent, SURVEY §4
+    custom rule) — and the shard id is ``pmod(key_hash, n_shards)``:
+    a pure function of row content, so shard MEMBERSHIP is exact and
+    independent of input partitioning. (``repartitionByRange`` on the
+    raw hash would NOT be: its range bounds come from reservoir
+    sampling, which shifts with the input layout — measured: a
+    ``repartition(17)`` copy of the same data produced different
+    shards.) Rows land in ``_shard=NN/`` directories via the dynamic
+    partition writer; a shard's rows all hash to one task, so each
+    directory holds one key-sorted file (or several, each ≤
+    ``max_records_per_file``, contiguous in filename order).
+
+    At 100 TB this is one full-data hash exchange — the unavoidable
+    cost of a global shuffle — and nothing else; no driver-side
+    materialization at any size.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import functions as F
+
+    key_src = F.col(order_col) if order_col else F.concat_ws("\x1f", *df.columns)
+    keyed = df.withColumn("_shuffle_key", F.xxhash64(key_src, F.lit(seed))).withColumn(
+        "_shard", F.pmod(F.col("_shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    writer = (
+        keyed.repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_shuffle_key")
+        .drop("_shuffle_key")
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
