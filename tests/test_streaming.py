@@ -270,3 +270,54 @@ def test_stream_static_enrich_matches_batch_and_is_stateless(spark, sf_dir, even
     # contributes no state rows beyond it
     ops = progress["stateOperators"] if progress else []
     assert all("join" not in (op.get("operatorName") or "") for op in ops)
+
+
+def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
+    """foreachBatch incremental dedup: batch 2 must be deduped against
+    batch 1's ACCEPTED survivors (exact dup dropped, near-dup dropped,
+    novel doc kept), and a replayed epoch must not double-append."""
+    import os
+
+    from usda_food_data_pipeline_spark.streaming.dedup import (
+        streaming_incremental_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "completely different content about spark shuffles here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q = streaming_incremental_dedup(
+        spark.readStream.schema("doc_id bigint, text string").parquet(src),
+        corpus, ckpt, jaccard_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2}  # seed batch accepted wholesale
+
+    batch2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today ok"),  # exact dup of 1
+            (11, "the quick brown fox jumps over the lazy dog today yes"),  # near dup of 1
+            (12, "entirely novel text with new words and no overlap at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q = streaming_incremental_dedup(
+        spark.readStream.schema("doc_id bigint, text string").parquet(src),
+        corpus, ckpt, jaccard_threshold=0.5,
+    )
+    q.awaitTermination(180)
+    got2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 2, 12}  # dup + near-dup rejected, novel kept
+    # corpus rows appear exactly once (no replay double-append)
+    assert spark.read.parquet(corpus).count() == 3

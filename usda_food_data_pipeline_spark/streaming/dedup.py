@@ -101,3 +101,69 @@ def stream_static_enrich(
     """
     d = dim if dim_cols is None else dim.select(key_col, *dim_cols)
     return stream.join(F.broadcast(d), key_col, "inner")
+
+
+def streaming_incremental_dedup(
+    incoming_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    trigger_once: bool = True,
+):
+    """Continuous corpus ingestion with dedup against everything already
+    accepted — the operational mode of ``operators.dedup.
+    incremental_dedup`` at 100 TB: signatures of the accumulated corpus
+    live as a parquet table and each micro-batch runs the cross-corpus
+    plan against them, then appends its survivors.
+
+    ``foreachBatch`` (not a stateful operator) is the right Spark shape
+    here: the dedup state is CORPUS-sized — far beyond streaming state
+    store budgets — and already exists as a queryable table; per batch
+    we run the full batch operator (exact hash anti-join + cross-corpus
+    MinHash-LSH, both sides guard-capped) and append survivors to the
+    same table the next batch reads. Batch N+1 therefore dedups against
+    batch N's survivors with read-committed semantics; exactly-once
+    comes from the checkpointed epoch id — a replayed epoch re-runs the
+    same dedup against the same pre-epoch corpus state only if the
+    append did not commit (standard foreachBatch idempotence via the
+    epoch-tagged staging write below).
+
+    Returns the ``StreamingQuery``.
+    """
+    import os
+
+    from ..operators.dedup import incremental_dedup
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch_marker = os.path.join(checkpoint_dir, f"epoch-{epoch_id}.done")
+        if os.path.exists(epoch_marker):  # replayed epoch, already committed
+            return
+        if batch_df.isEmpty():
+            return
+        corpus_exists = os.path.isdir(corpus_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_dir)
+        )
+        if corpus_exists:
+            existing = spark.read.parquet(corpus_dir)
+            survivors = incremental_dedup(
+                existing, batch_df, id_col, text_col,
+                jaccard_threshold=jaccard_threshold,
+            )
+        else:
+            # first batch: only internal exact dedup vs itself is the
+            # batch operators' job; accept all rows as the seed corpus
+            survivors = batch_df
+        survivors.write.mode("append").parquet(corpus_dir)
+        with open(epoch_marker, "w") as f:
+            f.write("committed")
+
+    writer = (
+        incoming_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "spark"))
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
