@@ -448,13 +448,16 @@ def ngram_jaccard_pairs(
     max_block: int = DEFAULT_MAX_BUCKET,
     observation=None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs within a blocking key.
+    """Exact n-gram Jaccard similarity pairs within an EXPLICIT
+    metadata blocking key (partition-scoped variant: per-tenant,
+    per-shard, per-day). For whole-corpus dedup use
+    :func:`jaccard_pairs_prefix` — metadata keys have fixed cardinality
+    and degenerate as the corpus grows (the r04 sf1 smoke measured 100%
+    of lang×len blocks over the guard cap → zero recall), while the
+    prefix filter's content keys stay data-bounded.
 
     Blocked self-join (no global cross product): pairs only form inside
-    ``block_col`` groups, then exact shingle-set Jaccard. For 100 TB the
-    block key bounds the quadratic term — a coarse key (just lang)
-    leaves quadratic blocks; compose it with a length bucket (near-dups
-    have near-equal length) to keep group sizes bounded.
+    ``block_col`` groups, then exact shingle-set Jaccard.
 
     Blocks above ``max_block`` docs are dropped before the self-join
     (:func:`cap_bucket_size`): a block that big means the key has
