@@ -873,3 +873,20 @@ def test_bpe_pair_counts_known_corpus(spark):
     got = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, "text", 3).collect()]
     # lo/ow appear in all 3 'low*' words; single-char word contributes none
     assert got == [("lo", 3), ("ow", 3), ("we", 2)]
+
+
+def test_table_diff_statuses(spark):
+    from usda_food_data_pipeline_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "", 40), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    got = {(r.k, r.status) for r in table_diff(old, new, ["k"], ["s", "v"]).collect()}
+    # 1 identical → absent; 2 changed; 3 removed; 4 NULL→'' counts as
+    # changed (null-tagged fingerprint); 5 added
+    assert got == {(2, "changed"), (3, "removed"), (4, "changed"), (5, "added")}

@@ -85,3 +85,49 @@ def merge_apply(
         joined.filter(F.col("_op").isNull() | (F.col("_op") != delete_op))
         .select(*keys, *[pick(c) for c in value_cols])
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Reconcile two table versions: one row per differing key with
+    status ``added`` (key only in new), ``removed`` (only in old) or
+    ``changed`` (present in both, compared columns differ). Identical
+    rows produce no output — on a 100 TB table the result is
+    delta-sized, and this is the operator that COMPUTES the change
+    stream :func:`merge_apply` consumes (CDC capture's batch twin,
+    and the verification step after a backfill/migration).
+
+    Shape: each side reduces to (keys, row fingerprint) in its scan
+    projection — the md5 fingerprint replaces W comparison columns
+    with one 32-char value, so the full-outer join shuffles two slim
+    key+hash tables regardless of row width, co-partitioned on the
+    join key. Null-tagged concat ('\\x00null' sentinel per NULL)
+    keeps (NULL, 'a') distinguishable from ('a', NULL) and NULL != ''.
+    Caller contract: compare_cols must be exactly-typed columns
+    (strings/ints/dates) — float columns should be quantized or
+    string-formatted first, or cross-engine hash parity breaks.
+    """
+    def fingerprint(df: DataFrame) -> Column:
+        tagged = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in compare_cols
+        ]
+        return F.md5(F.concat_ws("\x1f", *tagged))
+
+    o = old.select(*key_cols, fingerprint(old).alias("_fp_old"))
+    n = new.select(*key_cols, fingerprint(new).alias("_fp_new"))
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )

@@ -260,6 +260,8 @@ _ORDER: list[str] = [
     # index — linear, no pair generation)
     "dedup_stats",
     "doc_novelty",
+    # round-5: version reconciliation (CDC capture's batch twin)
+    "table_diff",
 ]
 
 

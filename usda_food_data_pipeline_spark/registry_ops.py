@@ -624,3 +624,76 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Table diff / reconciliation (operators/merge.table_diff): computes the
+# change stream between two table versions — CDC capture's batch twin,
+# and the verification step after a backfill. Versions are derived
+# deterministically from orders: v_old = 'F'-status rows; v_new = the
+# same rows minus every 7th key (removed), with every 10th key's clerk
+# tagged (changed), plus the 'P'-status rows (added).
+# ---------------------------------------------------------------------------
+
+TABLE_DIFF_ORACLE = """
+WITH v_old AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F'
+),
+v_new AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority || '#edited' ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+              OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'changed'
+       END AS status
+FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+             OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+             OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+@register(
+    "table_diff",
+    TABLE_DIFF_ORACLE,
+    "version reconciliation: added/removed/changed keys between two table versions (slim key+fingerprint full-outer join)",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    v_old = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    v_new = (
+        orders.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 != 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.concat(F.col("o_orderpriority"), F.lit("#edited")),
+            ).otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderstatus") == "P").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+            )
+        )
+    )
+    return table_diff(
+        v_old, v_new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
