@@ -290,6 +290,55 @@ class CheckpointJanitor:
         self._gen = set()
 
 
+class _IntermediateJanitor:
+    """Generational tracker for the persisted intermediates of the
+    pair-generating dedup operators (MinHash signature tables, shingle/
+    prefix-occupancy tables).
+
+    Those operators return LAZY pair DataFrames whose plans read the
+    caches, so the operator itself must not unpersist before returning.
+    Instead, each new tracked operator call retires the PREVIOUS call's
+    generation: by then the previous result has been consumed (the
+    registry/bench pattern — one query materializes before the next
+    builds), and if a caller still holds it lazily, unpersist merely
+    degrades that plan to recompute — never a wrong answer. A session
+    running the whole dedup registry back-to-back therefore holds at
+    most one generation of intermediate blocks instead of accumulating
+    one per query until driver GC (see test_checkpoint_release.py).
+
+    Driver-side and single-generation by design; composite plans are
+    safe because no composite calls two tracked operators before
+    materializing the first (training_pipeline / dedup_clusters /
+    incremental_dedup each contain exactly one tracked call).
+    """
+
+    def __init__(self) -> None:
+        self._gen: list[DataFrame] = []
+
+    def rollover(self, dfs: list[DataFrame]) -> None:
+        self.release()
+        self._gen = list(dfs)
+
+    def release(self) -> None:
+        import contextlib
+
+        for df in self._gen:
+            with contextlib.suppress(Exception):
+                df.unpersist(False)
+        self._gen = []
+
+
+_INTERMEDIATES = _IntermediateJanitor()
+
+
+def release_dedup_caches() -> None:
+    """Free the persisted intermediates of the most recent pair-
+    generating dedup operator call (long-lived sessions can call this
+    after consuming a result instead of waiting for the next query's
+    rollover)."""
+    _INTERMEDIATES.release()
+
+
 def tokenize(col: Column) -> Column:
     """Lower-cased whitespace tokens (empty tokens removed)."""
     return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit(""))
@@ -391,6 +440,8 @@ def minhash_lsh_pairs(
     # candidate-verify attaches); persist it so shingling/hashing runs
     # once — at cluster scale this is a materialized intermediate table
     sig = sig.persist()
+    # retire the previous dedup query's intermediates; track this one's
+    _INTERMEDIATES.rollover([sig])
 
     # band value = concat of its rows' minhashes; explode to (band_id,
     # bucket). The banded rows carry ONLY (doc_id, band, bucket) — the
@@ -543,11 +594,13 @@ def jaccard_pairs_prefix(
        elements, so suffixes of length ceil(t·|x|)-1 cannot hold all
        of them): every qualifying pair shares a prefix shingle;
     3. LEVEL 1 (cold): prefix shingles whose bucket (docs carrying
-       them in-prefix) is ≤ ``max_bucket`` self-join directly —
-       complete for every pair sharing any cold prefix shingle.
-       Rarity-first ordering is what keeps most buckets cold: a
-       shingle's bucket is at most its df, and high-df template
-       shingles fall out of prefixes first;
+       them in-prefix) is ≤ ``max_bucket`` self-join directly, and the
+       collision stream is aggregated PER PAIR into an exact overlap
+       upper bound (collision count + hot-common credits + tail — see
+       the ``bound`` derivation below) — complete for every pair
+       sharing any cold prefix shingle. Rarity-first ordering is what
+       keeps most buckets cold: a shingle's bucket is at most its df,
+       and high-df template shingles fall out of prefixes first;
     4. LEVEL 2 (hot): over-cap shingles are NOT dropped — each doc
        re-keys its hot prefix shingles by CONSECUTIVE (rarity-ordered)
        triples ``(s_i, s_{i+1}, s_{i+2})``. The triple keyspace is a
@@ -562,7 +615,10 @@ def jaccard_pairs_prefix(
        true pair output is itself quadratic — are dropped by
        :func:`cap_bucket_size` and surfaced via ``observation``.
     5. candidates from both levels union, dedupe, and verify with
-       exact set Jaccard.
+       exact set Jaccard (array attach + ``array_intersect``) — A/B'd
+       in-session against an inverted-index co-count verify, which
+       loses 3× here because joining candidates back to the exploded
+       index multiplies each candidate by its shingle count.
 
     The threshold is a rational ``tn/td`` and every pruning comparison
     (prefix length, size compatibility, final Jaccard test) is exact
@@ -606,7 +662,22 @@ def jaccard_pairs_prefix(
     # without it every join side replays shingling + df + window (the
     # unpersisted form measured ~2× wall-clock at sf0.1)
     occ = prefix.groupBy("s").agg(F.count(F.lit(1)).alias("_occ"))
-    withocc = prefix.join(occ, "s").persist()
+    # _hb = hot prefix entries BEFORE this entry in the doc's rarity
+    # order — the per-pair bound credits hot commons with it (hot
+    # commons never appear in the cold collision stream)
+    w_hb = (
+        Window.partitionBy("doc_id_")
+        .orderBy("_rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    withocc = (
+        prefix.join(occ, "s")
+        .withColumn("_hot", (F.col("_occ") > max_bucket).cast("long"))
+        .withColumn("_hb", F.coalesce(F.sum("_hot").over(w_hb), F.lit(0)))
+        .persist()
+    )
+    # retire the previous dedup query's intermediates; track this one's
+    _INTERMEDIATES.rollover([sh_t, withocc])
     cold = withocc.filter(F.col("_occ") <= max_bucket)
     hot = withocc.filter(F.col("_occ") > max_bucket)
 
@@ -618,25 +689,74 @@ def jaccard_pairs_prefix(
             & (F.col("b.sz") * td >= F.col("a.sz") * tn)
         )
 
-    # PPJoin positional filter: at a qualifying pair's FIRST common
-    # prefix element (positions i, j in the rarity order) every common
-    # element sits at positions ≥ (i, j), so overlap ≤ 1 +
-    # min(sz_a - i, sz_b - j); require that to reach the minimum
-    # overlap α = ceil(t/(1+t)·(sz_a+sz_b)). Valid at first collisions
-    # (so no qualifying pair is lost) and prunes late-position-only
-    # collisions — the bulk of common-shingle join output — before the
-    # distinct shuffle. Integer form: X ≥ ceil(y/z) ⟺ X·z ≥ y.
-    def pos_filter():
-        remaining = F.lit(1) + F.least(
-            F.col("a.sz") - F.col("a._rn"), F.col("b.sz") - F.col("b._rn")
-        )
-        return remaining * (tn + td) >= (F.col("a.sz") + F.col("b.sz")) * tn
-
+    # Per-pair aggregate overlap bound (replaces r05's per-collision
+    # PPJoin positional filter, whose tight form was only valid at a
+    # pair's globally-FIRST common prefix shingle — when that shingle
+    # is HOT it never collides at level 1, the first cold collision
+    # carries prior common elements, and the tight bound wrongly pruned
+    # the pair: r05 ADVICE, medium). Both docs order shingles by the
+    # same global (df, shingle) key, so a pair's cold collisions appear
+    # in the same relative order in both docs and its common shingles
+    # decompose exactly:
+    #   - cold-in-both-prefix  → counted by c = count(collisions);
+    #   - before the first collision or between two collisions → in
+    #     BOTH prefixes (positions below a prefix position) yet not a
+    #     collision → necessarily HOT; counted by the _hb deltas:
+    #     ≤ min(fhb_a, fhb_b) + min(lhb_a-fhb_a, lhb_b-fhb_b);
+    #   - after the last collision (positions i,j) → ≤ min(sz_a - i,
+    #     sz_b - j), hot-prefix and suffix alike.
+    # overlap ≤ that sum; require it to reach the minimum overlap
+    # α = ceil(t/(1+t)·(sz_a+sz_b)). Valid for every pair with ≥1 cold
+    # collision (level-1 completeness), strictly stronger in practice
+    # than any per-collision filter (the count term kills one-shared-
+    # shingle junk pairs, the bulk at low thresholds: 4.6M survivors
+    # vs 7.7M at sf0.1), and the groupBy replaces the dropDuplicates
+    # shuffle the per-collision form needed anyway. All arithmetic in
+    # exact integers: X ≥ ceil(y/z) ⟺ X·z ≥ y.
     pair_sel = [F.col("a.doc_id_").alias("id_a"), F.col("b.doc_id_").alias("id_b")]
     a, b = cold.alias("a"), cold.alias("b")
-    cand1 = a.join(
-        b, (F.col("a.s") == F.col("b.s")) & compat() & pos_filter()
-    ).select(*pair_sel)
+    # repartition the collision stream by PAIR before aggregating: a
+    # pair has only a handful of collisions, so map-side partial
+    # aggregation combines almost nothing yet builds a hash map over
+    # every pair its task sees — at sf0.1 that's 27M collisions / 9M
+    # distinct pairs and the partial agg spill-sorted every task (heap
+    # OOM on the spill-read buffers under default memory). Hash
+    # partitioning on (id_a, id_b) satisfies the groupBy's clustering
+    # requirement (subset of the group keys), so Catalyst runs ONE
+    # exchange-free hash aggregate whose per-task map holds only that
+    # partition's pairs.
+    g1 = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & compat())
+        .repartition(F.col("a.doc_id_"), F.col("b.doc_id_"))
+        .groupBy(
+            F.col("a.doc_id_").alias("id_a"),
+            F.col("b.doc_id_").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max("a._rn").alias("_lrn_a"),
+            F.max("b._rn").alias("_lrn_b"),
+            F.min("a._hb").alias("_fhb_a"),
+            F.min("b._hb").alias("_fhb_b"),
+            F.max("a._hb").alias("_lhb_a"),
+            F.max("b._hb").alias("_lhb_b"),
+        )
+    )
+    bound = (
+        F.col("_c")
+        + F.least("_fhb_a", "_fhb_b")
+        + F.least(
+            F.col("_lhb_a") - F.col("_fhb_a"), F.col("_lhb_b") - F.col("_fhb_b")
+        )
+        + F.least(
+            F.col("sz_a") - F.col("_lrn_a"), F.col("sz_b") - F.col("_lrn_b")
+        )
+    )
+    cand1 = g1.filter(
+        bound * (tn + td) >= (F.col("sz_a") + F.col("sz_b")) * tn
+    ).select("id_a", "id_b")
 
     # consecutive TRIPLES, not pairs: on a low-entropy vocabulary the
     # pair keyspace is still too coarse — at sf1 pair keys produced 81M
@@ -660,7 +780,20 @@ def jaccard_pairs_prefix(
         & compat(),
     ).select(*pair_sel)
 
-    cand = cand1.unionByName(cand2).dropDuplicates(["id_a", "id_b"])
+    # cand1 is already distinct (groupBy output); only cand2 needs an
+    # internal dedup (a pair can share several hot triples), and it is
+    # empty whenever no shingle crosses the cap. Cross-level duplicates
+    # (a pair with both a cold collision and a shared hot triple) are
+    # NOT deduped here — deduping the few verified survivors afterward
+    # is free, while a global dropDuplicates would re-shuffle the full
+    # multi-million-row candidate stream.
+    cand = cand1.unionByName(cand2.dropDuplicates(["id_a", "id_b"]))
+    # exact verification: re-attach the two shingle arrays and fold
+    # array_intersect. Measured (in-session A/B, sf0.1, identical 7.7M
+    # candidates): 10.3s vs 33.9s for the inverted-index co-count shape
+    # — joining candidates back to the exploded index multiplies every
+    # candidate row by its shingle count (~100×) before the count agg,
+    # which costs more than shuffling two array payloads per candidate.
     verified = cand.join(
         sh_t.select(F.col("doc_id_").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")),
         "id_a",
@@ -679,6 +812,9 @@ def jaccard_pairs_prefix(
             "id_b",
             (F.col("_i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("_i"))).alias("jaccard"),
         )
+        # cross-level candidate duplicates collapse here, on the tiny
+        # verified output
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -1022,6 +1158,8 @@ def minhash_lsh_pairs_cross(
         )
 
     sig_a, sig_b = sig_of(left), sig_of(right)
+    # retire the previous dedup query's intermediates; track this one's
+    _INTERMEDIATES.rollover([sig_a, sig_b])
     banded_a = cap_bucket_size(banded_of(sig_a), ["band", "bucket"], max_bucket, observation)
     banded_b = cap_bucket_size(banded_of(sig_b), ["band", "bucket"], max_bucket, observation_right)
     cand = (

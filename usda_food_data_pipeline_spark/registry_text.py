@@ -106,8 +106,16 @@ pfx AS (
     ) WHERE rn <= sz - ((sz * {tn} + {td} - 1) // {td}) + 1
 ),
 occ AS (SELECT s, count(*) AS occ_n FROM pfx GROUP BY s),
-cold AS (SELECT p.* FROM pfx p JOIN occ o ON p.s = o.s AND o.occ_n <= {cap}),
-hot  AS (SELECT p.* FROM pfx p JOIN occ o ON p.s = o.s AND o.occ_n > {cap}),
+-- hb = hot prefix entries BEFORE this entry in the doc's rarity order
+pfo AS (
+    SELECT p.*, o.occ_n,
+           coalesce(sum(CASE WHEN o.occ_n > {cap} THEN 1 ELSE 0 END) OVER (
+               PARTITION BY p.doc_id ORDER BY p.rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hb
+    FROM pfx p JOIN occ o ON p.s = o.s
+),
+cold AS (SELECT * FROM pfo WHERE occ_n <= {cap}),
+hot  AS (SELECT * FROM pfo WHERE occ_n > {cap}),
 -- level 2: consecutive (rarity-ordered) triples of hot prefix shingles
 hotp AS (
     SELECT doc_id, sz, s, s2, s3 FROM (
@@ -123,10 +131,22 @@ hotp_g AS (
     {cap_bucket_qualify_sql('s, s2, s3', cap)}
 ),
 cand AS (
-    -- positional filter twin (first-collision overlap upper bound)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM cold a JOIN cold b ON a.s = b.s AND {compat}
-     AND (1 + least(a.sz - a.rn, b.sz - b.rn)) * {tn + td} >= (a.sz + b.sz) * {tn}
+    -- per-pair aggregate overlap-bound twin (jaccard_pairs_prefix):
+    -- overlap <= collisions + hot-commons-before-first +
+    --            hot-commons-between + tail-after-last
+    SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+               count(*) AS c,
+               max(a.rn) AS lrn_a, max(b.rn) AS lrn_b,
+               min(a.hb) AS fhb_a, min(b.hb) AS fhb_b,
+               max(a.hb) AS lhb_a, max(b.hb) AS lhb_b
+        FROM cold a JOIN cold b ON a.s = b.s AND {compat}
+        GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+    )
+    WHERE (c + least(fhb_a, fhb_b)
+             + least(lhb_a - fhb_a, lhb_b - fhb_b)
+             + least(sz_a - lrn_a, sz_b - lrn_b)) * {tn + td}
+          >= (sz_a + sz_b) * {tn}
     UNION
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM hotp_g a JOIN hotp_g b
@@ -154,8 +174,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerated at 10× scale (guard dropped 100% of blocks → zero
     recall); rarest-shingle prefix blocking keys each doc by content,
     so bucket sizes track shingle document frequency instead of corpus
-    size. The prefix filter is lossless — output = ALL pairs with
-    bigram Jaccard >= 1/5."""
+    size. Level 1 (cold prefix shingles) is lossless: output contains
+    every pair with bigram Jaccard >= 1/5 that shares at least one
+    under-cap prefix shingle. Pairs whose shared prefix shingles are
+    ALL over the bucket cap ride the level-2 consecutive-triple keys,
+    which are heuristic-recall (operators/dedup.jaccard_pairs_prefix
+    step 4) — no shingle has crossed the cap at any attested scale
+    (sf0.001→sf3), so the output has been exactly ALL qualifying pairs
+    there; pass a GuardStats observation in production to see when
+    that stops being true."""
     from .operators.dedup import jaccard_pairs_prefix
 
     docs = load_table(spark, sf_dir, "documents")
