@@ -321,3 +321,62 @@ def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
     assert got2 == {1, 2, 12}  # dup + near-dup rejected, novel kept
     # corpus rows appear exactly once (no replay double-append)
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_incremental_dedup_crash_replay_is_exactly_once(spark, tmp_path):
+    """r05 verdict task 3 / ADVICE: the epoch commit must be atomic.
+    Drive the foreachBatch processor directly through the crash
+    windows: (a) crash AFTER staging write but BEFORE publish — the
+    replay must discard the partial staging dir, dedup against the
+    pre-epoch corpus only, and publish once; (b) crash AFTER publish
+    but before the checkpoint advances — the replay must be a no-op."""
+    import os
+
+    from usda_food_data_pipeline_spark.streaming.dedup import (
+        make_incremental_dedup_batch_processor,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    proc = make_incremental_dedup_batch_processor(corpus, jaccard_threshold=0.5)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "completely different content about spark shuffles here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    proc(batch1, 0)
+    assert os.path.isdir(f"{corpus}/epoch=0")
+
+    batch2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today ok"),  # exact dup
+            (11, "entirely novel text with new words and no overlap at all"),
+            (12, "entirely novel text with new words and no overlap at ALL"),  # near-dup of 11 WITHIN the batch
+        ],
+        "doc_id bigint, text string",
+    )
+    # simulate crash window (a): a partial staging dir exists (as if a
+    # prior attempt wrote some task files then died before the rename)
+    os.makedirs(f"{corpus}/_staging-epoch-1")
+    with open(f"{corpus}/_staging-epoch-1/part-00000.parquet", "w") as f:
+        f.write("partial garbage from a dead attempt")
+    # the half-written staging data must be invisible to corpus readers
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+
+    proc(batch2, 1)
+    got = {r.doc_id for r in spark.read.parquet(corpus).drop("epoch").collect()}
+    assert 10 not in got  # exact dup rejected
+    assert 11 in got or 12 in got  # novel content kept
+    n_after_commit = spark.read.parquet(corpus).count()
+    assert not os.path.exists(f"{corpus}/_staging-epoch-1")  # staging cleaned
+
+    # crash window (b): epoch published, checkpoint not advanced →
+    # replayed epoch must change nothing (no duplicate survivors, even
+    # though the corpus now contains this batch's own survivors, which
+    # would near-dup-match the batch against itself on a naive re-run)
+    proc(batch2, 1)
+    assert spark.read.parquet(corpus).count() == n_after_commit
+    got2 = {r.doc_id for r in spark.read.parquet(corpus).drop("epoch").collect()}
+    assert got2 == got

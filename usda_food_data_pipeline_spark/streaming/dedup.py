@@ -103,6 +103,89 @@ def stream_static_enrich(
     return stream.join(F.broadcast(d), key_col, "inner")
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the JVM Hadoop API — the
+    same abstraction Spark's own sinks use, so existence checks and
+    renames work on local FS and HDFS alike (not just driver-local
+    POSIX, the r05 implementation's limitation)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def make_incremental_dedup_batch_processor(
+    corpus_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+):
+    """Build the ``foreachBatch`` processor for
+    :func:`streaming_incremental_dedup` (module-level so crash/replay
+    paths are testable without driving a StreamingQuery).
+
+    Commit protocol (atomic publish, exactly-once per epoch):
+
+    - the corpus is an epoch-partitioned parquet table
+      ``{corpus_dir}/epoch=N/part-*.parquet``; the PRESENCE of an
+      epoch directory is the commit marker — there is no separate
+      marker file to race with the data write;
+    - survivors are written to ``{corpus_dir}/_staging-epoch-N``
+      (underscore-prefixed → invisible to Spark/Hadoop readers), then
+      published with a single filesystem rename to ``epoch=N``.
+      Rename is atomic on POSIX and HDFS; on S3-like stores wrap the
+      corpus in a table format with a manifest commit instead;
+    - a crash before the rename leaves only hidden staging files; the
+      replayed epoch deletes the leftover staging dir and re-runs the
+      dedup against the same pre-epoch corpus (epoch dirs are the only
+      thing readers see, so partial task files are never committed and
+      near-dup checks never run against a half-appended batch);
+    - a crash after the rename but before the streaming checkpoint
+      advances makes the replayed epoch a no-op (``epoch=N`` exists).
+    """
+    from ..operators.dedup import incremental_dedup
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, corpus_path = _hadoop_fs(spark, corpus_dir)
+        epoch_path = spark._jvm.org.apache.hadoop.fs.Path(
+            corpus_path, f"epoch={epoch_id}"
+        )
+        if fs.exists(epoch_path):  # replayed epoch, already committed
+            return
+        staging = spark._jvm.org.apache.hadoop.fs.Path(
+            corpus_path, f"_staging-epoch-{epoch_id}"
+        )
+        if fs.exists(staging):  # leftover from a crashed attempt
+            fs.delete(staging, True)
+        if batch_df.isEmpty():
+            return
+        seeded = fs.exists(corpus_path) and fs.globStatus(
+            spark._jvm.org.apache.hadoop.fs.Path(corpus_path, "epoch=*")
+        )
+        if seeded:
+            # partition discovery adds the epoch column; drop it before
+            # handing the corpus to the dedup operator
+            existing = spark.read.parquet(corpus_dir).drop("epoch")
+            survivors = incremental_dedup(
+                existing, batch_df, id_col, text_col,
+                jaccard_threshold=jaccard_threshold,
+            )
+        else:
+            # first batch: only internal exact dedup vs itself is the
+            # batch operators' job; accept all rows as the seed corpus
+            survivors = batch_df
+        survivors.write.mode("overwrite").parquet(str(staging))
+        fs.mkdirs(corpus_path)
+        if not fs.rename(staging, epoch_path):
+            raise RuntimeError(
+                f"atomic publish of epoch {epoch_id} failed: "
+                f"rename({staging}, {epoch_path})"
+            )
+
+    return process_batch
+
+
 def streaming_incremental_dedup(
     incoming_stream: DataFrame,
     corpus_dir: str,
@@ -122,44 +205,19 @@ def streaming_incremental_dedup(
     here: the dedup state is CORPUS-sized — far beyond streaming state
     store budgets — and already exists as a queryable table; per batch
     we run the full batch operator (exact hash anti-join + cross-corpus
-    MinHash-LSH, both sides guard-capped) and append survivors to the
-    same table the next batch reads. Batch N+1 therefore dedups against
-    batch N's survivors with read-committed semantics; exactly-once
-    comes from the checkpointed epoch id — a replayed epoch re-runs the
-    same dedup against the same pre-epoch corpus state only if the
-    append did not commit (standard foreachBatch idempotence via the
-    epoch-tagged staging write below).
+    MinHash-LSH, both sides guard-capped) and publish survivors as one
+    atomically-renamed epoch partition the next batch reads. Batch N+1
+    therefore dedups against batch N's survivors with read-committed
+    semantics; exactly-once comes from the epoch-directory commit
+    protocol (see :func:`make_incremental_dedup_batch_processor`).
 
     Returns the ``StreamingQuery``.
     """
     import os
 
-    from ..operators.dedup import incremental_dedup
-
-    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        epoch_marker = os.path.join(checkpoint_dir, f"epoch-{epoch_id}.done")
-        if os.path.exists(epoch_marker):  # replayed epoch, already committed
-            return
-        if batch_df.isEmpty():
-            return
-        corpus_exists = os.path.isdir(corpus_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(corpus_dir)
-        )
-        if corpus_exists:
-            existing = spark.read.parquet(corpus_dir)
-            survivors = incremental_dedup(
-                existing, batch_df, id_col, text_col,
-                jaccard_threshold=jaccard_threshold,
-            )
-        else:
-            # first batch: only internal exact dedup vs itself is the
-            # batch operators' job; accept all rows as the seed corpus
-            survivors = batch_df
-        survivors.write.mode("append").parquet(corpus_dir)
-        with open(epoch_marker, "w") as f:
-            f.write("committed")
-
+    process_batch = make_incremental_dedup_batch_processor(
+        corpus_dir, id_col, text_col, jaccard_threshold
+    )
     writer = (
         incoming_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", os.path.join(checkpoint_dir, "spark"))
