@@ -204,7 +204,7 @@ def test_read_usda_csv_header_probe_cached(spark, workdir):
     key = next(iter(_HEADER_PROBE_CACHE))
     # poison: pretend the files disagree; a re-probe would overwrite
     # this, so the divergent-path switch proves the cache was used
-    files = list(key)
+    files = [entry[0] for entry in key]  # key entries are (path, mtime, size)
     _HEADER_PROBE_CACHE[key] = {
         files[0]: ("fdc_id", "nutrient_id", "amount"),
         files[1]: ("amount", "fdc_id", "nutrient_id"),
@@ -213,4 +213,35 @@ def test_read_usda_csv_header_probe_cached(spark, workdir):
     # per-file path binds part2 by the poisoned header order
     rows = {r["fdc_id"]: r["amount"] for r in df2.collect()}
     assert rows != {11: 1.5, 21: 2.5}
+    _HEADER_PROBE_CACHE.clear()
+
+
+def test_read_usda_csv_header_cache_invalidates_on_rewrite(spark, workdir):
+    """r05 ADVICE: the probe cache is keyed by (path, mtime, size) — a
+    staged CSV rewritten IN PLACE with a different column order must be
+    re-probed, not served stale headers that would transpose values."""
+    import os
+    import time
+
+    from usda_food_data_pipeline_spark.sources.tables import (
+        _HEADER_PROBE_CACHE,
+        read_usda_csv,
+    )
+
+    d = f"{workdir}/landing_rewrite"
+    os.makedirs(d, exist_ok=True)
+    with open(f"{d}/p1.csv", "w") as f:
+        f.write("fdc_id,nutrient_id,amount\n11,1,1.5\n")
+    with open(f"{d}/p2.csv", "w") as f:
+        f.write("fdc_id,nutrient_id,amount\n21,2,2.5\n")
+    _HEADER_PROBE_CACHE.clear()
+    df1 = read_usda_csv(spark, f"{d}/*.csv", "food_nutrient")
+    assert {r["fdc_id"] for r in df1.collect()} == {11, 21}
+
+    time.sleep(0.05)  # ensure a distinct mtime_ns
+    with open(f"{d}/p2.csv", "w") as f:  # rewritten: columns reordered
+        f.write("amount,fdc_id,nutrient_id\n2.5,21,2\n")
+    df2 = read_usda_csv(spark, f"{d}/*.csv", "food_nutrient")
+    rows = {r["fdc_id"]: r["amount"] for r in df2.collect()}
+    assert rows == {11: 1.5, 21: 2.5}  # re-probed, no transposition
     _HEADER_PROBE_CACHE.clear()

@@ -890,3 +890,36 @@ def test_table_diff_statuses(spark):
     # 1 identical → absent; 2 changed; 3 removed; 4 NULL→'' counts as
     # changed (null-tagged fingerprint); 5 added
     assert got == {(2, "changed"), (3, "removed"), (4, "changed"), (5, "added")}
+
+
+def test_table_diff_null_key_and_injective_fingerprint(spark):
+    """r05 verdict task 4 + ADVICE: (a) a NULL key present in both
+    versions must compare as ONE row (changed/unchanged), not as an
+    added+removed pair; (b) rows that concatenate equal under a naive
+    separator scheme (('a\\x1fb','c') vs ('a','b\\x1fc')) must still
+    diff as changed, and a literal NULL-sentinel-like string must not
+    collide with an actual NULL."""
+    from usda_food_data_pipeline_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(None, "x", 1), (1, "a\x1fb", 2), (2, "\x00null", 3)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(None, "y", 1), (1, "a", 2), (2, None, 3)],
+        "k int, s string, v int",
+    )
+    got = {(r.k, r.status) for r in table_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert got == {(None, "changed"), (1, "changed"), (2, "changed")}
+
+    # separator injection INSIDE a single compared tuple position:
+    # old=('a\x1fb','c') vs new=('a','b\x1fc') concat-ws equal, must diff
+    old2 = spark.createDataFrame([(7, "a\x1fb", "c")], "k int, s1 string, s2 string")
+    new2 = spark.createDataFrame([(7, "a", "b\x1fc")], "k int, s1 string, s2 string")
+    got2 = {(r.k, r.status) for r in table_diff(old2, new2, ["k"], ["s1", "s2"]).collect()}
+    assert got2 == {(7, "changed")}
+
+    # NULL key identical in both versions → no output at all
+    old3 = spark.createDataFrame([(None, "same", 0)], "k int, s string, v int")
+    new3 = spark.createDataFrame([(None, "same", 0)], "k int, s string, v int")
+    assert table_diff(old3, new3, ["k"], ["s", "v"]).count() == 0

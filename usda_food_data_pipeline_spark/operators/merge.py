@@ -102,32 +102,49 @@ def table_diff(
     and the verification step after a backfill/migration).
 
     Shape: each side reduces to (keys, row fingerprint) in its scan
-    projection — the md5 fingerprint replaces W comparison columns
-    with one 32-char value, so the full-outer join shuffles two slim
-    key+hash tables regardless of row width, co-partitioned on the
-    join key. Null-tagged concat ('\\x00null' sentinel per NULL)
-    keeps (NULL, 'a') distinguishable from ('a', NULL) and NULL != ''.
+    projection — the fingerprint replaces W comparison columns with one
+    32-char value, so the full-outer join shuffles two slim key+hash
+    tables regardless of row width, co-partitioned on the join key.
+
+    Semantics:
+
+    - keys join NULL-SAFELY (``<=>``): a row whose key is NULL in both
+      versions compares as the same row (changed/unchanged), not as an
+      unrelated ``added`` + ``removed`` pair;
+    - the fingerprint is INJECTIVE over the stringified column tuple:
+      each column md5-hashes individually (fixed 32 hex chars, NULL →
+      the single non-hex char ``N``) before concatenation, so no value
+      containing a would-be separator can make two different rows
+      collide, and no literal string collides with the NULL sentinel.
+
     Caller contract: compare_cols must be exactly-typed columns
     (strings/ints/dates) — float columns should be quantized or
     string-formatted first, or cross-engine hash parity breaks.
     """
     def fingerprint(df: DataFrame) -> Column:
         tagged = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N"))
             for c in compare_cols
         ]
-        return F.md5(F.concat_ws("\x1f", *tagged))
+        return F.md5(F.concat(*tagged))
 
-    o = old.select(*key_cols, fingerprint(old).alias("_fp_old"))
-    n = new.select(*key_cols, fingerprint(new).alias("_fp_new"))
-    joined = o.join(n, key_cols, "full_outer")
+    o = old.select(*key_cols, fingerprint(old).alias("_fp_old")).alias("o")
+    n = new.select(*key_cols, fingerprint(new).alias("_fp_new")).alias("n")
+    cond = None
+    for k in key_cols:
+        clause = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = clause if cond is None else (cond & clause)
+    joined = o.join(n, cond, "full_outer")
     status = (
         F.when(F.col("_fp_old").isNull(), F.lit("added"))
         .when(F.col("_fp_new").isNull(), F.lit("removed"))
         .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
     )
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in key_cols
+    ]
     return (
         joined.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select(*key_cols, "status")
+        .select(*out_keys, "status")
     )

@@ -114,8 +114,35 @@ USDA_CSV_TYPES: dict[str, dict[str, str]] = {
 # header-probe results per resolved file list: the per-file probe costs
 # one driver round trip per file, and re-reading the same staged release
 # within a session (the hot path — every pipeline stage re-reads the
-# staged CSVs) must not re-pay O(files) probes when nothing changed
-_HEADER_PROBE_CACHE: dict[tuple[str, ...], dict[str, tuple[str, ...]]] = {}
+# staged CSVs) must not re-pay O(files) probes when nothing changed.
+# The cache key includes each file's (mtime, size) — a driver-side stat,
+# cheap next to a Spark read — so a staged CSV rewritten IN PLACE with a
+# different column order is re-probed instead of served stale headers
+# (which would silently transpose values, the exact failure the probe
+# exists to prevent).
+_HEADER_PROBE_CACHE: dict[tuple, dict[str, tuple[str, ...]]] = {}
+
+
+def _header_cache_key(files: tuple[str, ...]) -> tuple:
+    import os as _os
+    from urllib.parse import urlparse
+
+    sig = []
+    for f in files:
+        local = urlparse(f).path or f
+        try:
+            st = _os.stat(local)
+            sig.append((f, int(st.st_mtime_ns), st.st_size))
+        except OSError:
+            # non-local store: no cheap stat — key by path only
+            sig.append((f, None, None))
+    return tuple(sig)
+
+
+def clear_header_probe_cache() -> None:
+    """Drop cached header probes (call after re-staging a release on a
+    store where per-file stat is unavailable)."""
+    _HEADER_PROBE_CACHE.clear()
 
 
 def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
@@ -147,12 +174,13 @@ def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
     # + unionByName when they differ. Probes are cached per resolved
     # file list, so repeat loads of an unchanged staging dir cost zero
     # extra driver round trips.
-    headers = _HEADER_PROBE_CACHE.get(files)
+    cache_key = _header_cache_key(files)
+    headers = _HEADER_PROBE_CACHE.get(cache_key)
     if headers is None:
         headers = {
             f: tuple(spark.read.option("header", True).csv(f).columns) for f in files
         }
-        _HEADER_PROBE_CACHE[files] = headers
+        _HEADER_PROBE_CACHE[cache_key] = headers
     if len(set(headers.values())) <= 1:
         return spark.read.option("header", True).schema(schema_for(base.columns)).csv(path)
     parts = [
