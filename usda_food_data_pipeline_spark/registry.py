@@ -148,12 +148,6 @@ _ORDER: list[str] = [
     # The canonical-bucket interval-overlap join is a temporal join
     # family distinct from as-of (backward-only) and band range joins
     "interval_overlap",
-    # events_twap takes events_agg's slot (round 4 rotation): the plain
-    # time-bucketed events aggregate is the same shape family as
-    # window_tumbling_sliding; exact time-weighted-average-price is a
-    # distinct temporal operator that deserves a driver row. events_agg
-    # keeps its local+CI row beyond the window.
-    "events_twap",
     "funnel_conversion",
     "asof_join_events",
     "range_join_bands",
@@ -181,15 +175,30 @@ _ORDER: list[str] = [
     # local+CI row); the degree-ordered O(m^1.5) wedge join is a graph
     # operator family with no in-window twin beyond PageRank
     "triangle_count",
-    # chunk_documents subsumes posexplode's lateral/Generate attestation
-    # (sequence explode WITH position + array slice); posexplode keeps
-    # its local+CI row
-    "chunk_documents",
-    "topk_avg_retrieved",
+    # round-6 rotation (r05 verdict task 7): the four round-5 operators
+    # with exact oracles move into the window; each displaced query's
+    # family keeps an in-window twin and its own local+CI row.
+    # snapshot_read takes chunk_documents' slot (Generate/explode+slice
+    # stays attested by decontaminate's n-gram explode): manifest
+    # time-travel is the warehouse read path with no in-window twin
+    "snapshot_read",
+    # table_diff takes topk_avg_retrieved's slot (retrieval attested by
+    # cosine_topk + bm25_retrieval; the avg-over-topk agg ⊂ group_mean):
+    # version reconciliation (CDC capture's batch twin)
+    "table_diff",
     "decontaminate",
-    "pii_scrub",
+    # dedup_stats takes pii_scrub's slot (regex-projection family
+    # attested by text_signals' regex scans + boilerplate_scrub's
+    # rewrites): dedup observability — cluster-size histogram
+    "dedup_stats",
     "quantize_embeddings",
     "skew_salted_sum",
+    # doc_novelty takes events_twap's slot (the temporal family keeps
+    # SIX in-window twins: asof_join_events, range_join_bands,
+    # interval_overlap, sessionize_gaps, gap_fill_daily,
+    # rolling_anomaly): per-doc corpus-unique shingle fraction via the
+    # inverted index — linear, no pair generation
+    "doc_novelty",
     "sequence_packing",
     # -------- beyond the window: shape variants of already-attested ops --------
     # (try_cast_round / regexp_extract_unit fold into scalar_functions'
@@ -252,16 +261,16 @@ _ORDER: list[str] = [
     "multimodal_resize",
     "profile_orders",
     "dataset_split",
-    # round-5: manifest time-travel read path, oracle-attested (r04
-    # verdict task 4); rotates into the window when a slot frees
-    "snapshot_read",
-    # round-5: dedup observability (cluster-size histogram) + per-doc
-    # novelty signal (corpus-unique shingle fraction via the inverted
-    # index — linear, no pair generation)
-    "dedup_stats",
-    "doc_novelty",
-    # round-5: version reconciliation (CDC capture's batch twin)
-    "table_diff",
+    # displaced from the window round 6 (family attested by an
+    # in-window twin — see the rotation comments inside the window):
+    # chunk_documents ⊂ decontaminate's Generate shape,
+    # topk_avg_retrieved ⊂ cosine_topk + group_mean, pii_scrub ⊂
+    # text_signals/boilerplate_scrub regex projections, events_twap ⊂
+    # the six-member in-window temporal family
+    "chunk_documents",
+    "topk_avg_retrieved",
+    "pii_scrub",
+    "events_twap",
 ]
 
 
