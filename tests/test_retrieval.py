@@ -220,3 +220,75 @@ def test_jl_projection_roughly_preserves_distance(spark):
     mean = sum(ratios) / len(ratios)
     # JL with k=16: mean distortion concentrates near 1 (loose bound)
     assert 0.7 < mean < 1.3
+
+
+def test_vector_family_at_reference_dim_1024(spark):
+    """r05 verdict task 6: the reference embedding spec is dim-1024 /
+    cosine (multilingual-e5-large — upload_data_to_pinecone.py:26-27);
+    the driver fixtures are dim 64. Attest the vector family at 1024 to
+    catch expression-size / codegen cliffs (constant-pool and method-
+    size limits) before production dims do: cosine_topk, sign_bitpack
+    (32 words), hamming_topk, the int8 quantize round-trip, and
+    jl_project 1024→32 (32k plan-time sign literals)."""
+    import random
+
+    import numpy as np
+
+    from usda_food_data_pipeline_spark.operators.similarity import (
+        _jl_signs,
+        cosine_topk,
+        jl_project,
+        quantize_embeddings_df,
+        sign_bitpack,
+    )
+
+    dim, n = 1024, 200
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    X = np.array([v for _, v in vecs], dtype=np.float32).astype(np.float64)
+
+    # --- exact cosine top-k vs numpy ---
+    qv = X[0]
+    sims = (X @ qv) / (np.linalg.norm(X, axis=1) * np.linalg.norm(qv))
+    want = [int(i) for i in np.argsort(-sims)[:10]]
+    query = spark.createDataFrame([(vecs[0][1],)], "embedding: array<float>")
+    got = [r.vec_id for r in cosine_topk(df, query, 10).collect()]
+    assert got == want
+    assert got[0] == 0  # the query itself ranks first
+
+    # --- sign_bitpack: 32 words, known bits ---
+    vec = [-1.0] * dim
+    vec[0] = 1.0        # MSB of word 0
+    vec[1023] = 1.0     # LSB of word 31
+    one = spark.createDataFrame([(vec,)], "embedding: array<float>")
+    words = sign_bitpack("embedding", dim)
+    assert len(words) == 32
+    row = one.select(*[w.alias(f"w{i}") for i, w in enumerate(words)]).first()
+    assert row["w0"] == (1 << 31)
+    assert row["w31"] == 1
+    assert all(row[f"w{i}"] == 0 for i in range(1, 31))
+
+    # --- hamming_topk at 1024: query in corpus ranks first at dist 0 ---
+    top = hamming_topk(df, query, k=5, dim=dim).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["hamming"] == 0
+
+    # --- int8 quantize round-trip error bound ---
+    q = quantize_embeddings_df(df).collect()
+    for r in q[:20]:
+        orig = dict(vecs)[r["vec_id"]]
+        scale = r["scale"]
+        assert len(r["q"]) == dim
+        for x, qi in zip(orig, r["q"]):
+            assert abs(qi * scale - x) <= scale / 2 + 1e-9
+            assert -127 <= qi <= 127
+
+    # --- JL projection 1024→32 matches the sign-matrix formula ---
+    small = df.limit(5)
+    signs = _jl_signs(32, dim)
+    rows = {r["vec_id"]: r for r in jl_project(small, 32, dim).collect()}
+    inv = 1.0 / 32 ** 0.5
+    for i, v in vecs[:5]:
+        for j in range(32):
+            expect = sum(a * b for a, b in zip(v, signs[j])) * inv
+            assert abs(rows[i][f"y{j}"] - expect) < 1e-6
