@@ -48,7 +48,7 @@ def warmup(spark, sf_dir: str) -> None:
 
 def build_compact(
     timings: dict[str, float], errors: list[str], sf: float, repeats: int,
-    max_chars: int = 1100,
+    max_chars: int = 1100, guards: dict[str, dict] | None = None,
 ) -> dict:
     """Compact headline line for the driver's ~2000-char stdout tail:
     headline metric + the slowest queries that fit. ``n_errors`` counts
@@ -67,6 +67,16 @@ def build_compact(
     }
     if errors:
         compact["errors"] = sorted(errors)
+    # guard drops are a RECALL signal, not a perf one: nonzero means a
+    # bucket cap engaged and pair output is incomplete for that query —
+    # surface it in the headline line, never bury it in the full map
+    dropped = {
+        n: g["guard_dropped_rows"]
+        for n, g in (guards or {}).items()
+        if g.get("guard_dropped_rows", 0) > 0
+    }
+    if dropped:
+        compact["guard_dropped_rows"] = dropped
     # fill with the slowest queries while the line stays inside the window
     for name in sorted(timings, key=lambda n: -timings[n]):
         compact["queries"][name] = timings[name]
@@ -88,6 +98,7 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     errors: list[str] = []
+    guards: dict[str, dict] = {}
     for name, fn in registry.queries().items():
         best = -1.0
         try:
@@ -106,6 +117,15 @@ def main() -> None:
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             spark.catalog.clearCache()
         timings[name] = best
+        # read guard counters OUTSIDE the timed window (r05 verdict
+        # task 5): guarded queries registered a GuardStats at plan
+        # build; .get runs one keys-only aggregate action
+        obs = registry.GUARD_STATS.pop(name, None)
+        if obs is not None and best >= 0:
+            try:
+                guards[name] = obs.get
+            except Exception as ex:  # noqa: BLE001
+                print(f"guard read failed for {name}: {ex}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # The driver captures only the LAST ~2000 chars of stdout; with 106
@@ -121,6 +141,7 @@ def main() -> None:
         "sf": sf,
         "repeats": repeats,
         "errors": sorted(errors),
+        "guards": guards,
     }
     print(json.dumps(full))
     try:
@@ -131,7 +152,7 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(build_compact(timings, errors, sf, repeats)))
+    print(json.dumps(build_compact(timings, errors, sf, repeats, guards=guards)))
 
 
 if __name__ == "__main__":

@@ -184,11 +184,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     there; pass a GuardStats observation in production to see when
     that stops being true."""
     from .operators.dedup import jaccard_pairs_prefix
+    from .registry import guard_observation
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_prefix(
         docs, "doc_id", "text",
         threshold_num=_NJ_TN, threshold_den=_NJ_TD, shingle_n=2,
+        observation=guard_observation("dedup_ngram_jaccard"),
     )
 
 
@@ -299,11 +301,14 @@ SELECT id_a, id_b, jaccard FROM mh_pairs
     f"MinHash({_NUM_HASHES})+LSH({_BANDS} bands x {_ROWS_PER_BAND} rows) pairs, verified by exact Jaccard",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import guard_observation
+
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text",
         num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N,
         jaccard_threshold=_MH_THRESHOLD,
+        observation=guard_observation("dedup_minhash_lsh"),
     )
 
 

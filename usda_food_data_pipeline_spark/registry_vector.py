@@ -133,8 +133,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall); the sign-bit bucket is the semantic_dedup scheme whose
     occupancy tracks embedding-space density (sf1: max bucket 160,
     zero drops)."""
+    from .registry import guard_observation
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.3, bucket_bits=8)
+    return embedding_neardup_pairs(
+        emb, threshold=0.3, bucket_bits=8,
+        observation=guard_observation("embedding_neardup"),
+    )
 
 
 KNN_JOIN_ORACLE = f"""
@@ -331,9 +336,13 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
+    from .registry import guard_observation
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.3, bucket_bits=8)
+    return semantic_dedup(
+        emb, threshold=0.3, bucket_bits=8,
+        observation=guard_observation("semantic_dedup"),
+    )
 
 
 # ---------------------------------------------------------------------------
