@@ -576,10 +576,12 @@ def jaccard_pairs_prefix(
     shingle_n: int = 2,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     observation=None,
+    hot_k: int = 8,
+    hot_min_shared: int = 2,
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard at threshold ``tn/td`` via
     content-based blocking: the AllPairs/PPJoin rarest-shingle prefix
-    filter, escalating over-cap shingles to shingle-PAIR keys.
+    filter, escalating over-cap shingles to sampled triple keys.
 
     The r04-and-earlier :func:`ngram_jaccard_pairs` blocked on METADATA
     (lang × length bucket) — a key that degenerates as the corpus grows:
@@ -603,17 +605,25 @@ def jaccard_pairs_prefix(
        and high-df template shingles fall out of prefixes first;
     4. LEVEL 2 (hot): over-cap shingles are NOT dropped — each doc
        re-keys its hot prefix shingles by CONSECUTIVE (rarity-ordered)
-       triples ``(s_i, s_{i+1}, s_{i+2})``. The triple keyspace is a
-       product space, so bucket occupancy stays data-bounded even when
-       the vocabulary is tiny relative to the corpus (the regime where
-       every single-shingle bucket is hot by pigeonhole — e.g.
-       mass-replicated template corpora). Near-dup docs have
-       near-identical rarity sequences, so their consecutive triples
-       coincide; the level is heuristic-recall (a pair sharing exactly
-       one hot shingle and no cold one can be missed) but bounded.
-       Triple buckets above the cap — genuine mass duplication, whose
-       true pair output is itself quadratic — are dropped by
-       :func:`cap_bucket_size` and surfaced via ``observation``.
+       triples ``(s_i, s_{i+1}, s_{i+2})``, keeps the ``hot_k``
+       triples with the smallest portable hash (a bottom-k sketch:
+       content-keyed and alignment-free, so near-identical docs select
+       near-identical triple subsets), and emits pairs sharing at
+       least ``hot_min_shared`` selected triples. The triple keyspace
+       is a product space, so bucket occupancy stays data-bounded even
+       when the vocabulary is tiny relative to the corpus (the regime
+       where every single-shingle bucket is hot by pigeonhole — e.g.
+       mass-replicated template corpora); bottom-k + the ≥2-shared
+       bar keep the candidate stream near the true-pair count there
+       (sf3: 2.4M candidates for 2.4M true pairs vs 30M from raw
+       consecutive triples — replicas share ~40 triples each, so
+       unsampled keys emit every pair ~40 times and one stray shared
+       triple admits every cross-cluster pair). The level is
+       heuristic-recall (a pair sharing exactly one hot shingle and no
+       cold one can be missed) but bounded. Triple buckets above the
+       cap — genuine mass duplication, whose true pair output is
+       itself quadratic — are dropped by :func:`cap_bucket_size` and
+       surfaced via ``observation``.
     5. candidates from both levels union, dedupe, and verify with
        exact set Jaccard (array attach + ``array_intersect``) — A/B'd
        in-session against an inverted-index co-count verify, which
@@ -761,33 +771,51 @@ def jaccard_pairs_prefix(
     # consecutive TRIPLES, not pairs: on a low-entropy vocabulary the
     # pair keyspace is still too coarse — at sf1 pair keys produced 81M
     # distinct candidates for 250k true pairs (verify-bound, 103s);
-    # triple keys cut that to 3.3M candidates (11s) keeping 99.96% of
-    # the verified output (max bucket 390 → 80)
+    # triple keys cut that to 3.3M. Then bottom-k sample the triples by
+    # portable hash: selection is a pure function of triple CONTENT, so
+    # near-identical docs pick near-identical subsets (alignment-free,
+    # unlike stride/position sampling), and requiring >= hot_min_shared
+    # selected triples kills the one-stray-shared-triple cross-cluster
+    # pairs that dominate the raw stream (sf3: 122M raw collisions /
+    # 30M distinct pairs -> 2.4M candidates at 99% precision).
     w2 = Window.partitionBy("doc_id_").orderBy("df_n", "s")
+    wk = Window.partitionBy("doc_id_").orderBy("_h", "s", "s2", "s3")
     hotp = (
         hot.withColumn("s2", F.lead("s", 1).over(w2))
         .withColumn("s3", F.lead("s", 2).over(w2))
         .filter(F.col("s3").isNotNull())
+        .withColumn("_h", md5_int(F.concat_ws("\x1f", "s", "s2", "s3"), 21))
+        .withColumn("_kr", F.row_number().over(wk))
+        .filter(F.col("_kr") <= hot_k)
         .select("doc_id_", "sz", "s", "s2", "s3")
     )
     hotp = cap_bucket_size(hotp, ["s", "s2", "s3"], max_bucket, observation)
     ha, hb = hotp.alias("a"), hotp.alias("b")
-    cand2 = ha.join(
-        hb,
-        (F.col("a.s") == F.col("b.s"))
-        & (F.col("a.s2") == F.col("b.s2"))
-        & (F.col("a.s3") == F.col("b.s3"))
-        & compat(),
-    ).select(*pair_sel)
+    cand2 = (
+        ha.join(
+            hb,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.s2") == F.col("b.s2"))
+            & (F.col("a.s3") == F.col("b.s3"))
+            & compat(),
+        )
+        .select(*pair_sel)
+        # same exchange-free aggregate trick as the cold side: count
+        # shared selected triples per pair co-located, then gate
+        .repartition("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .filter(F.col("_t") >= hot_min_shared)
+        .select("id_a", "id_b")
+    )
 
-    # cand1 is already distinct (groupBy output); only cand2 needs an
-    # internal dedup (a pair can share several hot triples), and it is
-    # empty whenever no shingle crosses the cap. Cross-level duplicates
-    # (a pair with both a cold collision and a shared hot triple) are
-    # NOT deduped here — deduping the few verified survivors afterward
-    # is free, while a global dropDuplicates would re-shuffle the full
-    # multi-million-row candidate stream.
-    cand = cand1.unionByName(cand2.dropDuplicates(["id_a", "id_b"]))
+    # both candidate branches are distinct (groupBy outputs).
+    # Cross-level duplicates (a pair with both a cold collision and
+    # shared hot triples) are NOT deduped here — deduping the few
+    # verified survivors afterward is free, while a global
+    # dropDuplicates would re-shuffle the full multi-million-row
+    # candidate stream.
+    cand = cand1.unionByName(cand2)
     # exact verification: re-attach the two shingle arrays and fold
     # array_intersect. Measured (in-session A/B, sf0.1, identical 7.7M
     # candidates): 10.3s vs 33.9s for the inverted-index co-count shape

@@ -81,11 +81,14 @@ def ngram_jaccard_oracle(
     td: int = _NJ_TD,
     shingle_n: int = 2,
     source: str = "documents",
+    hot_k: int = 8,
+    hot_min_shared: int = 2,
 ) -> str:
     """DuckDB twin of ``operators.dedup.jaccard_pairs_prefix``:
     rarest-shingle prefix blocking with level-2 escalation of over-cap
-    shingles to consecutive-pair keys. Parameterized so tests can force
-    the hot path with a tiny cap on a tiny corpus."""
+    shingles to bottom-k-sampled consecutive-triple keys (>= 2 shared
+    to pair). Parameterized so tests can force the hot path with a tiny
+    cap on a tiny corpus."""
     compat = (
         f"a.doc_id < b.doc_id AND a.sz * {td} >= b.sz * {tn} "
         f"AND b.sz * {td} >= a.sz * {tn}"
@@ -116,14 +119,20 @@ pfo AS (
 ),
 cold AS (SELECT * FROM pfo WHERE occ_n <= {cap}),
 hot  AS (SELECT * FROM pfo WHERE occ_n > {cap}),
--- level 2: consecutive (rarity-ordered) triples of hot prefix shingles
+-- level 2: consecutive (rarity-ordered) triples of hot prefix
+-- shingles, bottom-{hot_k} sampled by portable content hash
 hotp AS (
     SELECT doc_id, sz, s, s2, s3 FROM (
-        SELECT doc_id, sz, s, df_n,
-               lead(s, 1) OVER (PARTITION BY doc_id ORDER BY df_n, s) AS s2,
-               lead(s, 2) OVER (PARTITION BY doc_id ORDER BY df_n, s) AS s3
-        FROM hot
-    ) WHERE s3 IS NOT NULL
+        SELECT doc_id, sz, s, s2, s3,
+               {oracle_md5_int_sql("s || chr(31) || s2 || chr(31) || s3", 21)} AS h
+        FROM (
+            SELECT doc_id, sz, s, df_n,
+                   lead(s, 1) OVER (PARTITION BY doc_id ORDER BY df_n, s) AS s2,
+                   lead(s, 2) OVER (PARTITION BY doc_id ORDER BY df_n, s) AS s3
+            FROM hot
+        ) WHERE s3 IS NOT NULL
+    )
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h, s, s2, s3) <= {hot_k}
 ),
 -- oversized-bucket guard twin (operators/dedup.cap_bucket_size)
 hotp_g AS (
@@ -148,9 +157,12 @@ cand AS (
              + least(sz_a - lrn_a, sz_b - lrn_b)) * {tn + td}
           >= (sz_a + sz_b) * {tn}
     UNION
+    -- >= {hot_min_shared} shared selected triples to pair
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM hotp_g a JOIN hotp_g b
       ON a.s = b.s AND a.s2 = b.s2 AND a.s3 = b.s3 AND {compat}
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {hot_min_shared}
 )
 SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
@@ -177,12 +189,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. Level 1 (cold prefix shingles) is lossless: output contains
     every pair with bigram Jaccard >= 1/5 that shares at least one
     under-cap prefix shingle. Pairs whose shared prefix shingles are
-    ALL over the bucket cap ride the level-2 consecutive-triple keys,
+    ALL over the bucket cap ride the level-2 bottom-k triple keys,
     which are heuristic-recall (operators/dedup.jaccard_pairs_prefix
-    step 4) — no shingle has crossed the cap at any attested scale
-    (sf0.001→sf3), so the output has been exactly ALL qualifying pairs
-    there; pass a GuardStats observation in production to see when
-    that stops being true."""
+    step 4). Engagement by scale: at sf<=0.1 no shingle crosses the
+    cap, so the output is exactly ALL qualifying pairs; at the
+    replication scales sf1/sf3 the hot path carries ~97% of prefix
+    entries and contributes all but ~0.04% of the r05-attested pair
+    count (250,609/250,709 at sf1) with zero guard drops. The query
+    attaches a GuardStats observation (read by bench.py) so a corpus
+    that drops buckets — the only silent-recall regime — is visible
+    in the BENCH artifacts."""
     from .operators.dedup import jaccard_pairs_prefix
     from .registry import guard_observation
 
