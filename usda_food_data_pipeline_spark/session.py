@@ -37,7 +37,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 256 MB: executors here (and the 100 TB design point) carry
+        # 100+ GiB of memory, so a quarter-GB build side is cheap; under
+        # AQE the threshold is re-checked against RUNTIME sizes, so a
+        # table that is genuinely large at production scale still plans
+        # as a shuffle join — raising this only converts joins whose
+        # build side MEASURES small. Measured: the sf3 jaccard verify
+        # joins (150k-doc shingle-array table, ~105 MB) drop from
+        # shuffling 46M candidate rows twice to two broadcast lookups,
+        # 165s -> 118s for the whole query.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         # ObjectHashAggregate (collect_list/collect_set/percentile paths)
         # falls back to sort-based aggregation after only 128 distinct keys
         # by default — every high-cardinality array agg pays an external
