@@ -36,6 +36,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 32 concurrent task threads doing compressed spill reads sit in
+        # JNI critical sections; G1's GCLocker then starves the other
+        # threads' 1 MB read-buffer allocations (observed: "Retried
+        # waiting for GCLocker too often" -> spurious task OOM under an
+        # undersized heap, multi-second allocation stalls otherwise).
+        # More retries is strictly safer than failing the task.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:GCLockerRetryAllocationCount=100",
+        )
         .config("spark.ui.enabled", "false")
         # 256 MB: executors here (and the 100 TB design point) carry
         # 100+ GiB of memory, so a quarter-GB build side is cheap; under
