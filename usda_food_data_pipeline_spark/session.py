@@ -44,7 +44,7 @@ def get_spark(
         # More retries is strictly safer than failing the task.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:GCLockerRetryAllocationCount=100",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
         )
         .config("spark.ui.enabled", "false")
         # 256 MB: executors here (and the 100 TB design point) carry
