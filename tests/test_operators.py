@@ -923,3 +923,30 @@ def test_table_diff_null_key_and_injective_fingerprint(spark):
     old3 = spark.createDataFrame([(None, "same", 0)], "k int, s string, v int")
     new3 = spark.createDataFrame([(None, "same", 0)], "k int, s string, v int")
     assert table_diff(old3, new3, ["k"], ["s", "v"]).count() == 0
+
+
+def test_repetition_signals_hand_values(spark, monkeypatch, tmp_path):
+    """Gopher-style repetition rules on a hand-computed doc:
+    'a b a b c' -> tokens 5, distinct 3, bigrams [a b, b a, a b, b c]:
+    top bigram 'a b' x2 of 4, duplicated instances 2 of 4."""
+    import os
+
+    from usda_food_data_pipeline_spark.registry_text import q_repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z"), (3, "w")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r.asDict() for r in q_repetition_signals(spark, d).collect()}
+    r1 = got[1]
+    assert r1["n_tokens"] == 5
+    assert abs(r1["dup_token_frac"] - 2 / 5) < 1e-12
+    assert r1["top_bigram_count"] == 2
+    assert abs(r1["top_bigram_frac"] - 2 / 4) < 1e-12
+    assert abs(r1["dup_bigram_frac"] - 2 / 4) < 1e-12
+    r2 = got[2]  # all unique
+    assert r2["dup_token_frac"] == 0.0 and r2["dup_bigram_frac"] == 0.0
+    r3 = got[3]  # single token: no bigrams -> 0.0 fractions, count 0
+    assert r3["top_bigram_count"] == 0 and r3["top_bigram_frac"] == 0.0

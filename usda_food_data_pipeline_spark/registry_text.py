@@ -1730,3 +1730,108 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_unique").cast("double") / F.col("n_shingles")).alias("novelty"),
         (F.col("_sum_df").cast("double") / F.col("n_shingles")).alias("mean_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher/Dolma-style repetitious-text quality rules)
+# ---------------------------------------------------------------------------
+
+REPETITION_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+),
+sized AS (
+    SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+           list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                          i -> toks[i] || ' ' || toks[i+1]) AS bgs
+    FROM base
+),
+cnt AS (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (SELECT doc_id, unnest(bgs) AS bg FROM sized)
+    GROUP BY doc_id, bg
+),
+agg AS (
+    SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bigrams,
+           sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bg
+    FROM cnt GROUP BY doc_id
+)
+SELECT s.doc_id,
+       s.n_tokens,
+       CAST(s.n_tokens - s.n_distinct AS DOUBLE) / s.n_tokens AS dup_token_frac,
+       coalesce(a.top_cnt, 0) AS top_bigram_count,
+       CASE WHEN coalesce(a.n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(a.top_cnt AS DOUBLE) / a.n_bigrams END AS top_bigram_frac,
+       CASE WHEN coalesce(a.n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(a.dup_bg AS DOUBLE) / a.n_bigrams END AS dup_bigram_frac
+FROM sized s LEFT JOIN agg a ON s.doc_id = a.doc_id
+WHERE s.n_tokens > 0
+"""
+
+
+@register(
+    "repetition_signals",
+    REPETITION_ORACLE,
+    "Gopher-style repetition quality rules: duplicate-token fraction, top/duplicated word-bigram fractions",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetitious-text screening signals (the Gopher quality-rule
+    family a training-data pipeline filters on): per doc, the fraction
+    of repeated tokens, the most-frequent word-bigram's share of all
+    bigram instances, and the share of bigram instances whose bigram
+    occurs more than once. NON-distinct bigrams (unlike the dedup
+    shingles — repetition is exactly what distinct would erase), built
+    by zipping two shifted slices of the token array. One (doc, bigram)
+    shuffle + one doc-keyed aggregation — linear at corpus scale, no
+    pair generation. Every fraction is an exact-integer numerator /
+    denominator pair divided once, so both engines produce the same
+    IEEE doubles."""
+    from .operators.dedup import tokenize as ws_tokenize
+    from .sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    base = (
+        spread(docs)
+        .select(F.col("doc_id"), ws_tokenize(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+            F.zip_with(
+                F.slice("toks", 1, m),
+                F.slice("toks", 2, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ).alias("bgs"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    cnt = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"),
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_bg"),
+    )
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+            F.coalesce(F.col("top_cnt"), F.lit(0)).cast("long").alias("top_bigram_count"),
+            F.when(n_bg == 0, F.lit(0.0))
+            .otherwise(F.col("top_cnt").cast("double") / F.col("n_bigrams"))
+            .alias("top_bigram_frac"),
+            F.when(n_bg == 0, F.lit(0.0))
+            .otherwise(F.col("dup_bg").cast("double") / F.col("n_bigrams"))
+            .alias("dup_bigram_frac"),
+        )
+    )
