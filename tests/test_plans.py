@@ -234,3 +234,21 @@ def test_pagerank_beyond_broadcast_limit_no_edge_reshuffle(spark):
     got = {r.node: r.rank for r in shuffled.collect()}
     want = {r.node: r.rank for r in broadcasted.collect()}
     assert got == want  # dyadic-grid sums → exactly equal, not approx
+
+
+def test_jaccard_pair_aggregate_is_exchange_free(spark, sf_dir):
+    """The per-pair overlap-bound aggregate must consume the explicit
+    pair repartition directly: exactly ONE Exchange between the
+    collision join and the bound filter (the repartition itself), and a
+    single non-partial HashAggregate — hash partitioning on
+    (id_a, id_b) satisfies the 4-key groupBy's clustering requirement,
+    so Catalyst must not insert a partial/final pair with its own
+    exchange (the partial form built a per-task map over every pair it
+    saw and spill-sorted under memory pressure)."""
+    plan = plan_of(spark, "dedup_ngram_jaccard", sf_dir)
+    # the bound filter sits directly above one HashAggregate whose
+    # child partitioning comes from the REPARTITION_BY_COL exchange
+    import re
+    aggs = re.findall(r"HashAggregate\(keys=\[doc_id_[^\]]*\][^)]*functions=\[count\(1\)", plan)
+    assert len(aggs) == 1, f"expected one pair-bound HashAggregate, got {len(aggs)}"
+    assert "REPARTITION_BY_COL" in plan
