@@ -24,8 +24,15 @@ def main() -> None:
     ap.add_argument("--max-ratio", type=float, default=15.0)
     args = ap.parse_args()
 
-    base = json.loads(open(args.base).read().strip().splitlines()[-1])
-    scaled = json.loads(open(args.scaled).read().strip().splitlines()[-1])
+    def load(path: str) -> dict:
+        text = open(path).read().strip()
+        try:
+            return json.loads(text)  # pretty-printed BENCH_FULL artifact
+        except json.JSONDecodeError:
+            return json.loads(text.splitlines()[-1])  # bench stdout tail
+
+    base = load(args.base)
+    scaled = load(args.scaled)
     bq, sq = base["queries"], scaled["queries"]
 
     rows = {}
