@@ -950,3 +950,43 @@ def test_repetition_signals_hand_values(spark, monkeypatch, tmp_path):
     assert r2["dup_token_frac"] == 0.0 and r2["dup_bigram_frac"] == 0.0
     r3 = got[3]  # single token: no bigrams -> 0.0 fractions, count 0
     assert r3["top_bigram_count"] == 0 and r3["top_bigram_frac"] == 0.0
+
+
+def test_table_diff_cdc_roundtrip_property(spark):
+    """CDC closure: merge_apply(old, table_diff_cdc(old, new)) == new,
+    on seeded random version pairs with adds, drops, edits, and
+    untouched keys (including value NULLs — only KEYS must be non-null
+    per the documented precondition)."""
+    import random
+
+    from usda_food_data_pipeline_spark.operators.merge import (
+        merge_apply,
+        table_diff_cdc,
+    )
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        old_rows = [
+            (k, rng.choice(["a", "b", None]), rng.randint(0, 5))
+            for k in range(30)
+        ]
+        new_rows = []
+        for k, s, v in old_rows:
+            r = rng.random()
+            if r < 0.2:
+                continue  # removed
+            if r < 0.5:
+                new_rows.append((k, rng.choice(["a", "b", "c", None]), rng.randint(0, 5)))
+            else:
+                new_rows.append((k, s, v))  # unchanged
+        new_rows += [(100 + i, "new", i) for i in range(rng.randint(0, 4))]
+        old = spark.createDataFrame(old_rows, "k int, s string, v int")
+        new = spark.createDataFrame(new_rows, "k int, s string, v int")
+
+        cdc = table_diff_cdc(old, new, ["k"])
+        got = merge_apply(old, cdc, ["k"], ["_seq"])
+        assert sorted(got.collect()) == sorted(new.collect()), f"seed {seed}"
+        # the stream is delta-sized: one row per actually-differing key
+        n_diff = cdc.count()
+        same = {r for r in old_rows if r in set(new_rows)}
+        assert n_diff == len(set(r[0] for r in old_rows + new_rows)) - len(same), f"seed {seed}"

@@ -697,3 +697,76 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         v_old, v_new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC capture (operators/merge.table_diff_cdc): the applyable change
+# stream between two versions — closure of table_diff with merge_apply
+# (roundtrip property pinned in tests/test_operators.py). Same derived
+# versions as the table_diff fixture.
+# ---------------------------------------------------------------------------
+
+TABLE_DIFF_CDC_ORACLE = """
+WITH v_old AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F'
+),
+v_new AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority || '#edited' ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'P'
+),
+d AS (
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'changed'
+           END AS status
+    FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT n.o_orderkey, 'U' AS op, n.o_custkey, n.o_orderstatus, n.o_orderpriority,
+       1 AS _seq
+FROM v_new n JOIN d ON n.o_orderkey = d.o_orderkey
+WHERE d.status IN ('added', 'changed')
+UNION ALL
+SELECT d.o_orderkey, 'D' AS op, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), 1 AS _seq
+FROM d WHERE d.status = 'removed'
+"""
+
+
+@register(
+    "table_diff_cdc",
+    TABLE_DIFF_CDC_ORACLE,
+    "CDC capture: applyable upsert/delete change stream between two table versions (merge_apply closure)",
+)
+def q_table_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import table_diff_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    v_old = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    v_new = (
+        orders.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 != 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.concat(F.col("o_orderpriority"), F.lit("#edited")),
+            ).otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderstatus") == "P").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+            )
+        )
+    )
+    return table_diff_cdc(v_old, v_new, ["o_orderkey"])
