@@ -1835,3 +1835,74 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_bigram_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection (keep-longest per near-dup cluster)
+# ---------------------------------------------------------------------------
+
+def _keep_longest_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+und AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+scored AS (
+    SELECT d.doc_id, c.component, len({TOKS_SQL}) AS n_tokens
+    FROM documents d JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, component, n_tokens FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY component ORDER BY n_tokens DESC, doc_id ASC) = 1
+"""
+
+
+@register(
+    "dedup_keep_longest",
+    _keep_longest_oracle(),
+    "quality-aware canonical per near-dup cluster: keep the longest member (ties -> lowest id)",
+)
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-policy canonical selection: within each MinHash near-dup
+    cluster keep the member with the MOST tokens (the common 'longest
+    version wins' policy — near-dups are frequently truncations of one
+    another), deterministic tie-break by lowest doc_id. dedup_clusters'
+    min-id canonical is arbitrary; this one is content-ranked. Shape on
+    top of the attested components: one doc-keyed join to attach the
+    score, one per-cluster window (WindowGroupLimit keeps the rank-1
+    row per partition without materializing full sorts)."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import connected_components, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    comp = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node")), "id_a", "id_b"
+    )
+    scored = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    ).join(comp, F.col("doc_id") == F.col("node"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "component", "n_tokens")
+    )
