@@ -608,3 +608,60 @@ def jl_project(
         )
         outs.append((dotj * F.lit(inv)).alias(f"y{j}"))
     return pre.select(F.col(id_col), *outs)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.3,
+    bucket_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Embedding-space decontamination: drop corpus vectors whose cosine
+    to ANY benchmark/eval vector reaches ``threshold`` — the semantic
+    twin of the n-gram ``decontaminate`` screen (paraphrased test-set
+    leakage that shares no exact n-grams still lands nearby in
+    embedding space).
+
+    Candidate generation blocks both sides on the sign pattern of the
+    first ``bucket_bits`` dimensions (the attested semantic_dedup
+    scheme; occupancy tracks embedding-space density) and joins
+    bucket-equal pairs only — never all-pairs. The guard cap applies to
+    PAIR GENERATION only: every corpus vector survives unless flagged,
+    and over-cap buckets are reported via ``observation``, not silently
+    decided. Returns the surviving (id, bucket) rows.
+    """
+    from ..sources.tables import spread
+    from .dedup import DEFAULT_MAX_BUCKET, cap_bucket_size
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+
+    def prep(df: DataFrame) -> DataFrame:
+        return spread(df).select(
+            F.col(id_col).alias("_id"),
+            as_double_array(vec_col).alias("_v"),
+            sign_bitpack(F.col(vec_col), dim=bucket_bits, word_bits=bucket_bits)[0]
+            .alias("_bkt"),
+        ).withColumn("_n", l2_norm(F.col("_v")))
+
+    c_all = prep(corpus)
+    c = cap_bucket_size(c_all, ["_bkt"], max_bucket, observation).alias("c")
+    b = cap_bucket_size(prep(benchmark), ["_bkt"], max_bucket, None).alias("b")
+    score = F.try_divide(
+        dot(F.col("c._v"), F.col("b._v")), F.col("c._n") * F.col("b._n")
+    )
+    flagged = (
+        c.join(b, F.col("c._bkt") == F.col("b._bkt"))
+        .filter(score >= threshold)
+        .select(F.col("c._id").alias("_flag"))
+        .distinct()
+    )
+    return (
+        c_all.select("_id", "_bkt")
+        .join(flagged, F.col("_id") == flagged["_flag"], "left_anti")
+        .select(F.col("_id").alias(id_col), F.col("_bkt").alias("bucket"))
+    )

@@ -428,3 +428,53 @@ def q_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (operators/similarity.semantic_decontaminate)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DECONTAMINATE_ORACLE = f"""
+WITH p AS (
+    SELECT vec_id, embedding, {_pack_sql(1, 8)} AS bkt FROM embeddings
+),
+c_all AS (SELECT * FROM p WHERE vec_id % 10 <> 0),
+c AS (
+    SELECT * FROM c_all
+    {cap_bucket_qualify_sql('bkt', DEFAULT_MAX_BUCKET)}
+),
+b AS (
+    SELECT * FROM p WHERE vec_id % 10 = 0
+    {cap_bucket_qualify_sql('bkt', DEFAULT_MAX_BUCKET)}
+),
+flagged AS (
+    SELECT DISTINCT c.vec_id
+    FROM c JOIN b ON c.bkt = b.bkt
+    WHERE {_cos('c.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= 0.3
+)
+SELECT a.vec_id, a.bkt AS bucket
+FROM c_all a LEFT JOIN flagged f ON a.vec_id = f.vec_id
+WHERE f.vec_id IS NULL
+"""
+
+
+@register(
+    "semantic_decontaminate",
+    SEMANTIC_DECONTAMINATE_ORACLE,
+    "drop corpus vectors within cosine 0.3 of any held-out benchmark vector (sign-bucket blocked)",
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic twin of the
+    n-gram decontaminate screen: paraphrased eval leakage that shares
+    no exact trigram still lands near its source in embedding space.
+    Every-10th vector stands in for the held-out benchmark set."""
+    from .operators.similarity import semantic_decontaminate
+    from .registry import guard_observation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    return semantic_decontaminate(
+        corpus, bench, threshold=0.3, bucket_bits=8,
+        observation=guard_observation("semantic_decontaminate"),
+    )
