@@ -292,3 +292,44 @@ def test_vector_family_at_reference_dim_1024(spark):
         for j in range(32):
             expect = sum(a * b for a, b in zip(v, signs[j])) * inv
             assert abs(rows[i][f"y{j}"] - expect) < 1e-6
+
+
+def test_semantic_decontaminate_matches_brute_force_single_bucket(spark):
+    """With every vector's first 8 dims positive (one sign bucket) the
+    blocking is lossless, so the screen must equal brute force: drop
+    exactly the corpus vectors with cosine >= t to some benchmark
+    vector."""
+    import math
+    import random
+
+    from usda_food_data_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    rnd = random.Random(11)
+    def vec():
+        return [abs(rnd.gauss(0, 1)) + 0.01 for _ in range(8)] + [
+            rnd.gauss(0, 1) for _ in range(8)
+        ]
+    corpus_rows = [(i, vec()) for i in range(40)]
+    bench_rows = [(100 + i, vec()) for i in range(5)]
+    # plant one unmistakable leak: corpus 0 == benchmark 100
+    corpus_rows[0] = (0, bench_rows[0][1])
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    t = 0.3
+    want = {
+        i for i, v in corpus_rows
+        if not any(cos(v, bv) >= t for _, bv in bench_rows)
+    }
+    corpus = spark.createDataFrame(corpus_rows, "vec_id: long, embedding: array<float>")
+    bench = spark.createDataFrame(bench_rows, "vec_id: long, embedding: array<float>")
+    got = {
+        r.vec_id
+        for r in semantic_decontaminate(corpus, bench, threshold=t).collect()
+    }
+    assert 0 not in got  # the planted leak is dropped
+    assert got == want
