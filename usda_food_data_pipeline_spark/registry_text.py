@@ -1906,3 +1906,129 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("doc_id", "component", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (ColBERT-style MaxSim over chunk vectors)
+# ---------------------------------------------------------------------------
+
+_MAXSIM_CH = 16  # tokens per chunk
+
+
+def _maxsim_oracle() -> str:
+    # NB: the md5 twin uses an internal lambda variable named `i`;
+    # the outer position variable must not collide with it
+    bucket = oracle_md5_int_sql("toks[tpos]", 11)
+    return f"""
+WITH b0 AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+bk0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS tpos FROM b0),
+bk AS (
+    SELECT doc_id, CAST((tpos - 1) // {_MAXSIM_CH} AS BIGINT) AS chunk_id,
+           {bucket} % {_EMBED_DIM} AS bucket
+    FROM bk0
+),
+cnt AS (
+    SELECT doc_id, chunk_id, bucket, count(*) AS c
+    FROM bk GROUP BY doc_id, chunk_id, bucket
+),
+nrm AS (
+    SELECT doc_id, chunk_id, sum(c * c) AS sq
+    FROM cnt GROUP BY doc_id, chunk_id
+),
+qcnt AS (SELECT chunk_id AS qc, bucket, c AS qv FROM cnt WHERE doc_id = 0),
+qnrm AS (SELECT chunk_id AS qc, sq AS qsq FROM nrm WHERE doc_id = 0),
+dots AS (
+    SELECT d.doc_id, d.chunk_id, q.qc, sum(d.c * q.qv) AS num
+    FROM cnt d JOIN qcnt q ON d.bucket = q.bucket
+    WHERE d.doc_id <> 0
+    GROUP BY d.doc_id, d.chunk_id, q.qc
+),
+sims AS (
+    SELECT t.doc_id, t.qc,
+           max(CAST(t.num AS DOUBLE) / (sqrt(n.sq) * sqrt(qn.qsq))) AS best
+    FROM dots t
+    JOIN nrm n ON t.doc_id = n.doc_id AND t.chunk_id = n.chunk_id
+    JOIN qnrm qn ON t.qc = qn.qc
+    GROUP BY t.doc_id, t.qc
+),
+scored AS (
+    SELECT doc_id,
+           list_reduce(list_transform(list(best ORDER BY qc), x -> x),
+                       (a, x) -> a + x) AS score
+    FROM sims GROUP BY doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "maxsim_retrieval",
+    _maxsim_oracle(),
+    "ColBERT-style MaxSim late interaction: sum over query chunks of best chunk cosine, top-10 docs",
+)
+def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval: documents and the query (doc 0
+    stands in) split into {ch}-token chunks, each chunk hashed into the
+    {dim}-bucket featurizer space; score(doc) = sum over QUERY chunks
+    of the best cosine against any DOC chunk (MaxSim). Entirely
+    relational/SPARSE — bucket counts join on bucket id for the dot
+    products, so no dense vectors are materialized and every stage is a
+    hash join or partial-aggregated groupBy on (doc, chunk) keys: the
+    shape that scales to a token-embedding table far larger than any
+    executor. Determinism: dot-product numerators are exact BIGINT
+    sums; each similarity does one sqrt-multiply-divide on exact
+    integers; the per-doc sum folds the per-query-chunk maxima in
+    qchunk order (identical IEEE association on both engines).
+    """.format(ch=_MAXSIM_CH, dim=_EMBED_DIM)
+    from .operators.dedup import md5_int, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_ex = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    cnt = (
+        tok_ex.select(
+            "doc_id",
+            (F.col("pos") / _MAXSIM_CH).cast("bigint").alias("chunk_id"),
+            (md5_int(F.col("tok"), 11) % _EMBED_DIM).alias("bucket"),
+        )
+        .groupBy("doc_id", "chunk_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nrm = cnt.groupBy("doc_id", "chunk_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("sq")
+    )
+    qcnt = cnt.filter(F.col("doc_id") == 0).select(
+        F.col("chunk_id").alias("qc"), "bucket", F.col("c").alias("qv")
+    )
+    qnrm = nrm.filter(F.col("doc_id") == 0).select(
+        F.col("chunk_id").alias("qc"), F.col("sq").alias("qsq")
+    )
+    dots = (
+        cnt.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qcnt), "bucket")
+        .groupBy("doc_id", "chunk_id", "qc")
+        .agg(F.sum(F.col("c") * F.col("qv")).alias("num"))
+    )
+    sims = (
+        dots.join(nrm, ["doc_id", "chunk_id"])
+        .join(F.broadcast(qnrm), "qc")
+        .groupBy("doc_id", "qc")
+        .agg(
+            F.max(
+                F.col("num").cast("double")
+                / (F.sqrt(F.col("sq").cast("double")) * F.sqrt(F.col("qsq").cast("double")))
+            ).alias("best")
+        )
+    )
+    scored = sims.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("qc", "best"))),
+                lambda x: x["best"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
