@@ -990,3 +990,53 @@ def test_table_diff_cdc_roundtrip_property(spark):
         n_diff = cdc.count()
         same = {r for r in old_rows if r in set(new_rows)}
         assert n_diff == len(set(r[0] for r in old_rows + new_rows)) - len(same), f"seed {seed}"
+
+
+def test_winnowing_density_and_coverage_guarantee(spark, tmp_path):
+    """Winnowing invariants on the registered query: (a) every doc
+    selects at least one fingerprint per window span (n_fingerprints
+    >= ceil(n_windows / w) — local sampling can't go sparser than one
+    per w consecutive windows); (b) density <= 1; (c) two docs sharing
+    a long verbatim run share a fingerprint CODE (the MOSS guarantee
+    for matches of length >= w + k - 1 tokens)."""
+    import os
+
+    from usda_food_data_pipeline_spark.registry_text import (
+        _WIN_K,
+        _WIN_W,
+        q_winnowing_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " xx yy"),
+            (2, shared + " completely different tail here now"),
+            (3, "unrelated words entirely about other things altogether ok"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in q_winnowing_fingerprints(spark, d).collect()}
+    for r in rows.values():
+        n_windows = r.n_kgrams - _WIN_W + 1
+        assert r.n_fingerprints >= -(-n_windows // _WIN_W)
+        assert r.density <= 1.0 + 1e-12
+    # the MOSS guarantee needs the shared POSITIONS too — recompute the
+    # fingerprint sets via the same oracle SQL in DuckDB and intersect
+    import duckdb
+
+    from usda_food_data_pipeline_spark.registry_text import _winnow_oracle
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    sql = _winnow_oracle().replace(
+        "SELECT doc_id,\n       m AS n_kgrams",
+        "SELECT doc_id, list_transform(fp, f -> f // 65536) AS hset, m AS n_kgrams",
+    )
+    fps = {row[0]: set(row[1]) for row in con.execute(sql).fetchall()}
+    assert fps[1] & fps[2], "docs sharing a 10-token run must share a fingerprint hash"
+    assert not (fps[1] & fps[3])

@@ -2032,3 +2032,146 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+# MOSS local fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3   # tokens per k-gram
+_WIN_W = 4   # hashes per winnowing window
+
+
+def _winnow_oracle() -> str:
+    # NB: oracle_md5_int_sql's internal lambda variable is `i` — outer
+    # lambda variables here are g/p/o to avoid capture
+    # nibbles=10 (40-bit hashes): the tie-break encoding multiplies by
+    # 2^16, and 40+16 bits stays inside BIGINT on both engines
+    h = oracle_md5_int_sql(
+        "toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]", 17, 10
+    )
+    w = _WIN_W
+    return f"""
+WITH b0 AS (
+    SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+),
+hs0 AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - {_WIN_K - 1}, 0) + 1),
+                          g -> {h}) AS hs
+    FROM b0
+),
+win AS (
+    SELECT doc_id, hs, len(hs) AS m
+    FROM hs0 WHERE len(hs) >= {w}
+),
+keys AS (
+    -- per window: min over (hash * 2^16 + (w-1-offset)) — ties on the
+    -- hash pick the RIGHTMOST element, the winnowing tie rule
+    SELECT doc_id, m,
+           list_transform(range(0, m - {w} + 1),
+               p -> {{'p': p, 'k': list_min(list_transform(range(0, {w}),
+                         o -> hs[p + o + 1] * 65536 + ({w} - 1 - o)))}}) AS wk
+    FROM win
+),
+fps AS (
+    -- fingerprint (pos, h) packed into one BIGINT (h*2^16 + pos):
+    -- list_distinct over structs is unsupported in DuckDB, and the
+    -- packing is a bijection (pos < 2^16)
+    SELECT doc_id, m,
+           list_distinct(list_transform(wk,
+               e -> (e.k // 65536) * 65536
+                    + (e.p + ({w} - 1) - e.k % 65536))) AS fp
+    FROM keys
+)
+SELECT doc_id,
+       m AS n_kgrams,
+       len(fp) AS n_fingerprints,
+       CAST(len(fp) AS DOUBLE) / (m - {w} + 1) AS density,
+       list_min(list_transform(fp, f -> f // 65536)) AS min_fp
+FROM fps
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    _winnow_oracle(),
+    "MOSS winnowing: windowed local-minimum k-gram fingerprints (guaranteed match coverage)",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    {k}-token k-gram, slide a {w}-hash window, keep each window's
+    minimum hash with RIGHTMOST tie-break — the published guarantee
+    that any shared substring of >= w+k-1 tokens yields a shared
+    fingerprint, which positional/stride sampling cannot promise.
+    The tie rule is encoded arithmetically (hash*2^16 + (w-1-offset),
+    take the min) so selection is one integer array fold per window —
+    identical exact integers on both engines; per-doc cost O(m*w) with
+    w = {w}. Emits per-doc fingerprint stats; the fingerprint set is
+    the cross-doc join key for plagiarism/near-dup matching at corpus
+    scale (delta-sized vs all k-grams: density ~ 2/(w+1)).
+    """.format(k=_WIN_K, w=_WIN_W)
+    from pyspark.sql import Window
+
+    from .operators.dedup import md5_int, tokenize
+    from .sources.tables import spread
+
+    w = _WIN_W
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # relational formulation: the nested higher-order-function version
+    # (transform over sequence per window) evaluates INTERPRETED per
+    # element (~2 ms/doc measured at sf0.1); lead-window k-grams plus a
+    # rolling-frame min stay JVM-side and linear in the token stream.
+    tok_ex = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("g", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("g")
+    kg = (
+        tok_ex.withColumn("t1", F.lead("tok", 1).over(wd))
+        .withColumn("t2", F.lead("tok", 2).over(wd))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            "g",
+            md5_int(F.concat_ws(" ", "tok", "t1", "t2"), 17, 10).alias("h"),
+        )
+    )
+    # rolling-window min with the winnowing tie rule folded into ONE
+    # frame-independent monotone key: min of (h*2^16 - g) picks the
+    # smallest hash and, on hash ties, the RIGHTMOST position (larger g
+    # -> smaller key); h and g decode back exactly since g < 2^16
+    wroll = Window.partitionBy("doc_id").orderBy("g").rowsBetween(0, w - 1)
+    wcnt = Window.partitionBy("doc_id")
+    keyed = kg.withColumn("_key", F.col("h") * 65536 - F.col("g")).withColumn(
+        "m", F.count(F.lit(1)).over(wcnt)
+    )
+    # integer shifts, not double division: codes reach 2^56 and
+    # doubles lose exactness past 2^53
+    h_dec = F.shiftright(F.col("_wmin") + 65535, 16)
+    wins = (
+        keyed.withColumn("_wmin", F.min("_key").over(wroll))
+        # only positions that start a FULL w-hash window
+        .filter(F.col("g") <= F.col("m") - w)
+        # decode (h, pos) and repack as the canonical fingerprint code
+        # h*2^16 + pos — the oracle's packing
+        .select(
+            "doc_id",
+            "m",
+            (h_dec * 65536 + (h_dec * 65536 - F.col("_wmin"))).alias("code"),
+        )
+    )
+    return (
+        wins.groupBy("doc_id", "m")
+        .agg(
+            F.countDistinct("code").alias("n_fingerprints"),
+            F.min(F.shiftright(F.col("code"), 16)).alias("_min_fp"),
+        )
+        .select(
+            "doc_id",
+            F.col("m").alias("n_kgrams"),
+            "n_fingerprints",
+            (F.col("n_fingerprints").cast("double") / (F.col("m") - w + 1)).alias("density"),
+            F.col("_min_fp").alias("min_fp"),
+        )
+    )
