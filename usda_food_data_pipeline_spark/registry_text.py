@@ -2175,3 +2175,81 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_min_fp").alias("min_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff bigram LM document scoring (functions/lm.py): CCNet-style
+# quality filtering — LM trained on the src0 reference slice scores all
+# other documents; keep/drop by exact decimal threshold comparison
+# ---------------------------------------------------------------------------
+
+_LM_TRAIN_SRC = "src0"
+_LM_KEEP_LP = "-8.0"
+
+
+def _lm_oracle_sql() -> str:
+    lp = "CAST(round(ln({x}), 9) AS DECIMAL(18,9))"
+    return f"""
+    WITH train AS (
+        SELECT {TOKS_SQL} AS toks FROM documents WHERE source = '{_LM_TRAIN_SRC}'
+    ),
+    uni AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM train) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+    bg AS (
+        SELECT prev, cur, count(*) AS c FROM (
+            SELECT toks[i] AS prev, toks[i+1] AS cur
+            FROM (SELECT toks, unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+                  FROM train)
+        ) GROUP BY prev, cur
+    ),
+    score AS (
+        SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+        WHERE source != '{_LM_TRAIN_SRC}'
+    ),
+    occ AS (
+        SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+        FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+              FROM score)
+    ),
+    lp AS (
+        SELECT o.doc_id,
+               CASE WHEN b.c IS NOT NULL
+                    THEN {lp.format(x="CAST(b.c AS DOUBLE) / CAST(up.c AS DOUBLE)")}
+                    ELSE {lp.format(x="(0.4 * CAST(COALESCE(uc.c, 1) AS DOUBLE)) / CAST((SELECT n_total FROM tot) AS DOUBLE)")}
+               END AS v
+        FROM occ o
+        LEFT JOIN bg b ON b.prev = o.prev AND b.cur = o.cur
+        LEFT JOIN uni up ON up.w = o.prev
+        LEFT JOIN uni uc ON uc.w = o.cur
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+               CAST(sum(v) AS DECIMAL(38,9)) AS sum_lp
+        FROM lp GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.sum_lp, CAST(0 AS DECIMAL(38,9))) AS sum_lp,
+           COALESCE(a.sum_lp, CAST(0 AS DECIMAL(38,9)))
+               >= CAST({_LM_KEEP_LP} AS DECIMAL(18,9)) * COALESCE(a.n_bigrams, 0)
+               AS keep
+    FROM score s LEFT JOIN agg a ON a.doc_id = s.doc_id
+    """
+
+
+@register(
+    "lm_doc_scores",
+    _lm_oracle_sql(),
+    "stupid-backoff bigram LM quality scores (train on src0, score the rest; "
+    "9-dp decimal log grid, exact decimal keep threshold)",
+)
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.lm import lm_score_stupid_backoff
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score_stupid_backoff(
+        docs, train_source=_LM_TRAIN_SRC, keep_lp_per_token=_LM_KEEP_LP
+    )
