@@ -1,0 +1,97 @@
+"""DSIR hashed-bigram importance resampling — unit semantics.
+
+The oracle gate (`test_oracle_gate.py::dsir_select`) pins cross-engine
+exactness at fixture scale; these tests pin the *math* on a corpus small
+enough to recompute by hand in Python, including the exact decimal grid.
+"""
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from usda_food_data_pipeline_spark.functions.dsir import dsir_select
+
+
+def _grid(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+
+
+def _py_dsir(raw_docs, tgt_docs, n_buckets, bucket_of):
+    """Reference recomputation: per-doc sum of cnt * round(ln(...), 9)."""
+    cq, ct, dc = {}, {}, {}
+    for doc_id, toks in raw_docs:
+        for a, b in zip(toks, toks[1:]):
+            bk = bucket_of(f"{a} {b}")
+            cq[bk] = cq.get(bk, 0) + 1
+            dc.setdefault(doc_id, {})[bk] = dc.setdefault(doc_id, {}).get(bk, 0) + 1
+    for toks in tgt_docs:
+        for a, b in zip(toks, toks[1:]):
+            bk = bucket_of(f"{a} {b}")
+            ct[bk] = ct.get(bk, 0) + 1
+    nq, nt = sum(cq.values()), sum(ct.values())
+    lr = {
+        bk: _grid(
+            math.log(
+                ((ct.get(bk, 0) + 1) * float(nq + n_buckets))
+                / ((cq[bk] + 1) * float(nt + n_buckets))
+            )
+        )
+        for bk in cq
+    }
+    return {
+        doc_id: sum(cnt * lr[bk] for bk, cnt in buckets.items())
+        for doc_id, buckets in dc.items()
+    }
+
+
+def test_dsir_exact_decimal_and_ranking(spark):
+    # Target slice is all about "spark sql"; raw doc 1 repeats the target
+    # phrase, doc 2 is disjoint vocabulary -> doc 1 must outrank doc 2
+    # with the exact hand-computed decimal sums.
+    rows = [
+        (1, "spark sql spark sql spark", "raw"),
+        (2, "cat dog cat dog cat", "raw"),
+        (3, "spark sql runs spark sql", "tgt"),
+        (4, "spark sql", "tgt"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dsir_select(docs, target_source="tgt", n_buckets=64, top_n=10)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    from usda_food_data_pipeline_spark.operators.dedup import md5_int
+    from usda_food_data_pipeline_spark.functions.dsir import HASH_SEED
+
+    probe = spark.createDataFrame(
+        [(g,) for g in ["spark sql", "sql spark", "cat dog", "dog cat", "sql runs", "runs spark"]],
+        ["g"],
+    ).select("g", (md5_int(F.col("g"), seed=HASH_SEED, nibbles=8) % 64).alias("b"))
+    bmap = {r["g"]: r["b"] for r in probe.collect()}
+
+    exp = _py_dsir(
+        [(1, "spark sql spark sql spark".split()), (2, "cat dog cat dog cat".split())],
+        ["spark sql runs spark sql".split(), "spark sql".split()],
+        64,
+        bmap.__getitem__,
+    )
+    assert set(got) == {1, 2}
+    for d in (1, 2):
+        assert got[d]["n_bigrams"] == 4
+        assert Decimal(got[d]["sum_lw"]) == exp[d]
+    assert exp[1] > exp[2]
+    assert got[1]["rank"] == 1 and got[2]["rank"] == 2
+
+
+def test_dsir_skips_target_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "raw"),
+            (2, "solo", "raw"),  # <=1 token: no bigrams, unranked
+            (3, "a b", "tgt"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = dsir_select(docs, target_source="tgt", n_buckets=16, top_n=10)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert ids == [1]

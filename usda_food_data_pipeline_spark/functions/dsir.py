@@ -1,0 +1,150 @@
+"""Hashed n-gram importance resampling for data selection (DSIR).
+
+Xie et al. 2023 ("Data Selection for Language Models via Importance
+Resampling") select pretraining documents by importance weight under two
+*hashed n-gram* distributions: a target corpus p (the domain you want
+more of) and the raw pool q (what you have).  Each document's log weight
+is the sum over its n-gram occurrences of ``log p[b] - log q[b]`` where
+``b`` is the n-gram's hash bucket — a fixed-size table, which is the
+whole trick: the "model" never grows with the corpus.
+
+Why this scales to 100 TB:
+
+- the bucket tables are aggregations whose exchanges carry at most
+  ``n_buckets`` rows each (fixed, e.g. 4096) — broadcast-able forever,
+  regardless of corpus size;
+- the per-document occurrence stream is linear in tokens and is
+  pre-aggregated to (doc, bucket, count) with map-side combine before
+  the only corpus-sized exchange (doc_id);
+- scoring is one broadcast hash join of that stream against the
+  ``n_buckets``-row log-ratio table — no shuffle of text, no pair
+  generation anywhere.
+
+Cross-engine exactness: bucket ids come from the portable ``md5_int``
+hash; the log-ratio per bucket is ``ln`` of a ratio assembled with a
+pinned operation order, rounded onto the shared 9-dp decimal grid (the
+BM25/NB/LM contract), so per-document decimal sums are aggregation-
+order-independent and hash-identical in DuckDB.
+
+Reference analog: none (the reference pipeline has no data-selection
+stage); extends SURVEY.md §2's text-analysis family per the
+LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import md5_int, tokenize
+
+HASH_SEED = 31
+LP_SCALE = 9
+_LP_TYPE = f"decimal(18,{LP_SCALE})"
+_SUM_TYPE = f"decimal(38,{LP_SCALE})"
+
+
+def _bigrams(toks: Column) -> Column:
+    """Non-distinct adjacent-token bigram strings (zipped shifted
+    slices — scan-local, no index re-evaluation)."""
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target_source: str = "src1",
+    n_buckets: int = 4096,
+    top_n: int = 200,
+) -> DataFrame:
+    """Rank the raw pool (``source != target_source``) by hashed-bigram
+    importance weight toward the target slice and keep the ``top_n``.
+
+    Per-bucket log ratio (add-one smoothed, pinned operation order)::
+
+        lr[b] = round(ln( ((ct[b]+1) * (Nq+B)) / ((cq[b]+1) * (Nt+B)) ), 9)
+
+    Returns ``id_col, n_bigrams, sum_lw (decimal), rank`` for the top
+    ``top_n`` documents, ordered by (sum_lw DESC, id) — deterministic
+    because the compared sums are exact decimals.  Documents with no
+    bigrams (≤1 token) have no occurrences and are not ranked.
+    """
+    bucket = (md5_int(F.col("g"), seed=HASH_SEED, nibbles=8) % n_buckets).alias("b")
+
+    def occurrences(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        g = df.select(
+            *cols, F.explode(_bigrams(tokenize(F.col(text_col)))).alias("g")
+        )
+        return g.select(*([id_col] if with_id else []), bucket)
+
+    target = docs.filter(F.col(source_col) == target_source)
+    raw = docs.filter(F.col(source_col) != target_source)
+
+    # (doc, bucket, count): the only corpus-sized aggregate; feeds both
+    # the q distribution (re-aggregated to <= n_buckets rows) and scoring.
+    dc = occurrences(raw, with_id=True).groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cq = dc.groupBy("b").agg(F.sum("cnt").alias("cq"))
+    ct = occurrences(target, with_id=False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = cq.agg(F.sum("cq").cast("bigint").alias("nq")).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("nt"))
+    )
+
+    b = F.lit(n_buckets).cast("bigint")
+    # Every scored bucket occurs in the raw pool by construction, so the
+    # log-ratio table is cq-driven; ct defaults to 0 under the +1 smoothing.
+    lr_tbl = (
+        cq.join(ct, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                        * (F.col("nq") + b).cast("double")
+                    )
+                    / (
+                        (F.col("cq") + F.lit(1)).cast("double")
+                        * (F.col("nt") + b).cast("double")
+                    )
+                ),
+                LP_SCALE,
+            )
+            .cast(_LP_TYPE)
+            .alias("lr"),
+        )
+    )
+
+    scored = (
+        dc.join(F.broadcast(lr_tbl), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("int").alias("n_bigrams"),
+            # cnt is narrowed to decimal(10,0) so the product is
+            # decimal(29,9) — exact.  A bigint operand would promote to
+            # decimal(20,0) and push the product past precision 38,
+            # making Spark silently drop the 9th decimal digit.
+            F.sum(
+                (F.col("cnt").cast("decimal(10,0)") * F.col("lr")).cast(_SUM_TYPE)
+            ).alias("sum_lw"),
+        )
+    )
+    top = scored.orderBy(F.col("sum_lw").desc(), F.col(id_col)).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("sum_lw").desc(), F.col(id_col))
+    return top.select(
+        id_col, "n_bigrams", "sum_lw", F.row_number().over(w).cast("int").alias("rank")
+    )

@@ -2253,3 +2253,79 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_stupid_backoff(
         docs, train_source=_LM_TRAIN_SRC, keep_lp_per_token=_LM_KEEP_LP
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (functions/dsir.py): hashed-bigram importance
+# resampling — rank the raw pool by importance weight toward the src1
+# target slice, keep the top 200
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "src1"
+_DSIR_BUCKETS = 4096
+_DSIR_TOP = 200
+
+
+def _dsir_oracle_sql() -> str:
+    # position variable is `g` (oracle_md5_int_sql's internal lambda
+    # variable is `i` — see the winnowing twin's capture note)
+    bg = "toks[g] || ' ' || toks[g+1]"
+    bucket = f"{oracle_md5_int_sql(bg, 31, 8)} % {_DSIR_BUCKETS}"
+    b = _DSIR_BUCKETS
+    return f"""
+    WITH raw_occ AS (
+        SELECT doc_id, {bucket} AS b
+        FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-1, 0)+1)) AS g
+              FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+                    WHERE source != '{_DSIR_TARGET}'))
+    ),
+    dc AS (SELECT doc_id, b, count(*) AS cnt FROM raw_occ GROUP BY doc_id, b),
+    cq AS (SELECT b, sum(cnt) AS cq FROM dc GROUP BY b),
+    tgt_occ AS (
+        SELECT {bucket} AS b
+        FROM (SELECT toks, unnest(range(1, greatest(len(toks)-1, 0)+1)) AS g
+              FROM (SELECT {TOKS_SQL} AS toks FROM documents
+                    WHERE source = '{_DSIR_TARGET}'))
+    ),
+    ct AS (SELECT b, count(*) AS ct FROM tgt_occ GROUP BY b),
+    tot AS (
+        SELECT CAST((SELECT sum(cq) FROM cq) AS BIGINT) AS nq,
+               CAST(COALESCE((SELECT sum(ct) FROM ct), 0) AS BIGINT) AS nt
+    ),
+    lr AS (
+        SELECT cq.b,
+               CAST(round(ln(
+                   (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) * CAST(tot.nq + {b} AS DOUBLE))
+                 / (CAST(cq.cq + 1 AS DOUBLE) * CAST(tot.nt + {b} AS DOUBLE))
+               ), 9) AS DECIMAL(18,9)) AS lr
+        FROM cq LEFT JOIN ct ON ct.b = cq.b CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT dc.doc_id,
+               CAST(sum(dc.cnt) AS INTEGER) AS n_bigrams,
+               CAST(sum(CAST(dc.cnt * lr.lr AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sum_lw
+        FROM dc JOIN lr ON lr.b = dc.b
+        GROUP BY dc.doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_lw,
+           CAST(row_number() OVER (ORDER BY sum_lw DESC, doc_id) AS INTEGER) AS rank
+    FROM scored ORDER BY sum_lw DESC, doc_id LIMIT {_DSIR_TOP}
+    """
+
+
+@register(
+    "dsir_select",
+    _dsir_oracle_sql(),
+    "DSIR hashed-bigram importance resampling: rank the raw pool toward the "
+    "src1 target slice by sum log(p/q) over 4096 hash buckets, top 200",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        target_source=_DSIR_TARGET,
+        n_buckets=_DSIR_BUCKETS,
+        top_n=_DSIR_TOP,
+    )
