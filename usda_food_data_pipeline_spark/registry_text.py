@@ -2329,3 +2329,60 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=_DSIR_BUCKETS,
         top_n=_DSIR_TOP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring spans (functions/spans.py): Lee et al. 2022 exact
+# substring dedup, relationally — k-gram df marks positions, islands merge
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+def _dup_spans_oracle() -> str:
+    k = _SPAN_K
+    gram = " || ' ' || ".join([f"toks[g+{i}]" for i in range(k)])
+    h = oracle_md5_int_sql(gram, 37, 12)
+    return f"""
+WITH occ AS (
+    SELECT doc_id, g AS pos, {h} AS h
+    FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-{k - 1}, 0)+1)) AS g
+          FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents))
+),
+dup AS (
+    SELECT h FROM (SELECT h, doc_id FROM occ GROUP BY h, doc_id)
+    GROUP BY h HAVING count(*) >= 2
+),
+starts AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (h)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                    -1000000000) + {k}
+                THEN 1 ELSE 0 END AS nw
+    FROM starts
+),
+isl2 AS (
+    SELECT doc_id, pos,
+           sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+    FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + {k - 1} AS INTEGER) AS span_end,
+       CAST(max(pos) + {k - 1} - min(pos) + 1 AS INTEGER) AS span_len,
+       count(*) AS n_grams
+FROM isl2 GROUP BY doc_id, g
+"""
+
+
+@register(
+    "dup_substring_spans",
+    _dup_spans_oracle(),
+    "Exact-substring dedup spans: maximal merged runs of 8-token windows "
+    "recurring across >= 2 documents",
+)
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.spans import dup_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_substring_spans(docs, k=_SPAN_K)
