@@ -478,3 +478,81 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, bench, threshold=0.3, bucket_bits=8,
         observation=guard_observation("semantic_decontaminate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering (operators/kmeans.py): exact-integer Lloyd rounds
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITER = 3
+
+
+def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    from .operators.kmeans import GRID, SCALE, SHIFT
+
+    rounds = []
+    for t in range(1, n_iter + 1):
+        rounds.append(f"""
+d{t} AS (
+    SELECT pl.vec_id, c.cl,
+           CAST(sum((pl.xq * {GRID} - c.cn) * (pl.xq * {GRID} - c.cn)) AS BIGINT) AS dd
+    FROM pl JOIN c{t - 1} c ON c.pos = pl.pos
+    GROUP BY pl.vec_id, c.cl
+),
+a{t} AS (
+    SELECT vec_id, CAST(min(dd * {k} + cl) % {k} AS INTEGER) AS cluster
+    FROM d{t} GROUP BY vec_id
+),
+u{t} AS (
+    SELECT a.cluster AS cl, pl.pos, sum(pl.xq) AS s, count(*) AS n
+    FROM a{t} a JOIN pl ON pl.vec_id = a.vec_id
+    GROUP BY a.cluster, pl.pos
+),
+c{t} AS (
+    SELECT p.cl, p.pos,
+           CAST(coalesce((2 * u.s * {GRID} + u.n) // (2 * u.n), p.cn) AS BIGINT) AS cn
+    FROM c{t - 1} p LEFT JOIN u{t} u ON u.cl = p.cl AND u.pos = p.pos
+)""")
+    body = ",".join(rounds)
+    fin = n_iter + 1
+    return f"""
+WITH pl AS (
+    SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+           CAST(floor(CAST(v AS DOUBLE) * {SCALE}) + {SHIFT} AS BIGINT) AS xq
+    FROM (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+),
+seedmap AS (
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (
+    SELECT s.cl, pl.pos, pl.xq * {GRID} AS cn
+    FROM seedmap s JOIN pl ON pl.vec_id = s.vec_id
+),{body},
+dfin AS (
+    SELECT pl.vec_id, c.cl,
+           CAST(sum((pl.xq * {GRID} - c.cn) * (pl.xq * {GRID} - c.cn)) AS BIGINT) AS dd
+    FROM pl JOIN c{n_iter} c ON c.pos = pl.pos
+    GROUP BY pl.vec_id, c.cl
+)
+SELECT vec_id,
+       CAST(min(dd * {k} + cl) % {k} AS INTEGER) AS cluster,
+       CAST(min(dd) AS BIGINT) AS d2
+FROM dfin GROUP BY vec_id
+"""
+
+
+@register(
+    "kmeans_embeddings",
+    _kmeans_oracle(),
+    "Lloyd k-means over embeddings: 3 exact-integer rounds from the 8 "
+    "lowest-id seeds, final assignment + squared grid distance",
+)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=_KM_K, n_iter=_KM_ITER)
