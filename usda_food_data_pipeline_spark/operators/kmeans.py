@@ -43,9 +43,11 @@ accumulators; the growing-precision decimal chains planned and ran
 ~100× slower than this all-bigint form for no semantic gain.)
 
 Reference analog: none (the reference pipeline has no clustering);
-extends SURVEY.md §2's vector family per the LLM-pipeline mandate
-(centroid training is the missing half of the IVF index the vector
-family already serves).
+extends SURVEY.md §2's vector family per the LLM-pipeline mandate.
+Companion to :func:`..operators.similarity.kmeans_lloyd` (float means,
+never collects, feeds ``ivf_topk`` centroid training): this variant
+trades the tiny per-round collect for oracle-exact integer arithmetic,
+making the full iterative algorithm hash-checkable against DuckDB.
 """
 
 from __future__ import annotations
