@@ -556,3 +556,74 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=_KM_K, n_iter=_KM_ITER)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+_HN_TOP = 5
+
+HARD_NEGATIVES_ORACLE = f"""
+WITH a AS (
+    SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS al
+    FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT anchor_id, negative_id, rank, score FROM (
+    SELECT a.anchor_id, e.vec_id AS negative_id,
+           {_cos('e.embedding::DOUBLE[]', 'a.av')} AS score,
+           row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY {_cos('e.embedding::DOUBLE[]', 'a.av')} DESC, e.vec_id
+           ) AS rank
+    FROM a JOIN embeddings e ON e.label != a.al
+) WHERE rank <= {_HN_TOP}
+"""
+
+
+@register(
+    "hard_negative_mining",
+    HARD_NEGATIVES_ORACLE,
+    "contrastive hard negatives: top-5 max-cosine cross-label neighbors "
+    "per sampled anchor",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training (the mining step behind
+    embedding-model fine-tuning, e.g. SimCSE/E5-style recipes): for
+    each sampled anchor, the ``top`` most-similar vectors carrying a
+    DIFFERENT label — the negatives that actually move the loss.
+
+    Scale shape: anchors are a bounded sample → broadcast; the corpus
+    streams through one scan scoring |anchors| cosines per row, and the
+    per-anchor top-k is a window over (anchor, score) — the exact
+    brute-force baseline, same contract as cosine_topk. The label
+    inequality rides the broadcast join condition, so same-label pairs
+    never materialize. A blocked variant at higher anchor counts is
+    knn_join (sign-bucket candidate generation, same scoring fold).
+    """
+    from pyspark.sql import Window
+
+    from .operators.similarity import as_double_array, cosine
+    from .sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            F.col("vec_id").alias("anchor_id"),
+            as_double_array("embedding").alias("av"),
+            F.col("label").alias("al"),
+        )
+    )
+    scored = emb.join(anchors, F.col("label") != F.col("al")).select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        cosine(as_double_array("embedding"), F.col("av")).alias("score"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_TOP)
+        .select("anchor_id", "negative_id", "rank", "score")
+    )
