@@ -917,3 +917,182 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority": F.col("o_orderpriority"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (outer-join agg)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    "customer order-count distribution (left-outer-join two-level agg, TPC-H Q13 shape)",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts-of-counts over an OUTER join: customers with zero orders
+    must survive into the c_count=0 bucket, which an inner join would
+    silently drop. Shape note: the first aggregate reuses the join's
+    c_custkey clustering (one exchange), the second shuffles only the
+    |distinct counts|-row distribution."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top-revenue supplier via scalar-max subquery
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    "supplier(s) with maximum quarterly revenue (scalar-max subquery, TPC-H Q15 shape)",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The =max(...) tie semantics (ALL maximal suppliers, not an
+    arbitrary top-1) need revenue on an exact grid: the per-supplier
+    sums aggregate as DECIMAL, so equality against the 1-row broadcast
+    max is exact on both engines — double sums would make the tie set
+    aggregation-order-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("_mx"))
+        .join(supp, rev.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated per-group average threshold
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q17_small_quantity",
+    """
+    WITH pa AS (
+        SELECT l_partkey AS pk,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+               count(*) AS nq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total_extprice,
+           count(*) AS n_rows
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND p_size <= 10
+      AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * CAST(nq AS DECIMAL(12,0)) < sq
+    """,
+    "below-20%-of-part-average quantity revenue (correlated avg threshold, TPC-H Q17 shape)",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated predicate ``l_quantity < 0.2 * avg(l_quantity per
+    part)`` is rewritten as the exact cross-multiplied integer/decimal
+    test ``5 * qty * n < sum`` — no float division anywhere, so the
+    boundary rows agree across engines. The per-part aggregate joins
+    back by partkey; filters prune parts before the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sq"), F.count(F.lit(1)).alias("nq")
+    )
+    sel_parts = part.filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10))
+    return (
+        li.join(F.broadcast(sel_parts), li.l_partkey == sel_parts.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        # nq narrows to decimal(12,0): a bigint operand promotes to
+        # decimal(20,0) and pushes the product past precision 38,
+        # silently rounding the scale (the dsir_select lesson)
+        .filter(qty * 5 * F.col("nq").cast("decimal(12,0)") < F.col("sq"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_extprice"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average balance + anti join
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q22_idle_customers",
+    """
+    WITH avgbal AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS s, count(*) AS n
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM customer, avgbal
+    WHERE CAST(c_acctbal AS DECIMAL(18,6)) * CAST(n AS DECIMAL(12,0)) > s
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    "idle above-average-balance customers per nation (scalar-avg + anti join, TPC-H Q22 shape)",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``c_acctbal > avg(...)`` cross-multiplies to the exact decimal
+    test ``bal * n > sum`` against a 1-row broadcast aggregate (the
+    float quotient would put boundary customers at ULP risk); the
+    no-orders condition is a genuine anti join, which Spark executes
+    broadcast- or shuffle-hash without materializing the orders side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,6)")
+    avgbal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avgbal))
+        .filter(bal * F.col("n").cast("decimal(12,0)") > F.col("s"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
