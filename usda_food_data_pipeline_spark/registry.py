@@ -206,24 +206,38 @@ _ORDER: list[str] = [
     # version reconciliation (CDC capture's batch twin)
     "table_diff",
     "decontaminate",
-    # dedup_stats takes pii_scrub's slot (regex-projection family
-    # attested by text_signals' regex scans + boilerplate_scrub's
-    # rewrites): dedup observability — cluster-size histogram
-    "dedup_stats",
-    "quantize_embeddings",
+    # dup_substring_spans takes dedup_stats' slot (the cluster-size
+    # histogram's two-level agg ⊂ group_mean + the four in-window
+    # dedup queries): SUBSTRING-level dedup is the one dedup granularity
+    # the doc-level family cannot attest
+    "dup_substring_spans",
+    # round-6 second-session rotation: kmeans_embeddings takes
+    # quantize_embeddings' slot (scan-local vector projections stay
+    # attested by text_embed + cosine_topk; quantize keeps its local+CI
+    # row): exact-integer Lloyd is the engine's only oracle-checked
+    # ITERATIVE clustering loop — no in-window twin
+    "kmeans_embeddings",
     "skew_salted_sum",
-    # doc_novelty takes events_twap's slot (the temporal family keeps
-    # SIX in-window twins: asof_join_events, range_join_bands,
-    # interval_overlap, sessionize_gaps, gap_fill_daily,
-    # rolling_anomaly): per-doc corpus-unique shingle fraction via the
-    # inverted index — linear, no pair generation
-    "doc_novelty",
-    "sequence_packing",
+    # lm_doc_scores takes doc_novelty's slot (the inverted-index df
+    # shape stays attested by decontaminate and dup_substring_spans):
+    # model-based quality filtering over a trained count table is a
+    # family nb_classifier's confusion matrix does not cover
+    "lm_doc_scores",
+    # dsir_select takes sequence_packing's slot (running-sum window +
+    # bucket assignment ⊂ sessionize_gaps' cumulative flag sums;
+    # packing keeps its local+CI row): importance-weighted data
+    # SELECTION toward a target distribution is distinct from the
+    # in-window uniform/temperature mixing family
+    "dsir_select",
     # -------- beyond the window: shape variants of already-attested ops --------
     # (try_cast_round / regexp_extract_unit fold into scalar_functions'
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
     # round-6 operators whose families are already driver-attested
+    "dedup_stats",
+    "doc_novelty",
+    "sequence_packing",
+    "quantize_embeddings",
     "skew_salted_join",
     "bpe_train",
     "quality_bins",
