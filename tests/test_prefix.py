@@ -1,0 +1,53 @@
+"""Distributed global prefix sum: exactness + no single-partition window."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from usda_food_data_pipeline_spark.operators.prefix import (
+    global_prefix_sum,
+    token_budget_select,
+)
+
+
+def test_prefix_sum_matches_single_partition_window(spark):
+    rows = [(i, (i * 37) % 11, 1 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "grp", "v"]).repartition(16)
+    order = [F.col("grp").desc(), F.col("id")]
+    got = {
+        r["id"]: r["cum"]
+        for r in global_prefix_sum(df, order, "v", num_partitions=8).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    exp = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == exp
+
+
+def test_prefix_sum_plan_has_no_global_window(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], ["id", "v"])
+    out = global_prefix_sum(df, [F.col("id")], "v", num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window node must carry a partition spec (the _pid hash) —
+    # a bare "Window [..], [id ASC...]" with no partitionBy is the
+    # single-partition trap this operator exists to avoid
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, line
+    assert "SinglePartition" not in plan
+
+
+def test_token_budget_boundary(spark):
+    # equal scores force doc_id tie-break; budget 3/10 of 40 tokens = 12
+    # tokens -> docs 1 (4 toks) + 2 (4 toks) + 3 (4 toks) fit exactly
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(1, 11)],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        token_budget_select(docs).collect(), key=lambda r: r["doc_id"]
+    )
+    ids = [r["doc_id"] for r in out]
+    assert ids == [1, 2, 3]  # 12-token budget, inclusive prefix
+    assert [r["cum_toks"] for r in out] == [4, 8, 12]

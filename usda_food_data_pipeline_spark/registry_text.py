@@ -2386,3 +2386,50 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dup_substring_spans(docs, k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (operators/prefix.py): exact global
+# prefix sum without a single-partition window
+# ---------------------------------------------------------------------------
+
+
+def _budget_oracle() -> str:
+    from .operators.prefix import SCORE_GRID
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_dist
+    FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+    WHERE len(toks) > 0
+),
+s AS (
+    SELECT doc_id, n_toks,
+           (2 * n_dist * {SCORE_GRID} + n_toks) // (2 * n_toks) AS score
+    FROM t
+),
+b AS (SELECT (sum(n_toks) * 3) // 10 AS budget FROM s),
+c AS (
+    SELECT doc_id, score, n_toks,
+           sum(n_toks) OVER (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_toks
+    FROM s
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(cum_toks AS BIGINT) AS cum_toks
+FROM c, b WHERE cum_toks <= budget
+"""
+
+
+@register(
+    "token_budget_select",
+    _budget_oracle(),
+    "best-scoring corpus prefix under a 30% token budget via the "
+    "two-phase distributed prefix sum",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prefix import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_select(docs)
