@@ -2433,3 +2433,70 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_select(docs)
+
+
+# ---------------------------------------------------------------------------
+# N-gram language ID (functions/langid.py): Cavnar-Trenkle out-of-place
+# rank distance, exact integers end to end
+# ---------------------------------------------------------------------------
+
+
+def _langid_oracle(m: int = 100, train_mod: int = 5) -> str:
+    return f"""
+WITH tr AS (
+    SELECT lang, substr(s, CAST(g AS INTEGER), 3) AS tri, count(*) AS cnt
+    FROM (SELECT lang, lower(text) AS s,
+                 unnest(range(1, greatest(len(lower(text)) - 2, 0) + 1)) AS g
+          FROM documents WHERE doc_id % {train_mod} = 0)
+    GROUP BY lang, tri
+),
+lp AS (
+    SELECT lang AS pl, tri, rank FROM (
+        SELECT lang, tri,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rank
+        FROM tr) WHERE rank <= {m}
+),
+dt AS (
+    SELECT doc_id, substr(s, CAST(g AS INTEGER), 3) AS tri, count(*) AS cnt
+    FROM (SELECT doc_id, lower(text) AS s,
+                 unnest(range(1, greatest(len(lower(text)) - 2, 0) + 1)) AS g
+          FROM documents WHERE doc_id % {train_mod} != 0)
+    GROUP BY doc_id, tri
+),
+dp AS (
+    SELECT doc_id, tri, rank FROM (
+        SELECT doc_id, tri,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tri) AS rank
+        FROM dt) WHERE rank <= {m}
+),
+langs AS (SELECT DISTINCT pl FROM lp),
+dist AS (
+    SELECT dp.doc_id, l.pl,
+           sum(coalesce(abs(dp.rank - lp.rank), {m})) AS distance
+    FROM dp CROSS JOIN langs l
+    LEFT JOIN lp ON lp.pl = l.pl AND lp.tri = dp.tri
+    GROUP BY dp.doc_id, l.pl
+),
+pred AS (
+    SELECT doc_id, pl AS pred_lang, distance FROM (
+        SELECT doc_id, pl, distance,
+               row_number() OVER (PARTITION BY doc_id ORDER BY distance, pl) AS rn
+        FROM dist) WHERE rn = 1
+)
+SELECT p.doc_id, p.pred_lang, d.lang AS actual_lang,
+       CAST(p.distance AS BIGINT) AS distance
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+"""
+
+
+@register(
+    "langid_ngram",
+    _langid_oracle(),
+    "Cavnar-Trenkle char-trigram language ID: top-100 rank profiles, "
+    "out-of-place distance, exact-integer argmin",
+)
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.langid import langid_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_ngram(docs)
