@@ -567,7 +567,7 @@ _HN_TOP = 5
 HARD_NEGATIVES_ORACLE = f"""
 WITH a AS (
     SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS al
-    FROM embeddings WHERE vec_id % 20 = 0
+    FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2560
 )
 SELECT anchor_id, negative_id, rank, score FROM (
     SELECT a.anchor_id, e.vec_id AS negative_id,
@@ -593,7 +593,8 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     each sampled anchor, the ``top`` most-similar vectors carrying a
     DIFFERENT label — the negatives that actually move the loss.
 
-    Scale shape: anchors are a bounded sample → broadcast; the corpus
+    Scale shape: anchors are a bounded sample (first 128 anchor ids —
+    fixed size no matter the corpus) → broadcast; the corpus
     streams through one scan scoring |anchors| cosines per row, and the
     per-anchor top-k is a window over (anchor, score) — the exact
     brute-force baseline, same contract as cosine_topk. The label
@@ -608,7 +609,10 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     anchors = F.broadcast(
-        emb.filter(F.col("vec_id") % 20 == 0).select(
+        # the anchor set must be SIZE-bounded, not rate-bounded: a pure
+        # modulus grows with the corpus and turns the scan quadratic
+        # (sf1 smoke measured 30x at 10x data before the cap)
+        emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 20 * 128)).select(
             F.col("vec_id").alias("anchor_id"),
             as_double_array("embedding").alias("av"),
             F.col("label").alias("al"),
