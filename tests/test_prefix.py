@@ -51,3 +51,23 @@ def test_token_budget_boundary(spark):
     ids = [r["doc_id"] for r in out]
     assert ids == [1, 2, 3]  # 12-token budget, inclusive prefix
     assert [r["cum_toks"] for r in out] == [4, 8, 12]
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from usda_food_data_pipeline_spark.operators.merge import table_checksum
+
+    rows = [(i % 3, f"v{i}", i * 7) for i in range(200)]
+    a = spark.createDataFrame(rows, ["g", "s", "x"]).repartition(13)
+    b = spark.createDataFrame(list(reversed(rows)), ["g", "s", "x"]).repartition(2)
+    prep = lambda df: df.selectExpr("g", "s", "cast(x as string) as xs")
+    ca = {r["g"]: (r["n_rows"], r["checksum"]) for r in
+          table_checksum(prep(a), ["g"], ["s", "xs"]).collect()}
+    cb = {r["g"]: (r["n_rows"], r["checksum"]) for r in
+          table_checksum(prep(b), ["g"], ["s", "xs"]).collect()}
+    assert ca == cb  # partitioning- and order-independent
+
+    mutated = [(g, s, x + 1 if (g, s) == (1, "v1") else x) for g, s, x in rows]
+    c = spark.createDataFrame(mutated, ["g", "s", "x"])
+    cc = {r["g"]: (r["n_rows"], r["checksum"]) for r in
+          table_checksum(prep(c), ["g"], ["s", "xs"]).collect()}
+    assert cc[1] != ca[1] and cc[0] == ca[0] and cc[2] == ca[2]

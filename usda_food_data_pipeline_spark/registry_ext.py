@@ -1096,3 +1096,51 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum (operators/merge.table_checksum)
+# ---------------------------------------------------------------------------
+
+def _checksum_oracle() -> str:
+    from .operators.dedup import oracle_md5_int_sql
+
+    cols = [
+        "CAST(o_orderkey AS VARCHAR)",
+        "CAST(o_custkey AS VARCHAR)",
+        "CAST(o_orderstatus AS VARCHAR)",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)",
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+    ]
+    tagged = " || ".join(f"coalesce(md5({c}), 'N')" for c in cols)
+    h = oracle_md5_int_sql(f"({tagged})", 47, 12)
+    return f"""
+    SELECT o_orderpriority AS order_priority,
+           count(*) AS n_rows,
+           CAST(sum(CAST({h} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+    FROM orders GROUP BY o_orderpriority
+    """
+
+
+@register(
+    "table_checksum",
+    _checksum_oracle(),
+    "order-independent per-group content checksum (replica verification "
+    "without sort or co-located join)",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import table_checksum
+
+    orders = load_table(spark, sf_dir, "orders")
+    # floats/timestamps onto exactly-stringifiable grids (caller contract)
+    prepped = orders.select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("string").alias("k1"),
+        F.col("o_custkey").cast("string").alias("k2"),
+        F.col("o_orderstatus").cast("string").alias("k3"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("k4"),
+        F.col("o_orderdate").cast("date").cast("string").alias("k5"),
+    )
+    return table_checksum(
+        prepped, ["o_orderpriority"], ["k1", "k2", "k3", "k4", "k5"]
+    ).withColumnRenamed("o_orderpriority", "order_priority")
