@@ -1144,3 +1144,148 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(
         prepped, ["o_orderpriority"], ["k1", "k2", "k3", "k4", "k5"]
     ).withColumnRenamed("o_orderpriority", "order_priority")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional nation-pair shipping volume
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue, count(*) AS n_rows
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "bidirectional nation-pair shipping volume by year (TPC-H Q7 shape)",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table join chain where the two nation dims broadcast and the
+    disjunctive pair predicate prunes BEFORE the fact joins: filtering
+    supplier/customer to the two nations first keeps the orders/lineitem
+    shuffles to matching keys only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    s = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("_sk"))
+    c = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("_ck"))
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(c, orders.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(vol).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+           count(*) AS n_rows
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA' AND p_size <= 25
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY o_year
+    """,
+    "supplier-nation market share inside a customer region (TPC-H Q8 shape)",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven-table chain: region/nation/part dims broadcast; the share
+    divides two decimal-exact sums cast to double (the attested Q14
+    pattern), so the quotient is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("_ck"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("_ck"), "left_semi")
+        .join(F.broadcast(supp.join(F.broadcast(n2), supp.s_nationkey == F.col("_sk"))),
+              li.l_suppkey == F.col("s_suppkey"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
