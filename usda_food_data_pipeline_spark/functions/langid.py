@@ -96,7 +96,12 @@ def langid_ngram(
         _doc_trigrams(score, [id_col], text_col), [id_col], m
     )
 
-    langs = lang_prof.select("_pl").distinct()
+    # languages come from the raw training slice, NOT from
+    # lang_prof.select().distinct(): the latter is logically derived but
+    # Catalyst finds no exchange to reuse and rebuilds the whole
+    # trigram-count + rank-window pipeline a second time (measured two
+    # extra shuffles in the executed plan)
+    langs = train.select(F.col(label_col).alias("_pl")).distinct()
     # every (doc-profile trigram, language) pair scores: matched trigrams
     # contribute |doc_rank - lang_rank|, unmatched the fixed penalty m
     dist = (

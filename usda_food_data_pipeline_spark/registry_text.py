@@ -2469,7 +2469,7 @@ dp AS (
                row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tri) AS rank
         FROM dt) WHERE rank <= {m}
 ),
-langs AS (SELECT DISTINCT pl FROM lp),
+langs AS (SELECT DISTINCT lang AS pl FROM documents WHERE doc_id % {train_mod} = 0),
 dist AS (
     SELECT dp.doc_id, l.pl,
            sum(coalesce(abs(dp.rank - lp.rank), {m})) AS distance
