@@ -31,6 +31,7 @@ QUERIES = [
     "semantic_dedup",
     "dedup_clusters",
     "incremental_dedup",
+    "dup_substring_spans",
 ]
 
 # guarded queries -> artifact key used by earlier rounds
