@@ -1289,3 +1289,124 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join (operators/asof.py direction="nearest")
+# ---------------------------------------------------------------------------
+
+ASOF_NEAREST_ORACLE = """
+WITH r AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS side,
+           max(value) AS v, CAST(NULL AS BIGINT) AS event_id
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+),
+l AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 1 AS side,
+           CAST(NULL AS DOUBLE) AS v, event_id
+    FROM events
+),
+u AS (
+    SELECT *, CASE WHEN side = 0 THEN ts END AS mts
+    FROM (SELECT * FROM r UNION ALL SELECT * FROM l)
+),
+c AS (
+    SELECT *,
+           last_value(v IGNORE NULLS) OVER wb AS vb,
+           last_value(mts IGNORE NULLS) OVER wb AS tb,
+           last_value(v IGNORE NULLS) OVER wf AS vf,
+           last_value(mts IGNORE NULLS) OVER wf AS tf
+    FROM u
+    WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY ts DESC, side
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CASE WHEN tf IS NULL
+              OR (tb IS NOT NULL
+                  AND epoch_us(ts) - epoch_us(tb) <= epoch_us(tf) - epoch_us(ts))
+            THEN vb ELSE vf END AS asof_value
+FROM c WHERE side = 1
+"""
+
+
+@register(
+    "asof_join_nearest",
+    ASOF_NEAREST_ORACLE,
+    "nearest-direction point-in-time join (min time distance, ties backward)",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas merge_asof(direction='nearest') semantics: both scan
+    directions share ONE partitioning exchange (two in-partition
+    sorts), then a per-row integral distance pick — see
+    operators/asof.py. The oracle mirrors both carries with a dual
+    WINDOW clause."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        events.select("event_id", "ts", "user_id"),
+        purchases,
+        ts_col="ts",
+        by_cols=["user_id"],
+        value_cols=["value"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first_week AS (
+        SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cw
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT e.user_id, f.cw,
+               (CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+                - CAST(f.cw AS DATE)) // 7 AS offset_weeks
+        FROM events e JOIN first_week f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cw AS DATE) AS cohort_week,
+           CAST(offset_weeks AS INTEGER) AS offset_weeks,
+           count(*) AS n_users
+    FROM active GROUP BY cw, offset_weeks
+    """,
+    "weekly cohort retention matrix (first-activity cohort x offset week)",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort analysis, shuffle-minimal: the per-user first week and the
+    (user, week) activity dedup share the user_id exchange; offsets are
+    exact integer day arithmetic (epoch days / 7 — no interval or float
+    week math), so the matrix is engine-exact."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = events.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    active = (
+        events.join(first, "user_id")
+        .select(
+            "user_id",
+            "cw",
+            (
+                (F.unix_date(wk.cast("date")) - F.unix_date(F.col("cw").cast("date")))
+                / 7
+            ).cast("int").alias("offset_weeks"),
+        )
+        .distinct()
+    )
+    return active.groupBy(
+        F.col("cw").cast("date").alias("cohort_week"), "offset_weeks"
+    ).agg(F.count(F.lit(1)).alias("n_users"))
