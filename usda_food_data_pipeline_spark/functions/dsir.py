@@ -144,6 +144,11 @@ def dsir_select(
     top = scored.orderBy(F.col("sum_lw").desc(), F.col(id_col)).limit(top_n)
     from pyspark.sql import Window
 
+    # unpartitioned window = SinglePartition in the plan, but it runs
+    # AFTER the TakeOrdered limit, so the one task ranks exactly top_n
+    # rows — bounded by the parameter, never by the corpus (the
+    # corpus-sized global-rank shape would use operators/prefix.py's
+    # two-phase form instead)
     w = Window.orderBy(F.col("sum_lw").desc(), F.col(id_col))
     return top.select(
         id_col, "n_bigrams", "sum_lw", F.row_number().over(w).cast("int").alias("rank")
