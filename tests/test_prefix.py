@@ -71,3 +71,34 @@ def test_table_checksum_order_independent_and_sensitive(spark):
     cc = {r["g"]: (r["n_rows"], r["checksum"]) for r in
           table_checksum(prep(c), ["g"], ["s", "xs"]).collect()}
     assert cc[1] != ca[1] and cc[0] == ca[0] and cc[2] == ca[2]
+
+
+def test_tpch_q15_returns_all_tied_max_suppliers(spark, tmp_path):
+    # two suppliers with IDENTICAL quarterly revenue must BOTH return —
+    # the =max tie set is the reason revenue aggregates as exact decimal
+    import datetime
+
+    li = spark.createDataFrame(
+        [
+            (1, 10, 100.0, 0.1, datetime.datetime(1996, 2, 1)),
+            (2, 10, 50.0, 0.1, datetime.datetime(1996, 2, 2)),
+            (3, 20, 135.0, 0.0, datetime.datetime(1996, 2, 3)),  # = 90+45
+            (4, 30, 1.0, 0.0, datetime.datetime(1996, 2, 4)),
+            (5, 30, 1.0, 0.0, datetime.datetime(1999, 2, 4)),  # outside window
+        ],
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    supp = spark.createDataFrame(
+        [(10, "alpha", 0, 0.0), (20, "beta", 0, 0.0), (30, "gamma", 0, 0.0)],
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    out_dir = str(tmp_path / "sf")
+    li.write.parquet(out_dir + "/lineitem.parquet")
+    supp.write.parquet(out_dir + "/supplier.parquet")
+
+    from usda_food_data_pipeline_spark.registry_ext import q_tpch_q15
+
+    rows = {r["s_suppkey"]: r for r in q_tpch_q15(spark, out_dir).collect()}
+    # supplier 10: 100*0.9 + 50*0.9 = 135.0 exactly == supplier 20's 135.0
+    assert set(rows) == {10, 20}
+    assert rows[10]["total_revenue"] == rows[20]["total_revenue"] == 135.0
