@@ -102,3 +102,36 @@ def test_tpch_q15_returns_all_tied_max_suppliers(spark, tmp_path):
     # supplier 10: 100*0.9 + 50*0.9 = 135.0 exactly == supplier 20's 135.0
     assert set(rows) == {10, 20}
     assert rows[10]["total_revenue"] == rows[20]["total_revenue"] == 135.0
+
+
+def test_retention_cohorts_hand_values(spark, tmp_path):
+    import datetime as dt
+
+    # 2026-08-10 is a Monday (week start); user 1 starts that week and
+    # returns in weeks +0, +1, +3; user 2 starts week +1, returns +1 only
+    ev = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2026, 8, 11, 9), "a", 0.0, "{}"),
+            (2, 1, dt.datetime(2026, 8, 15, 9), "a", 0.0, "{}"),   # same week
+            (3, 1, dt.datetime(2026, 8, 18, 9), "a", 0.0, "{}"),   # +1
+            (4, 1, dt.datetime(2026, 9, 2, 9), "a", 0.0, "{}"),    # +3
+            (5, 2, dt.datetime(2026, 8, 19, 9), "a", 0.0, "{}"),
+            (6, 2, dt.datetime(2026, 8, 20, 9), "a", 0.0, "{}"),   # same week
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value", "props"],
+    )
+    out = str(tmp_path / "sf")
+    ev.write.parquet(out + "/events.parquet")
+
+    from usda_food_data_pipeline_spark.registry_ext import q_retention_cohorts
+
+    got = {
+        (str(r["cohort_week"]), r["offset_weeks"]): r["n_users"]
+        for r in q_retention_cohorts(spark, out).collect()
+    }
+    assert got == {
+        ("2026-08-10", 0): 1,
+        ("2026-08-10", 1): 1,
+        ("2026-08-10", 3): 1,
+        ("2026-08-17", 0): 1,
+    }
