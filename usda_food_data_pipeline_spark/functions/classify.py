@@ -20,9 +20,14 @@ Scale design (100 TB corpus):
   |vocab| rows — broadcast at scoring; the corpus token stream joins
   map-side and reduces per (doc, class) with sum/count aggregates.
 - Cross-engine exactness: log-likelihoods round onto a 9-dp decimal
-  grid (the BM25 contract) so per-doc sums are independent of
-  aggregation order in both Spark and the DuckDB oracle; argmax ties
-  resolve in explicit ``classes`` order.
+  grid so per-doc sums are independent of aggregation order; the logs
+  themselves are SINGLE-SOURCED from the in-process DuckDB build
+  (functions/portable_log) over the bounded distinct (class, count)
+  table, so the Spark plan evaluates no transcendental and the grid
+  values agree with the oracle's libm by construction (r06 verdict #2
+  — this family shared lm_doc_scores' ULP-at-grid-boundary fragility
+  and was green only by libm luck). Argmax ties resolve in explicit
+  ``classes`` order.
 """
 
 from __future__ import annotations
@@ -34,10 +39,6 @@ from ..operators.dedup import tokenize
 
 LP_SCALE = 9
 _LP_TYPE = f"decimal(18,{LP_SCALE})"
-
-
-def _lp(col: Column) -> Column:
-    return F.round(col, LP_SCALE).cast(_LP_TYPE)
 
 
 def nb_train(
@@ -58,57 +59,80 @@ def nb_train(
     training one aggregation pass (no distinct-label scan) and fixes
     the argmax tiebreak order.
     """
+    from .portable_log import duckdb_eval_table
+
+    spark = df.sparkSession
     toks = df.select(
         F.col(label_col).alias("_y"), F.explode(tokenize(F.col(text_col))).alias("token")
     )
-    # (label, token) counts feed THREE consumers (class totals, vocab
-    # size, the model pivot); persist so the corpus token stream is
-    # exploded and aggregated once — tc is |classes| x |vocab| rows
+    # (label, token) counts feed THREE consumers (class totals, the
+    # distinct-count collect, the model join); persist so the corpus
+    # token stream is exploded and aggregated once — tc is
+    # |classes| x |vocab| rows
     tc = toks.groupBy("_y", "token").agg(F.count(F.lit(1)).alias("_c")).persist()
-    # class token totals + overall vocab size: two tiny aggregates off
-    # the (label, token) count table, broadcast back onto it
-    totals = tc.groupBy("_y").agg(F.sum("_c").alias("_t"))
-    vocab = tc.agg(F.count_distinct("token").alias("_V"))
+    # class token totals + overall vocab size: tiny aggregates off the
+    # (label, token) count table, collected (|classes| rows / 1 row)
+    totals = {
+        r["_y"]: int(r["_t"])
+        for r in tc.groupBy("_y").agg(F.sum("_c").alias("_t")).collect()
+    }
+    v = int(tc.agg(F.count_distinct("token").alias("_V")).collect()[0][0])
+
+    # Single-sourced log-likelihood table (see portable_log): distinct
+    # (class, token-count) pairs are bounded by count-value cardinality
+    # per class (heavy-tailed counts ⇒ tiny), never by vocab; ln runs
+    # once in the oracle's own libm and broadcasts back as literals.
+    pair_rows = tc.select("_y", "_c").distinct().collect()
+    # mirrors the oracle: ln((_c+1.0)/(_t+_V))
+    lp_tbl = duckdb_eval_table(
+        spark,
+        [(r["_y"], int(r["_c"]), totals[r["_y"]]) for r in pair_rows],
+        [("_y", "string"), ("_c", "bigint"), ("_t", "bigint")],
+        [("_lp", f"CAST(round(ln((_c+1.0)/(_t+{v})),9) AS {_LP_TYPE.upper()})", _LP_TYPE)],
+    ).select("_y", "_c", "_lp")
     model = (
-        tc.join(F.broadcast(totals), "_y")
-        .crossJoin(F.broadcast(vocab))
+        tc.join(F.broadcast(lp_tbl), ["_y", "_c"])
         .groupBy("token")
         .agg(
             *[
-                F.max(
-                    F.when(
-                        F.col("_y") == c,
-                        _lp(F.log((F.col("_c") + F.lit(1.0)) / (F.col("_t") + F.col("_V")))),
-                    )
-                ).alias(f"lp_{c}")
+                F.max(F.when(F.col("_y") == c, F.col("_lp"))).alias(f"lp_{c}")
                 for c in classes
             ]
         )
     )
-    ndocs = df.groupBy(F.col(label_col).alias("_y")).agg(F.count(F.lit(1)).alias("_nd"))
-    stats = (
-        totals.crossJoin(F.broadcast(vocab))
-        .join(F.broadcast(ndocs), "_y")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("_y") == c, _lp(F.log(F.lit(1.0) / (F.col("_t") + F.col("_V")))))
-                ).alias(f"un_{c}")
-                for c in classes
-            ],
-            *[
-                F.max(F.when(F.col("_y") == c, F.col("_nd"))).alias(f"_nd_{c}")
-                for c in classes
-            ],
-            F.sum("_nd").alias("_nd_all"),
-        )
-        .select(
-            *[F.col(f"un_{c}") for c in classes],
-            *[
-                _lp(F.log(F.col(f"_nd_{c}") / F.col("_nd_all"))).alias(f"pr_{c}")
-                for c in classes
-            ],
-        )
+
+    ndocs = {
+        r["_y"]: int(r["_nd"])
+        for r in df.groupBy(F.col(label_col).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .collect()
+    }
+    # the oracle's stats CTE inner-joins totals to ndocs, so classes
+    # with no training tokens contribute nothing to _nd_all and yield
+    # NULL un/pr (empty max(CASE ...) aggregates) — mirror that here
+    nd_all = sum(n for y, n in ndocs.items() if y in totals)
+    # per-class unseen log-likelihood + log prior, same single-source
+    # scheme (mirrors the oracle: ln(1.0/(_t+_V)), ln(CAST(_nd AS
+    # DOUBLE)/_nd_all))
+    cls_rows = duckdb_eval_table(
+        spark,
+        [
+            (c, totals.get(c), ndocs.get(c) if c in totals else None)
+            for c in classes
+        ],
+        [("_y", "string"), ("_t", "bigint"), ("_nd", "bigint")],
+        [
+            ("_un", f"CAST(round(ln(1.0/(_t+{v})),9) AS {_LP_TYPE.upper()})", _LP_TYPE),
+            ("_pr", f"CAST(round(ln(CAST(_nd AS DOUBLE)/{nd_all}),9) AS {_LP_TYPE.upper()})", _LP_TYPE),
+        ],
+    ).collect()
+    by_cls = {r["_y"]: (r["_un"], r["_pr"]) for r in cls_rows}
+    stats = spark.createDataFrame(
+        [tuple(by_cls[c][0] for c in classes) + tuple(by_cls[c][1] for c in classes)],
+        schema=", ".join(
+            [f"un_{c} {_LP_TYPE}" for c in classes]
+            + [f"pr_{c} {_LP_TYPE}" for c in classes]
+        ),
     )
     return model, stats
 

@@ -21,10 +21,13 @@ Why this scales to 100 TB:
   generation anywhere.
 
 Cross-engine exactness: bucket ids come from the portable ``md5_int``
-hash; the log-ratio per bucket is ``ln`` of a ratio assembled with a
-pinned operation order, rounded onto the shared 9-dp decimal grid (the
-BM25/NB/LM contract), so per-document decimal sums are aggregation-
-order-independent and hash-identical in DuckDB.
+hash; the per-bucket log ratio is SINGLE-SOURCED from the in-process
+DuckDB build (functions/portable_log) — the ≤ ``n_buckets`` count rows
+are collected, ``round(ln(...), 9)`` is evaluated once with the
+oracle's own libm, and the resulting decimals are broadcast back as a
+literal table, so the Spark plan evaluates no transcendental and the
+grid values agree with the oracle by construction (r06 verdict #1).
+Per-document decimal sums are aggregation-order-independent as before.
 
 Reference analog: none (the reference pipeline has no data-selection
 stage); extends SURVEY.md §2's text-analysis family per the
@@ -88,44 +91,49 @@ def dsir_select(
     target = docs.filter(F.col(source_col) == target_source)
     raw = docs.filter(F.col(source_col) != target_source)
 
+    from .portable_log import duckdb_eval_table
+    from ..operators.dedup import _INTERMEDIATES
+
+    spark = docs.sparkSession
     # (doc, bucket, count): the only corpus-sized aggregate; feeds both
-    # the q distribution (re-aggregated to <= n_buckets rows) and scoring.
+    # the q distribution (re-aggregated to <= n_buckets rows) and
+    # scoring — persist so the pool is tokenized once (janitor-tracked;
+    # the next tracked operator call retires it).
     dc = occurrences(raw, with_id=True).groupBy(id_col, "b").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).persist()
+    _INTERMEDIATES.rollover([dc])
     cq = dc.groupBy("b").agg(F.sum("cnt").alias("cq"))
     ct = occurrences(target, with_id=False).groupBy("b").agg(
         F.count(F.lit(1)).alias("ct")
     )
-    totals = cq.agg(F.sum("cq").cast("bigint").alias("nq")).crossJoin(
-        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("nt"))
-    )
 
-    b = F.lit(n_buckets).cast("bigint")
     # Every scored bucket occurs in the raw pool by construction, so the
-    # log-ratio table is cq-driven; ct defaults to 0 under the +1 smoothing.
-    lr_tbl = (
-        cq.join(ct, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
-                        * (F.col("nq") + b).cast("double")
-                    )
-                    / (
-                        (F.col("cq") + F.lit(1)).cast("double")
-                        * (F.col("nt") + b).cast("double")
-                    )
-                ),
-                LP_SCALE,
-            )
-            .cast(_LP_TYPE)
-            .alias("lr"),
-        )
+    # log-ratio table is cq-driven (ct defaults to 0 under the +1
+    # smoothing) and carries at most n_buckets rows: collect it, let the
+    # oracle's own libm compute the 9-dp log ratios once, broadcast the
+    # literals back (see module docstring — no JVM Math.log anywhere).
+    cq_rows = {int(r["b"]): int(r["cq"]) for r in cq.collect()}
+    ct_rows = {int(r["b"]): int(r["ct"]) for r in ct.collect()}
+    nq = sum(cq_rows.values())
+    nt = sum(ct_rows.values())
+    cnt_rows = [
+        {"b": b, "cq": c, "ct": ct_rows.get(b, 0)} for b, c in cq_rows.items()
+    ]
+    # mirrors the oracle:
+    #   ln((CAST(COALESCE(ct,0)+1 AS DOUBLE) * CAST(nq+B AS DOUBLE))
+    #      / (CAST(cq+1 AS DOUBLE) * CAST(nt+B AS DOUBLE)))
+    lr_expr = (
+        f"CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST({nq + n_buckets} AS DOUBLE))"
+        f" / (CAST(cq + 1 AS DOUBLE) * CAST({nt + n_buckets} AS DOUBLE))), {LP_SCALE})"
+        f" AS {_LP_TYPE})"
     )
+    lr_tbl = duckdb_eval_table(
+        spark,
+        [(r["b"], r["cq"], r["ct"]) for r in cnt_rows],
+        [("b", "bigint"), ("cq", "bigint"), ("ct", "bigint")],
+        [("lr", lr_expr, _LP_TYPE)],
+    ).select("b", "lr")
 
     scored = (
         dc.join(F.broadcast(lr_tbl), "b")

@@ -21,9 +21,13 @@ Shape (all linear, no pair generation):
   vocabulary fits (reference vocabularies are ~1e7 rows ≪ fact side).
 - S(cur|prev) = c(prev,cur)/c(prev) when the bigram was seen, else
   ALPHA·c(cur)/N (unseen cur falls to ALPHA·1/N).  Scores are natural
-  logs rounded onto the shared 9-dp decimal grid (the BM25/NB
-  cross-engine contract) so per-doc decimal sums are order-independent
-  and hash-identical in DuckDB.
+  logs rounded onto the shared 9-dp decimal grid so per-doc decimal
+  sums are order-independent; the logs themselves are SINGLE-SOURCED
+  from the in-process DuckDB build (functions/portable_log) over the
+  bounded distinct count-value tables, so the Spark plan evaluates no
+  transcendental and the grid values agree with the oracle's libm by
+  construction (r06 verdict #1 — JVM Math.log vs DuckDB ln differ by
+  an ULP at grid boundaries).
 
 The keep/drop decision compares the decimal sum against a per-token
 threshold via exact decimal·int cross-multiplication — no division in
@@ -44,11 +48,6 @@ from ..operators.dedup import tokenize
 ALPHA = 0.4  # Brants et al.'s backoff constant
 LP_SCALE = 9
 _LP_TYPE = f"decimal(18,{LP_SCALE})"
-
-
-def _lp(col: Column) -> Column:
-    """Round a log score onto the cross-engine 9-dp decimal grid."""
-    return F.round(col, LP_SCALE).cast(_LP_TYPE)
 
 
 def _adjacent_pairs(toks: Column) -> Column:
@@ -99,11 +98,55 @@ def lm_score_stupid_backoff(
     ``sum_lp ≥ threshold · n_bigrams`` (exact decimal arithmetic).
     Zero-bigram documents (≤1 token) score 0 and are kept.
     """
+    from .portable_log import duckdb_eval_table
+    from ..operators.dedup import _INTERMEDIATES
+
+    spark = docs.sparkSession
     uni, bg = lm_train_counts(
         docs.filter(F.col(source_col) == train_source), text_col
     )
-    # 1-row total-token count; broadcast into the occurrence stream.
-    tot = uni.agg(F.sum("c").cast("bigint").alias("n_total"))
+    # The model tables feed several consumers (log-table collects + the
+    # scoring joins); persist so the training slice is tokenized once.
+    # Janitor-tracked: the NEXT tracked operator call retires them.
+    uni = uni.persist()
+    bg = bg.persist()
+    _INTERMEDIATES.rollover([uni, bg])
+    n_total = int(uni.agg(F.sum("c")).collect()[0][0] or 0)
+
+    up = uni.select(F.col("w").alias("prev"), F.col("c").alias("c_prev"))
+    uc = uni.select(F.col("w").alias("cur"), F.col("c").alias("c_cur"))
+
+    # Single-sourced log tables (see module docstring): the distinct
+    # (c_bg, c_prev) pairs and distinct backoff counts are bounded by
+    # count-value cardinality (heavy-tailed counts ⇒ tiny), collected,
+    # ln-evaluated by the oracle's own libm, and broadcast back.
+    pair_rows = (
+        bg.withColumnRenamed("c", "c_bg")
+        .join(up, "prev")
+        .select("c_bg", "c_prev")
+        .distinct()
+        .collect()
+    )
+    # mirrors the oracle: ln(CAST(b.c AS DOUBLE) / CAST(up.c AS DOUBLE))
+    lp_pair = duckdb_eval_table(
+        spark,
+        [(int(r["c_bg"]), int(r["c_prev"])) for r in pair_rows],
+        [("c_bg", "bigint"), ("c_prev", "bigint")],
+        [("v_pair", "CAST(round(ln(CAST(c_bg AS DOUBLE) / CAST(c_prev AS DOUBLE)), 9) AS DECIMAL(18,9))", _LP_TYPE)],
+    )
+    back_vals = {1} | {int(r["c"]) for r in uni.select("c").distinct().collect()}
+    # mirrors the oracle: ln((0.4 * CAST(COALESCE(uc.c, 1) AS DOUBLE))
+    #                        / CAST(n_total AS DOUBLE))
+    lp_back = duckdb_eval_table(
+        spark,
+        [(v,) for v in sorted(back_vals)],
+        [("c_cur_eff", "bigint")],
+        [(
+            "v_back",
+            f"CAST(round(ln(({ALPHA} * CAST(c_cur_eff AS DOUBLE)) / CAST({max(n_total, 1)} AS DOUBLE)), 9) AS DECIMAL(18,9))",
+            _LP_TYPE,
+        )],
+    )
 
     score = docs.filter(F.col(source_col) != train_source).select(
         F.col(id_col), tokenize(F.col(text_col)).alias("toks")
@@ -113,28 +156,18 @@ def lm_score_stupid_backoff(
         .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     )
 
-    up = uni.select(F.col("w").alias("prev"), F.col("c").alias("c_prev"))
-    uc = uni.select(F.col("w").alias("cur"), F.col("c").alias("c_cur"))
     scored = (
         occ.join(bg.withColumnRenamed("c", "c_bg"), ["prev", "cur"], "left")
         .join(up, "prev", "left")
         .join(uc, "cur", "left")
-        .crossJoin(F.broadcast(tot))
+        .withColumn("c_cur_eff", F.coalesce(F.col("c_cur"), F.lit(1)))
+        .join(F.broadcast(lp_pair), ["c_bg", "c_prev"], "left")
+        .join(F.broadcast(lp_back), "c_cur_eff", "left")
         .select(
             id_col,
-            F.when(
-                F.col("c_bg").isNotNull(),
-                # bigram seen ⇒ prev seen ⇒ c_prev non-null
-                _lp(F.log(F.col("c_bg").cast("double") / F.col("c_prev").cast("double"))),
-            )
-            .otherwise(
-                _lp(
-                    F.log(
-                        (F.lit(ALPHA) * F.coalesce(F.col("c_cur"), F.lit(1)).cast("double"))
-                        / F.col("n_total").cast("double")
-                    )
-                )
-            )
+            # bigram seen ⇒ prev seen ⇒ the (c_bg, c_prev) lookup hit
+            F.when(F.col("c_bg").isNotNull(), F.col("v_pair"))
+            .otherwise(F.col("v_back"))
             .alias("v"),
         )
     )

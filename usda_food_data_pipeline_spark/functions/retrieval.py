@@ -22,7 +22,13 @@ Scale notes (100 TB design point):
   ((tf DESC, df ASC, token) for keywords) or a decimal-summed score
   (BM25 per-term scores round to a 9-dp decimal grid and sum exactly,
   so per-doc totals are identical in Spark and DuckDB regardless of
-  aggregation order).
+  aggregation order).  The idf logs are SINGLE-SOURCED from the
+  in-process DuckDB build (functions/portable_log) over the collected
+  per-term document frequencies — bounded by the query's term count
+  (BM25) / distinct df values (TF-IDF) — so the Spark plan evaluates
+  no transcendental and the grid values agree with the oracle's libm
+  by construction (r06 verdict #2: this family shared lm_doc_scores'
+  ULP-at-grid-boundary fragility and was green only by libm luck).
 """
 
 from __future__ import annotations
@@ -70,20 +76,31 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Dat
     # materialization every tf-idf build pays once — at warehouse scale
     # it would be a written table, in-session it's a MEMORY_AND_DISK
     # cache of (doc, token, tf) rows.
+    from .portable_log import duckdb_eval_table
+
+    spark = df.sparkSession
     tf = doc_term_freq(df, id_col, text_col).persist()
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.agg(F.count(F.lit(1)).alias("N"))
+    # dfreq feeds the distinct-df collect AND the score join; persist so
+    # the (doc, token, tf) cache is aggregated once
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).persist()
+    n = int(df.agg(F.count(F.lit(1))).collect()[0][0])
+    # single-sourced idf (module docstring): distinct df values are
+    # bounded by distinct frequency cardinality, not vocab; mirrors the
+    # oracle: ln((CAST(N AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+    idf_tbl = duckdb_eval_table(
+        spark,
+        [(int(r["df"]),) for r in dfreq.select("df").distinct().collect()],
+        [("df", "bigint")],
+        [(
+            "_lnidf",
+            f"ln((CAST({n} AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))",
+            "double",
+        )],
+    )
     scored = (
         tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf")
-                * F.log((F.col("N") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
-                4,
-            ),
-        )
+        .join(F.broadcast(idf_tbl), "df")
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("_lnidf"), 4))
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
@@ -95,17 +112,16 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Dat
     )
 
 
-def _bm25_term_score(k1: float, b: float) -> Column:
-    """Okapi BM25 per-(doc, term) contribution from columns
-    tf, df, dl, N, avgdl — rounded onto the decimal grid."""
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
+def _bm25_term_score(k1: float, b: float, avgdl: float) -> Column:
+    """Okapi BM25 per-(doc, term) contribution from columns tf, dl and
+    the single-sourced ``_idf`` double — rounded onto the decimal grid.
+    Everything here is IEEE-basic arithmetic (+, -, *, /), which both
+    engines round identically; the transcendental part rides in as the
+    ``_idf`` literal."""
     sat = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     )
-    return F.round(idf * sat, SCORE_SCALE).cast(f"decimal(28,{SCORE_SCALE})")
+    return F.round(F.col("_idf") * sat, SCORE_SCALE).cast(f"decimal(28,{SCORE_SCALE})")
 
 
 def bm25_scores(
@@ -124,13 +140,22 @@ def bm25_scores(
     avgdl) ride a 1-row broadcast and document frequencies come from
     the already-tiny match table. Returns (id, n_terms_matched, bm25).
     """
+    from .portable_log import duckdb_eval_table
+
+    spark = df.sparkSession
     qarr = F.array(*[F.lit(t) for t in query_terms])
     base = df.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
     ).withColumn("dl", F.size("_toks").cast("double"))
-    stats = base.agg(
+    st = base.agg(
         F.count(F.lit(1)).cast("double").alias("N"), F.avg("dl").alias("avgdl")
-    )
+    ).collect()[0]
+    # N and avgdl are exact-deterministic doubles (integer-valued sums
+    # below 2^53 + one correctly-rounded division), so collecting them
+    # and re-injecting as literals reproduces the oracle's values bit
+    # for bit. In a serving deployment both are precomputed index
+    # metadata, not per-query scans.
+    n_docs, avgdl = float(st["N"]), float(st["avgdl"] or 0.0)
     matched = base.select(
         F.col(id_col),
         "dl",
@@ -139,14 +164,24 @@ def bm25_scores(
         ),
     )
     # persist: tf (query-term matches only — tiny) feeds both the df
-    # aggregate and the score join; without it the corpus is re-scanned
-    # per consumer. The separate 1-row stats pass stays: N/avgdl need
-    # every doc, matches don't — in a serving deployment both N/avgdl
-    # and df are precomputed index metadata, not per-query scans.
+    # collect and the score join; without it the corpus is re-scanned
+    # per consumer.
     tf = matched.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "token").crossJoin(F.broadcast(stats))
-    per_term = scored.withColumn("_s", _bm25_term_score(k1, b))
+    df_rows = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df")).collect()
+    # single-sourced idf over the (≤ |query_terms|)-row df table;
+    # mirrors the oracle: ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
+    idf_tbl = duckdb_eval_table(
+        spark,
+        [(r["token"], float(r["df"])) for r in df_rows],
+        [("token", "string"), ("df", "double")],
+        [(
+            "_idf",
+            f"ln(1.0 + (CAST({int(n_docs)} AS DOUBLE) - df + 0.5) / (df + 0.5))",
+            "double",
+        )],
+    )
+    scored = tf.join(F.broadcast(idf_tbl.withColumnRenamed("df", "df_t")), "token")
+    per_term = scored.withColumn("_s", _bm25_term_score(k1, b, avgdl))
     return per_term.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.sum("_s").cast("double").alias("bm25"),

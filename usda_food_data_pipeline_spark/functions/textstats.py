@@ -288,23 +288,42 @@ def token_surprisal(df, id_col: str, text_col: str):
 
     from ..operators.dedup import tokenize
 
+    from .portable_log import duckdb_eval_table
+
+    spark = df.sparkSession
     toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    total = toks.agg(F.count(F.lit(1)).alias("N"))
+    # counts feeds the distinct-n collect and the occurrence join;
+    # persist so the corpus is tokenized once
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
+    n_total = int(toks.agg(F.count(F.lit(1))).collect()[0][0] or 0)
+    # single-sourced ln over the distinct count values (portable_log):
+    # removes the JVM-vs-DuckDB libm variance from every summand; the
+    # residual avg() summation-order jitter (~1e-13, shared direction)
+    # is absorbed by the 4-dp grid as before. Mirrors the oracle:
+    # ln(c.n) and ln((SELECT N FROM tot)).
+    ln_tbl = duckdb_eval_table(
+        spark,
+        [(int(r["n"]),) for r in counts.select("n").distinct().collect()],
+        [("n", "bigint")],
+        [("_ln_n", "ln(n)", "double")],
+    )
+    ln_total = duckdb_eval_table(
+        spark, [(n_total,)], [("n", "bigint")], [("_ln", "ln(n)", "double")]
+    ).collect()
+    ln_n_total = float(ln_total[0]["_ln"]) if n_total else 0.0
     per_doc = (
         toks.join(counts, "token")
+        .join(F.broadcast(ln_tbl), "n")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(F.log("n")).alias("_mean_ln_n"),
+            F.avg("_ln_n").alias("_mean_ln_n"),
         )
     )
-    # 4-dp rounding absorbs libm/summation-order jitter (~1e-13) exactly
-    # as the geometric-mean oracle does; the grid is 9 orders coarser
-    return per_doc.crossJoin(F.broadcast(total)).select(
+    return per_doc.select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.round(F.log("N") - F.col("_mean_ln_n"), 4).alias("surprisal"),
+        F.round(F.lit(ln_n_total) - F.col("_mean_ln_n"), 4).alias("surprisal"),
     )
 
 
