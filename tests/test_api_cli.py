@@ -201,14 +201,18 @@ def test_read_usda_csv_header_probe_cached(spark, workdir):
     df1 = read_usda_csv(spark, f"{d}/*.csv", "food_nutrient")
     assert df1.count() == 2
     assert len(_HEADER_PROBE_CACHE) == 1  # one probe set, cached
-    key = next(iter(_HEADER_PROBE_CACHE))
-    # poison: pretend the files disagree; a re-probe would overwrite
-    # this, so the divergent-path switch proves the cache was used
-    files = [entry[0] for entry in key]  # key entries are (path, mtime, size)
-    _HEADER_PROBE_CACHE[key] = {
-        files[0]: ("fdc_id", "nutrient_id", "amount"),
-        files[1]: ("amount", "fdc_id", "nutrient_id"),
-    }
+    key = next(iter(_HEADER_PROBE_CACHE))  # key = resolved file tuple
+    sig = _HEADER_PROBE_CACHE[key][0]
+    # poison: pretend the files disagree (same stat signature, so no
+    # re-probe); the divergent-path switch proves the cache was used
+    files = list(key)
+    _HEADER_PROBE_CACHE[key] = (
+        sig,
+        {
+            files[0]: ("fdc_id", "nutrient_id", "amount"),
+            files[1]: ("amount", "fdc_id", "nutrient_id"),
+        },
+    )
     df2 = read_usda_csv(spark, f"{d}/*.csv", "food_nutrient")
     # per-file path binds part2 by the poisoned header order
     rows = {r["fdc_id"]: r["amount"] for r in df2.collect()}
@@ -244,4 +248,7 @@ def test_read_usda_csv_header_cache_invalidates_on_rewrite(spark, workdir):
     df2 = read_usda_csv(spark, f"{d}/*.csv", "food_nutrient")
     rows = {r["fdc_id"]: r["amount"] for r in df2.collect()}
     assert rows == {11: 1.5, 21: 2.5}  # re-probed, no transposition
+    # ADVICE r06: the re-probe must REPLACE the superseded entry (cache
+    # indexed by path tuple), not accumulate one entry per re-stage
+    assert len(_HEADER_PROBE_CACHE) == 1
     _HEADER_PROBE_CACHE.clear()

@@ -19,7 +19,7 @@ def test_kmeans_separates_two_blobs(spark):
         (5, [0.11, 0.11]),
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    out = {r["vec_id"]: r for r in kmeans_assign(df, k=2, n_iter=2, dim=2).collect()}
+    out = {r["vec_id"]: r for r in kmeans_assign(df, k=2, n_iter=2).collect()}
     assert {out[1]["cluster"], out[3]["cluster"], out[5]["cluster"]} == {0}
     assert {out[2]["cluster"], out[4]["cluster"]} == {1}
     # d2 is the exact squared grid distance to the blob's final centroid
@@ -39,7 +39,22 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     # every point must still be assigned to a valid cluster
     rows = [(i, [0.5 + i * 1e-6, 0.5]) for i in range(1, 7)]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    out = kmeans_assign(df, k=2, n_iter=3, dim=2).collect()
+    out = kmeans_assign(df, k=2, n_iter=3).collect()
     assert len(out) == 6
     assert all(r["cluster"] in (0, 1) for r in out)
     assert all(r["d2"] >= 0 for r in out)
+
+
+def test_kmeans_derives_width_from_vectors(spark):
+    # ADVICE r06: width comes from the seed vectors, not a dim
+    # parameter — a 3-wide embedding must cluster on all 3 coordinates
+    # (under the old dim=64 default this truncated/crashed)
+    rows = [
+        (1, [0.1, 0.1, 0.1]),
+        (2, [0.9, 0.9, 0.9]),
+        (3, [0.1, 0.1, 0.12]),
+        (4, [0.9, 0.9, 0.88]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=2, n_iter=2).collect()}
+    assert out[1] == out[3] and out[2] == out[4] and out[1] != out[2]

@@ -55,7 +55,7 @@ def test_randomized_kmeans_matches_python_lloyd(spark):
         df = spark.createDataFrame(vectors, ["vec_id", "embedding"])
         got = {
             r["vec_id"]: (r["cluster"], r["d2"])
-            for r in kmeans_assign(df, k=4, n_iter=3, dim=8).collect()
+            for r in kmeans_assign(df, k=4, n_iter=3).collect()
         }
         exp = _py_lloyd(vectors, k=4, n_iter=3)
         assert got == exp, f"seed {seed}"

@@ -38,6 +38,18 @@ def test_prefix_sum_plan_has_no_global_window(spark):
     assert "SinglePartition" not in plan
 
 
+def test_prefix_sum_output_reads_the_collected_partitioning(spark):
+    """ADVICE r06 (high): the pid→offset map is collected from one
+    execution of the range exchange; the returned DataFrame must read
+    the SAME materialized partitioning (an InMemoryRelation), not
+    re-execute repartitionByRange — whose RangePartitioner samples with
+    an rdd.id-derived seed and may place boundary rows differently."""
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], ["id", "v"])
+    out = global_prefix_sum(df, [F.col("id")], "v", num_partitions=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, plan
+
+
 def test_token_budget_boundary(spark):
     # equal scores force doc_id tie-break; budget 3/10 of 40 tokens = 12
     # tokens -> docs 1 (4 toks) + 2 (4 toks) + 3 (4 toks) fit exactly

@@ -97,7 +97,6 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 3,
-    dim: int = 64,
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd rounds from the ``k`` lowest-id points and
     return the final assignment: ``id_col, cluster (int), d2`` (exact
@@ -105,12 +104,20 @@ def kmeans_assign(
     centroid.  Every iteration is one job: Arrow-batched assignment
     against the iteration's centroid constants, then a k-group
     aggregate whose exchange carries k·(dim+1) fixed-width rows.
+
+    The embedding width is derived from the seed vectors themselves
+    (ADVICE r06, low: an independent ``dim`` parameter silently
+    truncated wider embeddings to its default for one round and then
+    crashed on the numpy shape mismatch in the next assignment).
     """
     pts = _quantized(emb, id_col, vec_col)
 
     seeds = sorted(
         pts.orderBy(id_col).limit(k).collect(), key=lambda r: r[id_col]
     )
+    if not seeds:
+        raise ValueError("kmeans_assign: input has no vectors")
+    dim = len(seeds[0]["xq"])
     cents = [[int(v) * GRID for v in r["xq"]] for r in seeds]
 
     sum_aggs = [

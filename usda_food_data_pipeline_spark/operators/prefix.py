@@ -17,9 +17,20 @@ Total cost: one range exchange + one #partitions-row collect,
 regardless of data size.  The range boundaries Spark samples are not
 themselves deterministic, but the OUTPUT is: the sort key is total
 (ties broken by a unique id), and any contiguous split of a totally
-ordered stream produces identical prefix sums.  The totals pass and the
-output pass share the exchange's shuffle files (same lineage → the map
-stage is skipped in the second job), so nothing needs persisting.
+ordered stream produces identical prefix sums.
+
+One materialization, not two (ADVICE r06, high): the totals collect
+and the returned DataFrame are SEPARATE Dataset actions, and separate
+actions do not share a repartitionByRange exchange — RangePartitioner
+samples with an rdd.id-derived seed, so a re-executed exchange may
+place boundary rows differently, silently invalidating the collected
+pid→offset map.  The per-partition stage is therefore persisted before
+the totals collect: the collect materializes the cache, the returned
+plan reads the same InMemoryRelation (one pinned RDD DAG — even a
+partition evicted under memory pressure recomputes through that RDD's
+own shuffle dependency, whose boundaries are already fixed in its
+shuffle files), so offsets and output always see one partitioning.
+The cache is janitor-tracked like the dedup intermediates.
 
 ``token_budget_select`` applies this to the selection step most
 training-data pipelines end with: order the corpus by a quality score
@@ -55,6 +66,8 @@ def global_prefix_sum(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    from .dedup import _INTERMEDIATES
+
     ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -63,7 +76,12 @@ def global_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("_lcum", F.sum(value_col).over(w))
+    # persist BEFORE the totals collect so the offsets and the returned
+    # output are computed from the same materialized partitioning (see
+    # module docstring — separate actions re-execute repartitionByRange
+    # with a different sampling seed)
+    local = ranged.withColumn("_lcum", F.sum(value_col).over(w)).persist()
+    _INTERMEDIATES.rollover([local])
 
     totals = sorted(
         local.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect(),

@@ -630,9 +630,16 @@ def semantic_decontaminate(
     first ``bucket_bits`` dimensions (the attested semantic_dedup
     scheme; occupancy tracks embedding-space density) and joins
     bucket-equal pairs only — never all-pairs. The guard cap applies to
-    PAIR GENERATION only: every corpus vector survives unless flagged,
-    and over-cap buckets are reported via ``observation``, not silently
-    decided. Returns the surviving (id, bucket) rows.
+    the CORPUS side's pair generation only: every corpus vector
+    survives unless flagged, and over-cap buckets are reported via
+    ``observation``, not silently decided. The BENCHMARK side is never
+    capped (ADVICE r06, medium): it is eval-set-sized by definition, so
+    it cannot blow up pair counts the way the corpus can, and a dropped
+    benchmark vector would silently lower screen recall — a false
+    negative in a leakage filter, the one failure direction a
+    decontamination screen must not have. Per-bucket pair work stays
+    bounded by max_bucket × |benchmark bucket| ≤ max_bucket × |eval
+    set|. Returns the surviving (id, bucket) rows.
     """
     from ..sources.tables import spread
     from .dedup import DEFAULT_MAX_BUCKET, cap_bucket_size
@@ -650,7 +657,7 @@ def semantic_decontaminate(
 
     c_all = prep(corpus)
     c = cap_bucket_size(c_all, ["_bkt"], max_bucket, observation).alias("c")
-    b = cap_bucket_size(prep(benchmark), ["_bkt"], max_bucket, None).alias("b")
+    b = prep(benchmark).alias("b")
     score = F.try_divide(
         dot(F.col("c._v"), F.col("b._v")), F.col("c._n") * F.col("b._n")
     )

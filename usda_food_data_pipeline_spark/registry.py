@@ -169,7 +169,15 @@ _ORDER: list[str] = [
     "interval_overlap",
     "funnel_conversion",
     "asof_join_events",
-    "range_join_bands",
+    # dedup_stats takes range_join_bands' slot (round 7, r06 verdict
+    # task 5): the banded range join's explode-bucket + equi-join +
+    # exact-predicate shape stays attested in-window by
+    # interval_overlap (same canonical-bucket plan family) next to
+    # asof_join_events; range_join_bands keeps its local+CI row and
+    # its no-NLJ plan pin. The dedup observability rollup (cluster-size
+    # histogram over the exact-dedup groups table) is the reporting
+    # family a curation run publishes and had no driver row
+    "dedup_stats",
     # data_expectations takes set_ops' slot: union/except/intersect keep
     # their local+CI row (the union shape also runs inside
     # data_expectations' result assembly); the declarative quality gate
@@ -188,12 +196,14 @@ _ORDER: list[str] = [
     # the batch twin of the streaming session window and needs a driver
     # row of its own
     "sessionize_gaps",
-    # triangle_count takes percentile_quantity's slot (round 4
-    # rotation): the rank-window family stays attested by
-    # dedup_latest_order's row_number window (percentile keeps its
-    # local+CI row); the degree-ordered O(m^1.5) wedge join is a graph
-    # operator family with no in-window twin beyond PageRank
-    "triangle_count",
+    # doc_novelty takes triangle_count's slot (round 7, r06 verdict
+    # task 5): the graph family stays attested in-window by
+    # pagerank_parts, and triangle_count keeps its local+CI row plus
+    # its degree-orientation/no-NLJ plan-pin tests. Per-doc novelty
+    # (corpus-unique shingle fraction + mean shingle df) is the
+    # keep-fresh-content curation signal and had no driver row; its
+    # inverted-index df shape is shared with the dedup prefix filter
+    "doc_novelty",
     # round-6 rotation (r05 verdict task 7): the four round-5 operators
     # with exact oracles move into the window; each displaced query's
     # family keeps an in-window twin and its own local+CI row.
@@ -234,8 +244,6 @@ _ORDER: list[str] = [
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
     # round-6 operators whose families are already driver-attested
-    "dedup_stats",
-    "doc_novelty",
     "sequence_packing",
     "quantize_embeddings",
     "skew_salted_join",
@@ -294,6 +302,12 @@ _ORDER: list[str] = [
     "multimodal_resize",
     "profile_orders",
     "dataset_split",
+    # displaced from the window round 7 (family attested by an
+    # in-window twin — see the rotation comments inside the window):
+    # range_join_bands ⊂ interval_overlap's canonical-bucket join,
+    # triangle_count's graph family ⊂ pagerank_parts
+    "range_join_bands",
+    "triangle_count",
     # displaced from the window round 6 (family attested by an
     # in-window twin — see the rotation comments inside the window):
     # chunk_documents ⊂ decontaminate's Generate shape,

@@ -115,15 +115,22 @@ USDA_CSV_TYPES: dict[str, dict[str, str]] = {
 # one driver round trip per file, and re-reading the same staged release
 # within a session (the hot path — every pipeline stage re-reads the
 # staged CSVs) must not re-pay O(files) probes when nothing changed.
-# The cache key includes each file's (mtime, size) — a driver-side stat,
-# cheap next to a Spark read — so a staged CSV rewritten IN PLACE with a
-# different column order is re-probed instead of served stale headers
-# (which would silently transpose values, the exact failure the probe
-# exists to prevent).
-_HEADER_PROBE_CACHE: dict[tuple, dict[str, tuple[str, ...]]] = {}
+# Indexed by the resolved file-path tuple; the VALUE carries the stat
+# signature (per-file mtime_ns + size — a driver-side stat, cheap next
+# to a Spark read) alongside the probed headers, so a staged CSV
+# rewritten IN PLACE with a different column order is re-probed instead
+# of served stale headers (which would silently transpose values, the
+# exact failure the probe exists to prevent) — and the re-probe
+# REPLACES the superseded entry rather than stranding it, keeping the
+# cache bounded by the number of distinct staging paths, not the number
+# of re-stages (ADVICE r06, low: signature-keyed entries accumulated
+# one per rewrite, unbounded driver memory in long re-staging sessions).
+_HEADER_PROBE_CACHE: dict[
+    tuple[str, ...], tuple[tuple, dict[str, tuple[str, ...]]]
+] = {}
 
 
-def _header_cache_key(files: tuple[str, ...]) -> tuple:
+def _header_stat_signature(files: tuple[str, ...]) -> tuple:
     import os as _os
     from urllib.parse import urlparse
 
@@ -174,13 +181,15 @@ def read_usda_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
     # + unionByName when they differ. Probes are cached per resolved
     # file list, so repeat loads of an unchanged staging dir cost zero
     # extra driver round trips.
-    cache_key = _header_cache_key(files)
-    headers = _HEADER_PROBE_CACHE.get(cache_key)
-    if headers is None:
+    sig = _header_stat_signature(files)
+    cached = _HEADER_PROBE_CACHE.get(files)
+    if cached is not None and cached[0] == sig:
+        headers = cached[1]
+    else:
         headers = {
             f: tuple(spark.read.option("header", True).csv(f).columns) for f in files
         }
-        _HEADER_PROBE_CACHE[cache_key] = headers
+        _HEADER_PROBE_CACHE[files] = (sig, headers)
     if len(set(headers.values())) <= 1:
         return spark.read.option("header", True).schema(schema_for(base.columns)).csv(path)
     parts = [
