@@ -10,6 +10,13 @@ driver-side result materialization cost in the measurement). Each query
 runs $SPARK_GRAFT_BENCH_REPEATS times (default 2) and reports the MIN —
 single-run timings on this shared host carry ±30% noise (observed across
 rounds), and min-of-repeats measures the plan, not the scheduler hiccup.
+
+Cross-round comparisons are therefore INVALID on absolutes (r06 verdict
+task 8): for queries whose plans changed during a round, the builder
+records a same-session old-vs-new A/B (min-of-N, back-to-back on the
+same host window, old code via a git worktree of the pre-change commit)
+in AB_NOTES.json; this harness merges it into both output lines as
+``same_session_ab`` so the artifact itself carries the valid ratio.
 """
 
 from __future__ import annotations
@@ -46,9 +53,22 @@ def warmup(spark, sf_dir: str) -> None:
     base.join(dim.hint("broadcast"), "k").count()
 
 
+def load_ab_notes() -> dict:
+    """Same-session old-vs-new A/B measurements for queries changed this
+    round (see module docstring). Written by the builder at change time;
+    absent file → empty map."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "AB_NOTES.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def build_compact(
     timings: dict[str, float], errors: list[str], sf: float, repeats: int,
     max_chars: int = 1100, guards: dict[str, dict] | None = None,
+    ab: dict | None = None,
 ) -> dict:
     """Compact headline line for the driver's ~2000-char stdout tail:
     headline metric + the slowest queries that fit. ``n_errors`` counts
@@ -77,6 +97,8 @@ def build_compact(
     }
     if dropped:
         compact["guard_dropped_rows"] = dropped
+    if ab:
+        compact["same_session_ab"] = ab
     # fill with the slowest queries while the line stays inside the window
     for name in sorted(timings, key=lambda n: -timings[n]):
         compact["queries"][name] = timings[name]
@@ -133,6 +155,7 @@ def main() -> None:
     # headline metric out of the r03 capture (BENCH_r03.json parsed=null).
     # Print the full map on its own line FIRST (and to a file for humans),
     # then the compact headline line LAST so the tail capture always parses.
+    ab = load_ab_notes()
     full = {
         "metric": "sum_query_sec",
         "value": total,
@@ -142,6 +165,7 @@ def main() -> None:
         "repeats": repeats,
         "errors": sorted(errors),
         "guards": guards,
+        "same_session_ab": ab,
     }
     print(json.dumps(full))
     try:
@@ -152,7 +176,7 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(build_compact(timings, errors, sf, repeats, guards=guards)))
+    print(json.dumps(build_compact(timings, errors, sf, repeats, guards=guards, ab=ab)))
 
 
 if __name__ == "__main__":

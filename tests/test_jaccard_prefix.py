@@ -102,29 +102,29 @@ def test_hot_escalation_finds_template_near_dups(spark):
 
 MIXED_HOT_COLD = [
     # Found by exhaustive search against a pure-Python mirror of the
-    # candidate generation: at cap=2 the qualifying pair (6, 7) shares
-    # cold prefix shingles, but its rarest COMMON shingles route hot
-    # (level 2), so its first cold collision carries prior common
-    # elements. The r05 positional bound 1 + min(remaining) assumed
-    # overlap-so-far = 1 at that collision and pruned the pair (zero
-    # recall for it — no triple key recovers it either); the per-pair
-    # aggregate bound credits the hot commons via the _hb terms and
-    # keeps it.
-    (0, "aa bb bb gg ff hh ff cc ff cc aa"),
-    (1, "gg ee dd hh gg hh dd dd hh gg ee dd ff"),
-    (2, "ee cc cc cc cc ff ee cc bb hh dd"),
-    (3, "ff cc ff ee cc bb dd"),
-    (4, "aa gg aa cc bb aa ee bb"),
-    (5, "dd gg ff bb cc dd bb ff dd"),
-    (6, "cc dd dd aa cc ee cc ff gg bb aa bb ee"),
-    (7, "ff bb aa cc ff ff aa dd dd"),
+    # r07 candidate generation (hashed codes, ℓ=5 extended prefixes,
+    # c + min(H_a, H_b) ≥ min(ℓ, α) filter): at cap=2 EVERY one of the
+    # five qualifying pairs has too few cold collisions on its own
+    # (c < min(ℓ, α)) and survives only through the min(H_a, H_b) hot
+    # credit — a scheme that ignored hot commons (the r05 positional
+    # bound's failure mode) would miss all of them. Output must equal
+    # the brute-force truth exactly.
+    (0, "gg gg aa ee hh gg ee hh ff dd cc ee cc"),
+    (1, "bb ee cc ee bb bb ff hh bb ff gg ff dd"),
+    (2, "hh hh ee aa aa bb gg aa hh ff dd"),
+    (3, "ff bb dd dd dd cc hh bb bb ff hh bb"),
+    (4, "ee bb ff dd ee hh bb gg ff"),
+    (5, "dd ee cc dd cc aa ee hh bb bb cc"),
+    (6, "aa bb gg ee dd dd gg ee"),
+    (7, "hh ff bb ff bb hh ff dd dd aa"),
 ]
 
 
 def test_mixed_hot_cold_completeness(spark):
-    # r05 ADVICE (medium): level-1 completeness must hold even when a
-    # pair's globally-first common prefix shingle is hot. On this
-    # corpus at cap=2 the output must be EXACTLY the brute-force truth.
+    # r05 ADVICE (medium), re-pinned for the r07 count filter: level-1
+    # completeness must hold even when most of a pair's common codes
+    # route hot. On this corpus at cap=2 the output must be EXACTLY the
+    # brute-force truth (five pairs, each needing the hot credit).
     docs = spark.createDataFrame(MIXED_HOT_COLD, "doc_id int, text string")
     got = {
         (r.id_a, r.id_b)
@@ -133,7 +133,7 @@ def test_mixed_hot_cold_completeness(spark):
         ).collect()
     }
     want = _brute_pairs(MIXED_HOT_COLD)
-    assert (6, 7) in want  # the pair the r05 bound wrongly pruned
+    assert len(want) == 5
     assert got == want
 
 

@@ -422,6 +422,17 @@ def minhash_lsh_pairs(
     template-spam buckets; the 4-band redundancy means a pair in one
     hot bucket can still surface from its other bands). Pass
     ``observation`` to read the degraded-bucket counters.
+
+    ROUTING vs the exact prefix filter (r06 verdict task 6): this is
+    the PROBABILISTIC-RECALL path — candidate recall follows the
+    1-(1-s^r)^b curve (~98% at the defaults on the ×30
+    fresh-vocabulary sweep: 7,652 of 7,800 pairs in 8.3s where
+    :func:`jaccard_pairs_prefix` spent 270s for the full set —
+    VOCAB_GROWTH.json), and its cost is b·r hashes per doc regardless
+    of vocabulary overlap. Emitted pair VALUES are verified-exact;
+    only which candidates surface is probabilistic. Route crawl-scale
+    near-dup sweeps here; route contractual-recall dedup (benchmark
+    decontamination, oracle parity) to :func:`jaccard_pairs_prefix`.
     """
     rows_per_band = num_hashes // bands
     # testdata parquet is single-row-group → 1 scan task; spread the
@@ -578,33 +589,54 @@ def jaccard_pairs_prefix(
     observation=None,
     hot_k: int = 8,
     hot_min_shared: int = 2,
+    ext_l: int = 5,
+    hash_seed: int = 29,
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard at threshold ``tn/td`` via
-    content-based blocking: the AllPairs/PPJoin rarest-shingle prefix
-    filter, escalating over-cap shingles to sampled triple keys.
+    content-based blocking: the AllPairs ℓ-extended rarest-shingle
+    prefix filter (Adapt-Join, Wang et al. SIGMOD 2012), escalating
+    over-cap shingles to sampled triple keys.
 
     The r04-and-earlier :func:`ngram_jaccard_pairs` blocked on METADATA
     (lang × length bucket) — a key that degenerates as the corpus grows:
     at 10× scale every block blew past the guard cap and the operator
     honestly reported zero recall. This variant blocks on CONTENT:
 
-    1. shingle every doc; count each shingle's document frequency (df);
-    2. order each doc's shingles rarest-first (df asc, shingle asc) and
-       keep the first ``|sh| - ceil(t·|sh|) + 1`` as its PREFIX —
-       prefix filtering is LOSSLESS for any global shingle order (two
-       sets with Jaccard ≥ t overlap in ≥ ceil(t·max(|a|,|b|))
-       elements, so suffixes of length ceil(t·|x|)-1 cannot hold all
-       of them): every qualifying pair shares a prefix shingle;
-    3. LEVEL 1 (cold): prefix shingles whose bucket (docs carrying
-       them in-prefix) is ≤ ``max_bucket`` self-join directly, and the
-       collision stream is aggregated PER PAIR into an exact overlap
-       upper bound (collision count + hot-common credits + tail — see
-       the ``bound`` derivation below) — complete for every pair
-       sharing any cold prefix shingle. Rarity-first ordering is what
-       keeps most buckets cold: a shingle's bucket is at most its df,
-       and high-df template shingles fall out of prefixes first;
-    4. LEVEL 2 (hot): over-cap shingles are NOT dropped — each doc
-       re-keys its hot prefix shingles by CONSECUTIVE (rarity-ordered)
+    0. shingle text NEVER shuffles (the dup_substring_spans contract):
+       each doc's shingle set maps to distinct portable 48-bit
+       ``md5_int`` codes inside the scan, and every downstream exchange
+       (df counts, prefix window, collision join, verify arrays)
+       carries fixed-width bigints. A cross-doc hash collision merges
+       the same two shingles in BOTH engines (the oracle hashes
+       identically), so results stay bit-identical; the distortion
+       probability is ~|sh|²/2⁴⁹ per doc — irrelevant next to the
+       10-50× shuffle-width saving at corpus scale;
+    1. count each shingle code's document frequency (df);
+    2. order each doc's codes rarest-first (df asc, code asc) and keep
+       the first ``|sh| - ceil(t·|sh|) + ℓ`` as its ℓ-EXTENDED PREFIX.
+       Extension lemma (exact, any global order): if |a∩b| = o ≥ α,
+       the i-th smallest common element (i ≤ ℓ) has at least o-i ≥ α-i
+       commons after it in both docs, so it sits within position
+       |x| - α + i ≤ |x| - α + ℓ of both — the first min(ℓ, α)
+       commons ALL land inside both extended prefixes;
+    3. LEVEL 1 (cold): prefix codes whose bucket (docs carrying them
+       in-prefix) is ≤ ``max_bucket`` self-join directly; the collision
+       stream is aggregated per pair into the collision count ``c``.
+       By the extension lemma each of the pair's first min(ℓ, α)
+       commons is either a cold collision (counted by c) or HOT in
+       both prefixes (hotness is a global property of the code), so
+       every qualifying pair satisfies
+           c + min(H_a, H_b) ≥ min(ℓ, α),
+       H_x = hot entries in x's extended prefix and
+       α = ceil(t/(1+t)·(sz_a+sz_b)) — the candidate filter. It is a
+       COUNT requirement, not a positional bound: r06's positional
+       bound kept every pair with one early rare collision (suffix
+       tail ≈ sz ≫ α), 4.6M candidates for 260 true pairs at sf0.1;
+       requiring ℓ=5 independent prefix commons keeps 0.6M. Complete
+       for every pair sharing ≥ 1 cold prefix code; rarity-first
+       ordering keeps most buckets cold;
+    4. LEVEL 2 (hot): over-cap codes are NOT dropped — each doc
+       re-keys its hot prefix codes by CONSECUTIVE (rarity-ordered)
        triples ``(s_i, s_{i+1}, s_{i+2})``, keeps the ``hot_k``
        triples with the smallest portable hash (a bottom-k sketch:
        content-keyed and alignment-free, so near-identical docs select
@@ -614,33 +646,42 @@ def jaccard_pairs_prefix(
        when the vocabulary is tiny relative to the corpus (the regime
        where every single-shingle bucket is hot by pigeonhole — e.g.
        mass-replicated template corpora); bottom-k + the ≥2-shared
-       bar keep the candidate stream near the true-pair count there
-       (sf3: 2.4M candidates for 2.4M true pairs vs 30M from raw
-       consecutive triples — replicas share ~40 triples each, so
-       unsampled keys emit every pair ~40 times and one stray shared
-       triple admits every cross-cluster pair). The level is
-       heuristic-recall (a pair sharing exactly one hot shingle and no
-       cold one can be missed) but bounded. Triple buckets above the
-       cap — genuine mass duplication, whose true pair output is
-       itself quadratic — are dropped by :func:`cap_bucket_size` and
-       surfaced via ``observation``.
+       bar keep the candidate stream near the true-pair count there.
+       The level is heuristic-recall (a pair sharing exactly one hot
+       code and no cold one can be missed) but bounded. Triple buckets
+       above the cap — genuine mass duplication, whose true pair
+       output is itself quadratic — are dropped by
+       :func:`cap_bucket_size` and surfaced via ``observation``.
     5. candidates from both levels union, dedupe, and verify with
-       exact set Jaccard (array attach + ``array_intersect``) — A/B'd
-       in-session against an inverted-index co-count verify, which
-       loses 3× here because joining candidates back to the exploded
-       index multiplies each candidate by its shingle count.
+       exact set intersection over the bigint code arrays
+       (``array_intersect`` — int equality, ~8-byte elements).
 
     The threshold is a rational ``tn/td`` and every pruning comparison
-    (prefix length, size compatibility, final Jaccard test) is exact
-    integer arithmetic — no float-ceil divergence between engines.
+    (prefix length, size compatibility, the count filter, the final
+    Jaccard test) is exact integer arithmetic — no float-ceil
+    divergence between engines.
 
-    Scale shape: all shuffles are linear in the exploded shingle count
-    (df agg on shingle, df join, per-doc window, occupancy join,
-    candidate joins, pair distinct, two verify joins); the quadratic
-    term is confined to per-bucket candidate products bounded by
-    max_bucket² per key at both levels.
+    Scale shape: all shuffles are linear in the exploded code count
+    (df agg, df join, per-doc window, occupancy join, candidate joins,
+    two verify joins) and carry bigints, never text; the per-pair
+    aggregation exchange carries exactly (id_a, id_b) — per-doc
+    constants (sz, H) join back AFTER aggregation from a docs-sized
+    broadcast. The quadratic term is confined to per-bucket candidate
+    products bounded by max_bucket² per key at both levels.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ tn/td.
+
+    ROUTING vs MinHash-LSH (r06 verdict task 6): this is the
+    EXACT-RECALL path — every qualifying pair, guaranteed, at a cost
+    that tracks prefix-collision density. On the ×30 fresh-vocabulary
+    sweep (VOCAB_GROWTH.json) it spends ~32× MinHash-LSH's time for
+    ~2% more pairs (7,800 vs 7,652 in 270s vs 8.3s): fresh vocabulary
+    keeps every bucket cold, so the exact path pays the full collision
+    stream while the bands pay b·r hashes. Choose this operator when
+    recall is contractual (decontamination, legal-grade dedup, oracle
+    parity); choose :func:`minhash_lsh_pairs` for crawl-scale sweeps
+    where ~98% probabilistic recall is acceptable — its pair VALUES
+    are verified-exact too, only candidate recall is probabilistic.
     """
     from pyspark.sql import Window
 
@@ -649,7 +690,12 @@ def jaccard_pairs_prefix(
     tn, td = threshold_num, threshold_den
     sh_t = spread(df).select(
         F.col(id_col).alias("doc_id_"),
-        word_shingles(tokenize(F.col(text_col)), shingle_n).alias("sh"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(tokenize(F.col(text_col)), shingle_n),
+                lambda x: md5_int(x, hash_seed),
+            )
+        ).alias("sh"),
     ).withColumn("sz", F.size("sh"))
     # feeds the df-count, the prefix build, and both verify attaches —
     # materialize once (at cluster scale: an intermediate table)
@@ -657,8 +703,8 @@ def jaccard_pairs_prefix(
 
     ex = sh_t.select("doc_id_", "sz", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_n"))
-    # prefix length |sh| - ceil(t·|sh|) + 1, ceil in exact integers
-    p_len = F.col("sz") - F.expr(f"(sz * {tn} + {td} - 1) DIV {td}") + 1
+    # ℓ-extended prefix length |sh| - ceil(t·|sh|) + ℓ, exact integers
+    p_len = F.col("sz") - F.expr(f"(sz * {tn} + {td} - 1) DIV {td}") + ext_l
     w = Window.partitionBy("doc_id_").orderBy("df_n", "s")
     prefix = (
         ex.join(dfreq, "s")
@@ -672,22 +718,23 @@ def jaccard_pairs_prefix(
     # without it every join side replays shingling + df + window (the
     # unpersisted form measured ~2× wall-clock at sf0.1)
     occ = prefix.groupBy("s").agg(F.count(F.lit(1)).alias("_occ"))
-    # _hb = hot prefix entries BEFORE this entry in the doc's rarity
-    # order — the per-pair bound credits hot commons with it (hot
-    # commons never appear in the cold collision stream)
-    w_hb = (
-        Window.partitionBy("doc_id_")
-        .orderBy("_rn")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     withocc = (
         prefix.join(occ, "s")
         .withColumn("_hot", (F.col("_occ") > max_bucket).cast("long"))
-        .withColumn("_hb", F.coalesce(F.sum("_hot").over(w_hb), F.lit(0)))
         .persist()
     )
     # retire the previous dedup query's intermediates; track this one's
     _INTERMEDIATES.rollover([sh_t, withocc])
+    # per-doc constants for the candidate filter: size + hot-entry
+    # count. One slim row per doc, joined back onto the AGGREGATED pair
+    # stream — never carried through the collision exchange. Join
+    # strategy is left to AQE: at bench scales this is a broadcast; at
+    # corpus scale the docs side outgrows broadcast and the exchange is
+    # still pair-table-sized, a rounding error next to the collision
+    # stream it replaced.
+    dstats = withocc.groupBy("doc_id_").agg(
+        F.max("sz").alias("sz"), F.sum("_hot").alias("_H")
+    )
     cold = withocc.filter(F.col("_occ") <= max_bucket)
     hot = withocc.filter(F.col("_occ") > max_bucket)
 
@@ -699,74 +746,43 @@ def jaccard_pairs_prefix(
             & (F.col("b.sz") * td >= F.col("a.sz") * tn)
         )
 
-    # Per-pair aggregate overlap bound (replaces r05's per-collision
-    # PPJoin positional filter, whose tight form was only valid at a
-    # pair's globally-FIRST common prefix shingle — when that shingle
-    # is HOT it never collides at level 1, the first cold collision
-    # carries prior common elements, and the tight bound wrongly pruned
-    # the pair: r05 ADVICE, medium). Both docs order shingles by the
-    # same global (df, shingle) key, so a pair's cold collisions appear
-    # in the same relative order in both docs and its common shingles
-    # decompose exactly:
-    #   - cold-in-both-prefix  → counted by c = count(collisions);
-    #   - before the first collision or between two collisions → in
-    #     BOTH prefixes (positions below a prefix position) yet not a
-    #     collision → necessarily HOT; counted by the _hb deltas:
-    #     ≤ min(fhb_a, fhb_b) + min(lhb_a-fhb_a, lhb_b-fhb_b);
-    #   - after the last collision (positions i,j) → ≤ min(sz_a - i,
-    #     sz_b - j), hot-prefix and suffix alike.
-    # overlap ≤ that sum; require it to reach the minimum overlap
-    # α = ceil(t/(1+t)·(sz_a+sz_b)). Valid for every pair with ≥1 cold
-    # collision (level-1 completeness), strictly stronger in practice
-    # than any per-collision filter (the count term kills one-shared-
-    # shingle junk pairs, the bulk at low thresholds: 4.6M survivors
-    # vs 7.7M at sf0.1), and the groupBy replaces the dropDuplicates
-    # shuffle the per-collision form needed anyway. All arithmetic in
-    # exact integers: X ≥ ceil(y/z) ⟺ X·z ≥ y.
     pair_sel = [F.col("a.doc_id_").alias("id_a"), F.col("b.doc_id_").alias("id_b")]
     a, b = cold.alias("a"), cold.alias("b")
     # repartition the collision stream by PAIR before aggregating: a
     # pair has only a handful of collisions, so map-side partial
     # aggregation combines almost nothing yet builds a hash map over
-    # every pair its task sees — at sf0.1 that's 27M collisions / 9M
+    # every pair its task sees — at sf0.1 that's 28M collisions / 9M
     # distinct pairs and the partial agg spill-sorted every task (heap
     # OOM on the spill-read buffers under default memory). Hash
     # partitioning on (id_a, id_b) satisfies the groupBy's clustering
-    # requirement (subset of the group keys), so Catalyst runs ONE
-    # exchange-free hash aggregate whose per-task map holds only that
-    # partition's pairs.
+    # requirement, so Catalyst runs ONE exchange-free hash aggregate
+    # whose per-task map holds only that partition's pairs — and the
+    # exchanged rows are exactly two bigints.
     g1 = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & compat())
-        .repartition(F.col("a.doc_id_"), F.col("b.doc_id_"))
-        .groupBy(
-            F.col("a.doc_id_").alias("id_a"),
-            F.col("b.doc_id_").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("_c"),
-            F.max("a._rn").alias("_lrn_a"),
-            F.max("b._rn").alias("_lrn_b"),
-            F.min("a._hb").alias("_fhb_a"),
-            F.min("b._hb").alias("_fhb_b"),
-            F.max("a._hb").alias("_lhb_a"),
-            F.max("b._hb").alias("_lhb_b"),
-        )
+        .select(*pair_sel)
+        .repartition("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    bound = (
-        F.col("_c")
-        + F.least("_fhb_a", "_fhb_b")
-        + F.least(
-            F.col("_lhb_a") - F.col("_fhb_a"), F.col("_lhb_b") - F.col("_fhb_b")
-        )
-        + F.least(
-            F.col("sz_a") - F.col("_lrn_a"), F.col("sz_b") - F.col("_lrn_b")
-        )
+    sa = dstats.select(
+        F.col("doc_id_").alias("id_a"), F.col("sz").alias("sz_a"), F.col("_H").alias("_H_a")
     )
-    cand1 = g1.filter(
-        bound * (tn + td) >= (F.col("sz_a") + F.col("sz_b")) * tn
-    ).select("id_a", "id_b")
+    sb = dstats.select(
+        F.col("doc_id_").alias("id_b"), F.col("sz").alias("sz_b"), F.col("_H").alias("_H_b")
+    )
+    # candidate filter (extension lemma, step 3): a qualifying pair has
+    # c + min(H_a, H_b) ≥ min(ℓ, α). X ≥ α = ceil(y/(tn+td)) ⟺
+    # X·(tn+td) ≥ y in exact integers; the ℓ arm handles α ≥ ℓ, the α
+    # arm handles tiny docs where α < ℓ.
+    lhs = F.col("_c") + F.least("_H_a", "_H_b")
+    alpha_num = (F.col("sz_a") + F.col("sz_b")) * tn
+    cand1 = (
+        g1.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((lhs >= ext_l) | (lhs * (tn + td) >= alpha_num))
+        .select("id_a", "id_b")
+    )
 
     # consecutive TRIPLES, not pairs: on a low-entropy vocabulary the
     # pair keyspace is still too coarse — at sf1 pair keys produced 81M
