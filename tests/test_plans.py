@@ -77,9 +77,16 @@ def test_text_surprisal_token_stream_never_shuffles(spark, sf_dir):
     plan = plan_of(spark, "text_surprisal", sf_dir)
     assert "SortMergeJoin" not in plan  # counts table broadcasts (AQE)
     assert "BroadcastHashJoin" in plan
-    # only the two partial-agg exchanges (token counts, per-doc stats);
-    # the exploded token stream itself stays map-side
-    assert plan.count("Exchange hashpartitioning") == 2
+    # every hash exchange must key on an AGGREGATE (token counts) or
+    # the per-doc stats — the exploded token stream itself stays
+    # map-side. (An exact exchange count is brittle: the persisted
+    # counts relation prints its build exchange inside the cached plan
+    # too, r07.)
+    import re
+
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert re.search(r"hashpartitioning\((token|doc_id)#", line), line
 
 
 def test_semantic_dedup_is_bucketed_join_not_allpairs(spark, sf_dir):
@@ -237,18 +244,23 @@ def test_pagerank_beyond_broadcast_limit_no_edge_reshuffle(spark):
 
 
 def test_jaccard_pair_aggregate_is_exchange_free(spark, sf_dir):
-    """The per-pair overlap-bound aggregate must consume the explicit
-    pair repartition directly: exactly ONE Exchange between the
-    collision join and the bound filter (the repartition itself), and a
-    single non-partial HashAggregate — hash partitioning on
-    (id_a, id_b) satisfies the 4-key groupBy's clustering requirement,
-    so Catalyst must not insert a partial/final pair with its own
-    exchange (the partial form built a per-task map over every pair it
-    saw and spill-sorted under memory pressure)."""
+    """The per-pair count aggregates (cold collisions, hot shared
+    triples) must consume the explicit pair repartition directly: every
+    Exchange keyed on (id_a, id_b) must be the REPARTITION_BY_COL the
+    operator inserted, never an ENSURE_REQUIREMENTS exchange feeding a
+    pre-shuffle partial aggregate — the pre-exchange partial form built
+    a per-task map over every pair the collision stream showed it and
+    spill-sorted under memory pressure (r06). An in-stage
+    partial+final pair AFTER the repartition is fine: the per-task map
+    holds only that partition's pairs."""
     plan = plan_of(spark, "dedup_ngram_jaccard", sf_dir)
-    # the bound filter sits directly above one HashAggregate whose
-    # child partitioning comes from the REPARTITION_BY_COL exchange
     import re
-    aggs = re.findall(r"HashAggregate\(keys=\[doc_id_[^\]]*\][^)]*functions=\[count\(1\)", plan)
-    assert len(aggs) == 1, f"expected one pair-bound HashAggregate, got {len(aggs)}"
-    assert "REPARTITION_BY_COL" in plan
+
+    pair_aggs = re.findall(
+        r"HashAggregate\(keys=\[id_a[^\]]*\][^)]*functions=\[count\(1\)", plan
+    )
+    assert len(pair_aggs) == 2, f"expected cold+hot pair aggregates, got {len(pair_aggs)}"
+    assert plan.count("REPARTITION_BY_COL") == 2
+    for line in plan.splitlines():
+        if re.search(r"Exchange hashpartitioning\(id_a#", line):
+            assert "REPARTITION_BY_COL" in line, line

@@ -1,0 +1,96 @@
+"""Count-Min Sketch properties (functions/sketch.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from usda_food_data_pipeline_spark.functions.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_build,
+    cms_heavy_hitters,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+
+
+def test_cms_never_undercounts_and_ranks_true_heavy_hitter_first(spark):
+    texts = [
+        "spark " * 50 + "rare one two three",
+        "spark spark join join join shuffle",
+        "alpha beta gamma delta spark",
+    ]
+    out = cms_heavy_hitters(_docs(spark, texts), k=10).collect()
+    assert out, "non-empty corpus must produce heavy hitters"
+    # one-sided error: the estimate never undercounts, row-wise
+    assert all(r["overcount"] >= 0 for r in out)
+    assert all(r["est_n"] == r["true_n"] + r["overcount"] for r in out)
+    # 'spark' dominates (53 occurrences) and CMS min-estimates are
+    # monotone in true counts up to +eps*N, so it must rank first
+    assert out[0]["token"] == "spark"
+    assert out[0]["true_n"] == 53
+
+
+def test_cms_table_is_fixed_width(spark):
+    texts = [f"tok{i} tok{i % 7} filler words here" for i in range(200)]
+    ctr = cms_build(_docs(spark, texts))
+    rows = ctr.collect()
+    assert len(rows) <= CMS_DEPTH * CMS_WIDTH
+    assert {int(r["r"]) for r in rows} <= set(range(CMS_DEPTH))
+    assert all(0 <= int(r["b"]) < CMS_WIDTH for r in rows)
+    # mass conservation per row hash: every row's counters sum to N
+    n_tokens = 5 * 200
+    by_r = {}
+    for r in rows:
+        by_r[int(r["r"])] = by_r.get(int(r["r"]), 0) + int(r["c"])
+    assert all(v == n_tokens for v in by_r.values())
+
+
+def test_cms_is_mergeable_across_shards(spark):
+    """The sketch of a union equals the counter-wise SUM of per-shard
+    sketches — the property that lets shards build independently at
+    100 TB and merge in one tiny aggregate."""
+    a = [f"w{i % 11} common text body" for i in range(60)]
+    b = [f"w{i % 5} other common body" for i in range(40)]
+    whole = cms_build(_docs(spark, a + b))
+    merged = (
+        cms_build(_docs(spark, a))
+        .unionByName(cms_build(_docs(spark, b)))
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    got = {(r["r"], r["b"]): int(r["c"]) for r in whole.collect()}
+    exp = {(r["r"], r["b"]): int(r["c"]) for r in merged.collect()}
+    assert got == exp
+
+
+def test_ann_recall_eval_bounds_and_exact_degenerate(spark):
+    """Recall@k properties: 0 <= recall <= 1 always, and with ONE
+    centroid the IVF probe covers the whole corpus, so recall must be
+    exactly 1.0 for every query."""
+    import random
+
+    from usda_food_data_pipeline_spark.operators.similarity import ann_recall_eval
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = emb.filter("vec_id < 5")
+
+    one_cent = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS centroid_id", "embedding"
+    )
+    out = ann_recall_eval(emb, one_cent, queries, k=10).collect()
+    assert len(out) == 5
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 10 for r in out)
+
+    four_cents = emb.filter("vec_id < 4").selectExpr(
+        "vec_id AS centroid_id", "embedding"
+    )
+    out4 = ann_recall_eval(emb, four_cents, queries, k=10).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in out4)
+    assert all(r["n_hits"] <= min(r["n_exact"], r["n_ivf"]) for r in out4)

@@ -672,3 +672,77 @@ def semantic_decontaminate(
         .join(flagged, F.col("_id") == flagged["_flag"], "left_anti")
         .select(F.col("_id").alias(id_col), F.col("_bkt").alias("bucket"))
     )
+
+
+def ann_recall_eval(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Recall@k of the IVF (nprobe=1) index against brute-force exact
+    cosine ground truth, per query — the evaluation every ANN
+    deployment runs before trusting the approximate path at corpus
+    scale.
+
+    Both rankings exclude the query vector itself and break ties by
+    neighbor id, so the compared sets are deterministic; recall is the
+    exact rational |ivf ∩ exact| / k emitted as a double.
+
+    Scale shape: the query set is eval-sized (broadcast twice — once
+    against the corpus for ground truth, once against its probe
+    clusters); the corpus streams ONCE through the exact pass and once
+    through the assignment pass (both broadcast joins, no corpus
+    shuffle besides the per-(query, neighbor) rank windows, whose
+    input is k-prunable by WindowGroupLimit). At production scale
+    ground truth runs over a fixed eval sample, never the full corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.tables import spread
+
+    exact = knn_join(queries, embeddings, k=k, id_col=id_col, vec_col=vec_col)
+
+    assigned = ivf_assign(
+        spread(embeddings), centroids, id_col, vec_col, centroid_id_col
+    ).select(F.col(id_col).alias("_nid"), F.col("centroid_id").alias("_cid"), vec_col)
+    probes = F.broadcast(
+        ivf_assign(queries, centroids, id_col, vec_col, centroid_id_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col("centroid_id").alias("_probe"),
+            as_double_array(vec_col).alias("_qv"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("_nid")
+    )
+    ivf = (
+        assigned.join(probes, F.col("_cid") == F.col("_probe"))
+        .filter(F.col("_nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "_nid",
+            cosine(as_double_array(vec_col), F.col("_qv")).alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col("_nid").alias("neighbor_id"))
+    )
+    hits = exact.select("query_id", "neighbor_id").join(
+        ivf, ["query_id", "neighbor_id"], "left_semi"
+    )
+    per_q = (
+        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf")), "query_id", "left")
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")), "query_id", "left")
+    )
+    return per_q.select(
+        "query_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce("n_ivf", F.lit(0)).cast("bigint").alias("n_ivf"),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)).cast("double") / k).alias("recall"),
+    )

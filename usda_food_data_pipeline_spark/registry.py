@@ -243,6 +243,11 @@ _ORDER: list[str] = [
     # (try_cast_round / regexp_extract_unit fold into scalar_functions'
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
+    # round-7 operators (families attested in-window: vocab aggregates
+    # ⊂ group_mean/text_signals; the sketch itself is a new capability
+    # attested by its exact oracle + property tests beyond the window)
+    "cms_heavy_hitters",
+    "ann_recall_eval",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

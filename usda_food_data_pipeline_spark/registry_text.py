@@ -2513,3 +2513,65 @@ def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return langid_ngram(docs)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (functions/sketch.py): the mergeable
+# fixed-width counter structure for token frequencies at corpus scale
+# ---------------------------------------------------------------------------
+
+_CMS_K = 20
+
+
+def _cms_oracle() -> str:
+    from .functions.sketch import CMS_SEEDS, CMS_WIDTH
+
+    def b(expr: str, seed: int) -> str:
+        return f"({oracle_md5_int_sql(expr, seed, 8)} % {CMS_WIDTH})"
+
+    hashes = ", ".join(b("w", s) for s in CMS_SEEDS)
+    rows = ", ".join(str(i) for i in range(len(CMS_SEEDS)))
+    joins = "\n".join(
+        f"JOIN ctr c{i} ON c{i}.r = {i} AND c{i}.b = {b('t.token', s)}"
+        for i, s in enumerate(CMS_SEEDS)
+    )
+    least = ", ".join(f"c{i}.c" for i in range(len(CMS_SEEDS)))
+    return f"""
+WITH toks AS (SELECT unnest({TOKS_SQL}) AS w FROM documents),
+ctr AS (
+    SELECT r, b, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest([{rows}]) AS r, unnest([{hashes}]) AS b FROM toks)
+    GROUP BY r, b
+),
+truth AS (
+    SELECT w AS token, CAST(count(*) AS BIGINT) AS true_n FROM toks GROUP BY w
+)
+SELECT t.token, t.true_n,
+       least({least}) AS est_n,
+       least({least}) - t.true_n AS overcount
+FROM truth t
+{joins}
+ORDER BY est_n DESC, t.token LIMIT {_CMS_K}
+"""
+
+
+@register(
+    "cms_heavy_hitters",
+    _cms_oracle(),
+    "Count-Min Sketch heavy hitters: 4x1024 mergeable counter table, "
+    "min-over-rows estimates, one-sided error vs exact counts",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by Count-Min estimate with exact counts alongside
+    (functions/sketch.py). The sketch is a 4×1024 integer table built by
+    one map-side-combined aggregation — fixed-width and shard-mergeable
+    at any corpus size — and estimation is a plan-time literal-map
+    lookup (the kmeans centroid-constant pattern). Estimates never
+    undercount (overcount ≥ 0 row-wise, asserted in tests); hashing is
+    portable md5, so the oracle rebuilds the identical sketch: an
+    exactly-twinnable APPROXIMATE structure, its approximation being
+    deterministic data reduction rather than randomness."""
+    from .functions.sketch import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, "text", k=_CMS_K)

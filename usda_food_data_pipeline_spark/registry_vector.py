@@ -631,3 +631,93 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HN_TOP)
         .select("anchor_id", "negative_id", "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (operators/similarity.ann_recall_eval): recall@10
+# of the IVF nprobe=1 index vs brute-force exact ground truth
+# ---------------------------------------------------------------------------
+
+_ARE_K = 10
+_ARE_NQ = 16
+
+ANN_RECALL_ORACLE = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+qs AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_ARE_NQ}
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos('e.embedding::DOUBLE[]', 'q.qv')} DESC, e.vec_id
+               ) AS rn
+        FROM qs q JOIN embeddings e ON e.vec_id != q.query_id
+    ) WHERE rn <= {_ARE_K}
+),
+assigned AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, qv, cid AS probe FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos('q.qv', 'c.cv')} DESC, c.cid
+               ) AS rn
+        FROM qs q CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+ivf AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_cos('a.embedding::DOUBLE[]', 'p.qv')} DESC, a.vec_id
+               ) AS rn
+        FROM probes p JOIN assigned a ON a.cid = p.probe AND a.vec_id != p.query_id
+    ) WHERE rn <= {_ARE_K}
+),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM exact e JOIN ivf i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT x.query_id,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(v.n_ivf, 0) AS BIGINT) AS n_ivf,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {_ARE_K} AS recall
+FROM (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id) x
+LEFT JOIN (SELECT query_id, count(*) AS n_ivf FROM ivf GROUP BY query_id) v
+       ON v.query_id = x.query_id
+LEFT JOIN hits h ON h.query_id = x.query_id
+"""
+
+
+@register(
+    "ann_recall_eval",
+    ANN_RECALL_ORACLE,
+    "per-query recall@10 of the IVF nprobe=1 index vs brute-force exact "
+    "cosine ground truth (the eval every ANN deployment ships with)",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_recall_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < _ARE_NQ)
+    return ann_recall_eval(emb, centroids, queries, k=_ARE_K)
