@@ -94,3 +94,37 @@ def test_ann_recall_eval_bounds_and_exact_degenerate(spark):
     out4 = ann_recall_eval(emb, four_cents, queries, k=10).collect()
     assert all(0.0 <= r["recall"] <= 1.0 for r in out4)
     assert all(r["n_hits"] <= min(r["n_exact"], r["n_ivf"]) for r in out4)
+
+
+def test_label_propagation_separates_two_cliques(spark):
+    """Two 4-cliques bridged by one edge: after 3 deterministic rounds
+    every node carries its clique's minimum id as label, and the
+    communities stay distinct (the bridge does not merge them —
+    neighbor-mode voting outweighs the single cross edge). Verified
+    against a pure-Python mirror of the synchronous update."""
+    from usda_food_data_pipeline_spark.operators.graph import label_propagation
+
+    cliq1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cliq2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = cliq1 + cliq2 + [(3, 10)]  # bridge
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["n"]: r["label"] for r in label_propagation(df, rounds=3).collect()}
+
+    # python mirror: synchronous neighbor-mode, ties to smallest label
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, ns in adj.items():
+            cnt = {}
+            for m in ns:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(cnt, key=lambda x: (-cnt[x], x))
+        lab = new
+    assert got == lab
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(10, 14)}) == 1
+    assert got[0] != got[13]  # two communities survive the bridge

@@ -40,6 +40,13 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+# a literal table is driver memory AND a broadcast: enforce the
+# "bounded count tables only" contract instead of assuming it — vocab-
+# or bucket-bounded inputs sit orders of magnitude below this, and a
+# caller hitting it is collecting something corpus-sized by mistake
+MAX_LITERAL_ROWS = 2_000_000
+
+
 def duckdb_eval_table(
     spark: SparkSession,
     rows: Iterable[tuple],
@@ -65,6 +72,13 @@ def duckdb_eval_table(
     import pandas as pd
 
     rows = list(rows)
+    if len(rows) > MAX_LITERAL_ROWS:
+        raise ValueError(
+            f"duckdb_eval_table received {len(rows)} rows (> {MAX_LITERAL_ROWS}): "
+            "log tables must be bounded (count-value pairs / buckets / "
+            "classes) — a corpus-sized input belongs in the engine, not "
+            "a driver literal"
+        )
     in_cols = [c for c, _ in in_schema]
     out_schema = ", ".join(
         [f"{c} {t}" for c, t in in_schema] + [f"{n} {t}" for n, _, t in exprs]

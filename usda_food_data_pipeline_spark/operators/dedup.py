@@ -426,8 +426,8 @@ def minhash_lsh_pairs(
     ROUTING vs the exact prefix filter (r06 verdict task 6): this is
     the PROBABILISTIC-RECALL path — candidate recall follows the
     1-(1-s^r)^b curve (~98% at the defaults on the ×30
-    fresh-vocabulary sweep: 7,652 of 7,800 pairs in 8.3s where
-    :func:`jaccard_pairs_prefix` spent 270s for the full set —
+    fresh-vocabulary sweep: 7,652 of 7,800 pairs in 8.5s where
+    :func:`jaccard_pairs_prefix` spent 202.5s for the full set (r07) —
     VOCAB_GROWTH.json), and its cost is b·r hashes per doc regardless
     of vocabulary overlap. Emitted pair VALUES are verified-exact;
     only which candidates surface is probabilistic. Route crawl-scale
@@ -674,8 +674,8 @@ def jaccard_pairs_prefix(
     ROUTING vs MinHash-LSH (r06 verdict task 6): this is the
     EXACT-RECALL path — every qualifying pair, guaranteed, at a cost
     that tracks prefix-collision density. On the ×30 fresh-vocabulary
-    sweep (VOCAB_GROWTH.json) it spends ~32× MinHash-LSH's time for
-    ~2% more pairs (7,800 vs 7,652 in 270s vs 8.3s): fresh vocabulary
+    sweep (VOCAB_GROWTH.json) it spends ~24× MinHash-LSH's time for
+    ~2% more pairs (7,800 vs 7,652 in 202.5s vs 8.5s, r07 re-measure): fresh vocabulary
     keeps every bucket cold, so the exact path pays the full collision
     stream while the bands pay b·r hashes. Choose this operator when
     recall is contractual (decontamination, legal-grade dedup, oracle

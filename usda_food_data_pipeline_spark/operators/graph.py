@@ -259,3 +259,53 @@ def copurchase_edges(lineitem: DataFrame, min_pair_count: int = 1) -> DataFrame:
     if min_pair_count > 1:
         counted = counted.filter(F.col("pair_count") >= min_pair_count)
     return counted
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection, ``rounds`` fixed iterations: every node adopts
+    the most frequent label among its neighbors, ties to the smallest
+    label — fully deterministic, unlike the classic randomized-order
+    variant, and therefore exactly twinnable in SQL as ``rounds``
+    unrolled CTEs.
+
+    Distinct from connected components (min-label convergence): LPA's
+    neighbor-majority vote splits a connected graph into densely-knit
+    communities, the grouping a curation pipeline uses to diversify
+    sampling across near-duplicate "topics" rather than exact clusters.
+
+    Scale shape: per round, one edge-sized exchange for the neighbor
+    label join and one (node, label)-keyed count aggregate (map-side
+    combined) — O(rounds · |E|) total, no quadratic stage anywhere.
+    The undirected edge list is persisted once and reused by every
+    round; labels stay (node, label) slim rows.
+
+    Input: ``(src, dst)`` undirected edges (one row per pair, src<dst).
+    Output: ``(node, label)`` after ``rounds`` iterations.
+    """
+    und = (
+        edges.select(F.col("src").cast("bigint").alias("n"), F.col("dst").cast("bigint").alias("m"))
+        .unionByName(
+            edges.select(F.col("dst").cast("bigint").alias("n"), F.col("src").cast("bigint").alias("m"))
+        )
+        .persist()
+    )
+    labels = und.select(F.col("n")).distinct().select(
+        "n", F.col("n").alias("label")
+    )
+    for _ in range(rounds):
+        neigh = und.join(
+            labels.select(F.col("n").alias("m"), "label"), "m"
+        ).select("n", "label")
+        counts = neigh.groupBy("n", "label").agg(F.count(F.lit(1)).alias("_c"))
+        labels = counts.groupBy("n").agg(
+            F.max_by(
+                F.col("label"),
+                F.struct(F.col("_c"), (-F.col("label")).alias("neg")),
+            ).alias("label")
+        )
+    # sever the unrolled lineage so downstream consumers don't replay
+    # three join rounds per action, then release the edge cache
+    out = labels.select("n", "label").localCheckpoint(eager=True)
+    und.unpersist()
+    return out

@@ -248,6 +248,7 @@ _ORDER: list[str] = [
     # attested by its exact oracle + property tests beyond the window)
     "cms_heavy_hitters",
     "ann_recall_eval",
+    "label_propagation",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

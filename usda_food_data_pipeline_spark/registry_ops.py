@@ -770,3 +770,61 @@ def q_table_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff_cdc(v_old, v_new, ["o_orderkey"])
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    # one CTE per synchronous round; mode-of-neighbor-labels with the
+    # deterministic (count DESC, label ASC) tie rule
+    ctes = [
+        """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+              FROM op a JOIN op b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+    und AS (SELECT CAST(x AS BIGINT) AS n, CAST(y AS BIGINT) AS m FROM pairs
+            UNION ALL
+            SELECT CAST(y AS BIGINT) AS n, CAST(x AS BIGINT) AS m FROM pairs),
+    l0 AS (SELECT n, n AS label FROM (SELECT DISTINCT n FROM und))"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    l{r} AS (
+        SELECT n, label FROM (
+            SELECT u.n, l.label,
+                   row_number() OVER (PARTITION BY u.n
+                                      ORDER BY count(*) DESC, l.label) AS rn
+            FROM und u JOIN l{r - 1} l ON l.n = u.m
+            GROUP BY u.n, l.label
+        ) WHERE rn = 1
+    )""")
+    return (
+        "WITH " + ",".join(ctes) + f"\n    SELECT n, label FROM l{rounds}"
+    )
+
+
+@register(
+    "label_propagation",
+    _lpa_oracle(),
+    "deterministic synchronous label propagation (3 rounds, neighbor-mode "
+    "labels, ties to smallest) on the repeated co-purchase graph",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the repeated co-purchase graph
+    (operators/graph.label_propagation): 3 synchronous rounds of
+    adopt-the-neighbor-mode with ties to the smallest label — the
+    deterministic LPA variant, so the DuckDB twin unrolls the same 3
+    rounds and matches exactly. Complements the CC family (min-label
+    convergence) with the densely-knit-community grouping curation
+    pipelines use to diversify sampling. Per round: one edge-sized
+    join exchange + one map-side-combined (node, label) count."""
+    from .operators.graph import copurchase_edges, label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_pair_count=2).select("src", "dst")
+    return label_propagation(edges, rounds=_LPA_ROUNDS).select(
+        F.col("n").cast("bigint").alias("n"), F.col("label").cast("bigint").alias("label")
+    )

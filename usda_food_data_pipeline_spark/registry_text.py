@@ -206,8 +206,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EXACT-RECALL tool — every qualifying pair, exact Jaccard
     values, oracle-checkable. Its cost tracks the prefix-collision
     stream, which grows with shared-vocabulary density: on the ×30
-    FRESH-VOCABULARY axis it does ~32× the work of MinHash-LSH (270s
-    vs 8.3s) to find ~2% more pairs (7,800 vs 7,652). Route corpora by
+    FRESH-VOCABULARY axis it does ~24× the work of MinHash-LSH (202.5s
+    vs 8.5s, r07 re-measure) to find ~2% more pairs (7,800 vs 7,652). Route corpora by
     need: exact dedup decisions / contractual recall -> this operator;
     crawl-scale near-dup sweeps where probabilistic recall ~98% at
     b·r-tunable precision is acceptable -> dedup_minhash_lsh (same
