@@ -201,3 +201,67 @@ def test_stream_stream_join_state_is_horizon_bounded(spark, tmp_path):
     assert state10 <= 2 * (n10 // N_FILES) * 2, (state10, n10)
     # eviction engaged on both runs: state is a minority of the stream
     assert state1 < n1 and state10 < n10 * 0.5
+
+
+def _mg_run(spark, base: str, m: int):
+    from usda_food_data_pipeline_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    schema = spark.read.parquet(os.path.join(base, "f00.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "f*.parquet"))
+    )
+    out = streaming_heavy_hitters(stream, item_col="user_id", m=m)
+    name = f"mg_{m}_{abs(hash(base)) % 10**8}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        state_rows = sum(op["numRowsTotal"] for op in q.lastProgress["stateOperators"])
+        # update mode re-emits per batch; the LAST emission per
+        # (event_type, item) carries the final summary
+        rows = spark.sql(
+            f"""SELECT event_type, item, est_count FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY event_type, item ORDER BY n_seen DESC
+                  ) AS rn FROM {name}) WHERE rn = 1"""
+        ).collect()
+    finally:
+        q.stop()
+    est = {(r["event_type"], r["item"]): r["est_count"] for r in rows}
+    return est, state_rows
+
+
+def test_misra_gries_stateful_heavy_hitters(spark, tmp_path):
+    """Bounded-state continuous heavy hitters (streaming/stateful.py):
+    with m >= distinct items the summary is exact; with small m the
+    classic MG guarantees hold (est <= true, every item with true
+    count > n/m survives); and the state store holds ONE row per
+    key-group regardless of item cardinality or stream volume."""
+    base = str(tmp_path / "mg")
+    os.makedirs(base)
+    _write_funnel_files(spark, base, rows_per_hour=40)
+
+    truth_rows = spark.read.parquet(os.path.join(base, "f*.parquet")).groupBy(
+        "event_type", F.col("user_id").cast("bigint").alias("item")
+    ).count().collect()
+    truth = {(r["event_type"], r["item"]): r["count"] for r in truth_rows}
+    n_per_type = {}
+    for (et, _), c in truth.items():
+        n_per_type[et] = n_per_type.get(et, 0) + c
+
+    exact, state_exact = _mg_run(spark, base, m=32)  # 20 distinct users
+    # m >= distinct items: every count exact, nothing evicted
+    final_exact = {k: v for k, v in exact.items() if v > 0}
+    assert final_exact == truth
+    assert state_exact == 2  # one state row per event_type, full stop
+
+    small, state_small = _mg_run(spark, base, m=4)
+    assert state_small == 2
+    for k, est in small.items():
+        assert est <= truth[k]  # MG never overcounts
+    for (et, item), true_n in truth.items():
+        if true_n > n_per_type[et] / 4:  # > n/m must survive the summary
+            assert (et, item) in small and small[(et, item)] > 0

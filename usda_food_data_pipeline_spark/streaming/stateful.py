@@ -16,6 +16,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -65,6 +66,115 @@ def running_totals(events_stream: DataFrame) -> DataFrame:
         _update_counts,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- Misra-Gries heavy hitters per key-group -------------------------------
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("item", LongType()),
+        StructField("est_count", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("items", StringType()),   # csv of item ids (bounded: m)
+        StructField("counts", StringType()),  # csv of their counters
+        StructField("n", LongType()),         # total observations folded
+    ]
+)
+
+
+def _mg_fold(counters: dict[int, int], item: int, cnt: int, m: int) -> None:
+    """Fold ``cnt`` observations of ``item`` into a Misra-Gries summary
+    of at most ``m`` counters (the decrement step removes one unit from
+    every counter when full — the classic space-saving trade)."""
+    if item in counters:
+        counters[item] += cnt
+        return
+    while cnt > 0:
+        if len(counters) < m:
+            counters[item] = cnt
+            return
+        dec = min(cnt, min(counters.values()))
+        cnt -= dec
+        for k in list(counters):
+            counters[k] -= dec
+            if counters[k] <= 0:
+                del counters[k]
+
+
+def make_mg_update(m: int):
+    """Build the applyInPandasWithState update fn for an ``m``-counter
+    Misra-Gries summary per key. Batch rows are pre-aggregated and
+    folded in (count DESC, item ASC) order so the summary is a
+    deterministic function of the micro-batch sequence."""
+
+    def update(key: tuple, pdfs, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            items_s, counts_s, n = state.get
+            counters = (
+                dict(zip((int(x) for x in items_s.split(",")),
+                         (int(x) for x in counts_s.split(","))))
+                if items_s
+                else {}
+            )
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            agg = pdf.groupby("item").size()
+            n += int(agg.sum())
+            for item, cnt in sorted(agg.items(), key=lambda kv: (-kv[1], kv[0])):
+                _mg_fold(counters, int(item), int(cnt), m)
+        order = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update((
+            ",".join(str(k) for k, _ in order),
+            ",".join(str(v) for _, v in order),
+            n,
+        ))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(order),
+                "item": [k for k, _ in order],
+                "est_count": [v for _, v in order],
+                "n_seen": [n] * len(order),
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(
+    events_stream: DataFrame, item_col: str = "user_id", m: int = 8
+) -> DataFrame:
+    """Continuous per-key heavy hitters with BOUNDED state: an
+    ``m``-counter Misra-Gries summary per ``event_type``, emitted in
+    update mode each micro-batch.
+
+    The state is O(m) per group regardless of how many distinct items
+    stream through — the property that makes this viable where a full
+    (key, item) count table would be state-unbounded. Classic MG
+    guarantees hold per group: ``true - n/m ≤ est ≤ true`` for every
+    item, so any item with true frequency > n/m is guaranteed present
+    in the summary, and with ``m ≥`` distinct items the counts are
+    exact (both pinned in tests/test_streaming_state.py). Counters fold
+    batch-aggregated observations in (count DESC, item ASC) order, so
+    the result is a deterministic function of the micro-batch sequence.
+    """
+    keyed = events_stream.select(
+        "event_type", F.col(item_col).cast("bigint").alias("item")
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        make_mg_update(m),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
