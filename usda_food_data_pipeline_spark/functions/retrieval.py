@@ -239,3 +239,85 @@ def rrf_fuse(
             F.round("rrf", SCORE_SCALE).alias("rrf"),
         )
     )
+
+
+def bm25_batch_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k BM25 for a BATCH of bag-of-words queries in one corpus
+    pass — the serving shape: production retrieval scores thousands of
+    queries per scan, not one.
+
+    One token-stream filter against the UNION of all query terms, one
+    (doc, term) tf aggregate, one single-sourced idf table (portable_log
+    — shared across queries), then a broadcast join against the
+    (query_id, term) table fans each matched term out to the queries
+    that want it; per-(query, doc) decimal sums and a per-query rank
+    window (WindowGroupLimit prunes to k rows per task) replace the
+    single-query TakeOrdered. Corpus cost is independent of the number
+    of queries; only the fan-out join and the (query, doc) aggregate
+    scale with it.
+
+    Returns (query_id, {id_col}, n_terms_matched, bm25, rank), rank<=k
+    per query by (bm25 DESC, id).
+    """
+    from pyspark.sql import Window
+
+    from .portable_log import duckdb_eval_table
+
+    spark = df.sparkSession
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, ts in queries for t in sorted(set(ts))],
+            "query_id int, token string",
+        )
+    )
+    qarr = F.array(*[F.lit(t) for t in all_terms])
+    base = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks").cast("double"))
+    st = base.agg(
+        F.count(F.lit(1)).cast("double").alias("N"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(st["N"]), float(st["avgdl"] or 0.0)
+    matched = base.select(
+        F.col(id_col),
+        "dl",
+        F.explode(F.filter(F.col("_toks"), lambda t: F.array_contains(qarr, t))).alias(
+            "token"
+        ),
+    )
+    tf = matched.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_rows = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df")).collect()
+    idf_tbl = duckdb_eval_table(
+        spark,
+        [(r["token"], float(r["df"])) for r in df_rows],
+        [("token", "string"), ("df", "double")],
+        [(
+            "_idf",
+            f"ln(1.0 + (CAST({int(n_docs)} AS DOUBLE) - df + 0.5) / (df + 0.5))",
+            "double",
+        )],
+    )
+    per_term = (
+        tf.join(F.broadcast(idf_tbl.drop("df")), "token")
+        .join(qterms, "token")
+        .withColumn("_s", _bm25_term_score(k1, b, avgdl))
+    )
+    scores = per_term.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("_s").cast("double").alias("bm25"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col(id_col))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "n_terms_matched", "bm25", F.col("rank").cast("int").alias("rank"))
+    )

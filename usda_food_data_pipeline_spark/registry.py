@@ -249,6 +249,7 @@ _ORDER: list[str] = [
     "cms_heavy_hitters",
     "ann_recall_eval",
     "label_propagation",
+    "bm25_batch",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

@@ -2575,3 +2575,77 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cms_heavy_hitters(docs, "text", k=_CMS_K)
+
+
+# ---------------------------------------------------------------------------
+# Batch BM25 retrieval (functions/retrieval.bm25_batch_topk): many queries
+# scored in one corpus pass — the serving shape
+# ---------------------------------------------------------------------------
+
+_BM25_BATCH = [
+    (1, ["spark", "join"]),
+    (2, ["dup", "shuffle"]),
+    (3, ["data", "quality", "spark"]),
+]
+_BM25_BATCH_K = 10
+
+
+def _bm25_batch_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    all_terms = sorted({t for _, ts in _BM25_BATCH for t in ts})
+    terms_sql = ", ".join(f"'{t}'" for t in all_terms)
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_BATCH for t in sorted(set(ts))
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+q(query_id, token) AS (VALUES {qrows}),
+matched AS (
+    SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           unnest(list_filter(toks, t -> list_contains([{terms_sql}], t))) AS token
+    FROM base
+),
+tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM matched GROUP BY doc_id, dl, token),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+per_term AS (
+    SELECT q.query_id, t.doc_id,
+           CAST(round(
+               ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
+               * ((t.tf * CAST({k1 + 1.0} AS DOUBLE))
+                  / (t.tf + CAST({k1} AS DOUBLE) * (1.0 - {b} + {b} * t.dl / s.avgdl))),
+               9) AS DECIMAL(28,9)) AS s_term
+    FROM tf t JOIN dfreq d USING (token) JOIN q ON q.token = t.token, stats s
+),
+scores AS (
+    SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+           CAST(sum(s_term) AS DOUBLE) AS bm25
+    FROM per_term GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_terms_matched, bm25,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {_BM25_BATCH_K}
+"""
+
+
+@register(
+    "bm25_batch",
+    _bm25_batch_oracle(),
+    "batch BM25: 3 queries scored in ONE corpus pass (shared tf/idf, "
+    "per-query rank windows) — the serving shape",
+)
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 top-10 (functions/retrieval.bm25_batch_topk):
+    one token-stream filter against the union of all query terms, one
+    (doc, term) tf aggregate, one single-sourced idf table shared by
+    every query, a broadcast (query, term) fan-out join, per-query rank
+    windows. Corpus cost independent of query count — the shape that
+    replaces per-query scans in production serving. idf logs ride in as
+    portable_log literals (no in-engine transcendental)."""
+    from .functions.retrieval import bm25_batch_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_batch_topk(docs, _BM25_BATCH, k=_BM25_BATCH_K)
