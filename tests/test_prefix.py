@@ -39,15 +39,28 @@ def test_prefix_sum_plan_has_no_global_window(spark):
 
 
 def test_prefix_sum_output_reads_the_collected_partitioning(spark):
-    """ADVICE r06 (high): the pid→offset map is collected from one
-    execution of the range exchange; the returned DataFrame must read
-    the SAME materialized partitioning (an InMemoryRelation), not
-    re-execute repartitionByRange — whose RangePartitioner samples with
-    an rdd.id-derived seed and may place boundary rows differently."""
+    """ADVICE r06 (high) + r07 (medium): the pid→offset map is
+    collected from one execution of the range exchange; the returned
+    DataFrame must read the SAME materialized partitioning.  Since r08
+    that pin is a ``localCheckpoint`` (LogicalRDD scan, lineage CUT —
+    re-executing repartitionByRange is impossible by construction),
+    with its OWN lifetime: a janitor rollover from an interleaved
+    dedup-operator call must not be able to unpersist it (the r07
+    failure mode: stale offsets against a re-sampled exchange)."""
+    from usda_food_data_pipeline_spark.operators.dedup import _INTERMEDIATES
+
     df = spark.createDataFrame([(i, i % 3) for i in range(100)], ["id", "v"])
     out = global_prefix_sum(df, [F.col("id")], "v", num_partitions=4)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "InMemoryRelation" in plan, plan
+    # lineage is cut: the plan bottoms out in a checkpointed RDD scan,
+    # with no Exchange / repartitionByRange left to re-execute
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "RepartitionByExpression" not in plan, plan
+    # own lifetime: a janitor rollover (what any subsequent tracked
+    # operator call does) must not invalidate the output
+    _INTERMEDIATES.rollover([])
+    got = {r["id"]: r["cum"] for r in out.collect()}
+    assert got == {i: sum(j % 3 for j in range(i + 1)) for i in range(100)}
 
 
 def test_token_budget_boundary(spark):

@@ -333,3 +333,88 @@ def test_semantic_decontaminate_matches_brute_force_single_bucket(spark):
     }
     assert 0 not in got  # the planted leak is dropped
     assert got == want
+
+
+def test_semantic_decontaminate_overcap_benchmark_bucket_both_engines(spark):
+    """ADVICE r07 (medium): the benchmark side is NEVER capped — in the
+    Spark operator since r07 AND in the oracle twin.  Force a benchmark
+    sign-bucket over a tiny cap: the planted leak must still be flagged
+    on BOTH engines (the old capped-benchmark oracle would drop the
+    whole eval bucket and silently keep the leak), while the corpus cap
+    still applies (an over-cap corpus bucket generates no pairs)."""
+    import duckdb
+    import pandas as pd
+
+    from usda_food_data_pipeline_spark.operators.dedup import (
+        cap_bucket_qualify_sql,
+    )
+    from usda_food_data_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from usda_food_data_pipeline_spark.registry_vector import _cos, _pack_sql
+
+    cap = 4
+    # all vectors share one sign bucket (first 8 dims positive); the
+    # tail dims carry the signal
+    def vec(tail: list[float]) -> list[float]:
+        return [0.5] * 8 + tail
+
+    leak_tail = [1.0] * 8
+    corpus_rows = [
+        (0, vec(leak_tail)),
+        (1, vec([30.0, -30.0] * 4)),  # tail ⟂ leak tail → low cosine
+        (2, vec([-25.0, 25.0] * 4)),
+    ]
+    bench_rows = [
+        (100 + i, vec([1.0 + 0.001 * i] * 8)) for i in range(cap + 2)
+    ]
+    # corpus 0 ≈ every benchmark vector (cosine ~1) → flagged; corpus
+    # 1/2 point away in the tail dims → survive at t=0.9
+    t = 0.9
+
+    corpus = spark.createDataFrame(corpus_rows, "vec_id: long, embedding: array<float>")
+    bench = spark.createDataFrame(bench_rows, "vec_id: long, embedding: array<float>")
+    got_spark = {
+        r.vec_id
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=t, max_bucket=cap
+        ).collect()
+    }
+    assert got_spark == {1, 2}, got_spark
+
+    # oracle-shaped duckdb twin: corpus capped, benchmark NOT capped
+    con = duckdb.connect()
+    both = corpus_rows + bench_rows
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [i for i, _ in both],
+             "embedding": [[float(x) for x in v] for _, v in both]}
+        ),
+    )
+    sql = f"""
+    WITH p AS (
+        SELECT vec_id, embedding, {_pack_sql(1, 8)} AS bkt FROM embeddings
+    ),
+    c_all AS (SELECT * FROM p WHERE vec_id < 100),
+    c AS (SELECT * FROM c_all {cap_bucket_qualify_sql('bkt', cap)}),
+    b AS (SELECT * FROM p WHERE vec_id >= 100),
+    flagged AS (
+        SELECT DISTINCT c.vec_id
+        FROM c JOIN b ON c.bkt = b.bkt
+        WHERE {_cos('c.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= {t}
+    )
+    SELECT a.vec_id FROM c_all a LEFT JOIN flagged f ON a.vec_id = f.vec_id
+    WHERE f.vec_id IS NULL
+    """
+    got_duck = {r[0] for r in con.execute(sql).fetchall()}
+    assert got_duck == got_spark == {1, 2}
+
+    # and the corpus cap still bites: shrink it below the corpus bucket
+    got_capped = {
+        r.vec_id
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=t, max_bucket=2
+        ).collect()
+    }
+    assert got_capped == {0, 1, 2}  # over-cap corpus bucket → no pairs

@@ -1,28 +1,40 @@
-"""Window-rotation gate (r06 verdict task 3).
+"""Window-rotation gate (r06 verdict task 3, extended per r07 tasks
+2 & 5).
 
-Round 6 regressed the driver correctness gate for the first time since
-r04 by rotating two queries into the first-50 window whose compared
-values depended on an in-engine transcendental (``ln`` rounded onto a
-9-dp decimal grid): the JVM's and the driver's DuckDB's libm disagree
-by an ULP on some inputs, which flips grid-boundary values — invisible
-to any local gate that happens to run a libm that agrees.
+Round 6 regressed the driver correctness gate by rotating two queries
+into the first-50 window whose compared values depended on an
+in-engine transcendental (``ln`` rounded onto a 9-dp decimal grid):
+libms disagree by an ULP on some inputs, which flips grid-boundary
+values — invisible to any local gate that happens to run a libm that
+agrees.  Round 7 fixed the Spark side (literals) but left the ORACLE
+SQL evaluating ``round(ln(...), 9)`` with the driver's DuckDB build —
+the exact blind spot this file previously had, and the gate shipped
+through it (r07 verdict #1: lm_doc_scores/dsir_select red twice).
 
-This test encodes the entry requirement so the next reshuffle cannot
-repeat it.  A query may sit inside the driver window only if
+The entry requirement is now symmetric.  A query may sit inside the
+driver window only if
 
-(a) it is oracle-checkable (exact SQL twin registered — the three-scale
-    local green requirement is enforced per-run by test_oracle_gate.py
-    plus the per-round tools/check_correctness.py sweeps), and
-(b) its *Spark plan evaluates no transcendental function* on any path:
-    log values must ride in as literals single-sourced from the
-    in-process DuckDB build (functions/portable_log), never from JVM
-    Math.log.  IEEE-exact functions (sqrt, basic +,-,*,/) are fine —
-    IEEE 754 requires correct rounding for them, so every libm agrees.
+(a) it is oracle-checkable (exact SQL twin registered — the
+    three-scale local green requirement is enforced per-run by
+    test_oracle_gate.py plus the per-round tools/check_correctness.py
+    sweeps), and
+(b) its *Spark plan evaluates no transcendental* on any path — log
+    values ride in as literal tables built by the portable fixed-form
+    IEEE ln (functions/portable_ln), never from JVM Math.log, and
+(c) its *oracle SQL evaluates no transcendental* either — the twin
+    runs the same portable chain (sql_ln_select / sql_exp_select), so
+    the DRIVER's DuckDB build never gets to apply ITS libm to a
+    compared value.
 
-The check inspects the ANALYZED logical plan (pre-optimizer, so
-constant folding cannot hide a transcendental that Catalyst happened to
-evaluate at plan time — if it is in the expression tree at all, it is
-in the analyzed plan).
+Beyond the window, (c) is enforced for EVERY registered oracle (r07
+task 5), so any future rotation is safe by construction.  IEEE-exact
+functions (sqrt, floor, basic +,-,*,/) are fine — IEEE 754 requires
+correct rounding for them, so every implementation agrees.
+
+The Spark check inspects the ANALYZED logical plan (pre-optimizer, so
+constant folding cannot hide a transcendental that Catalyst happened
+to evaluate at plan time — if it is in the expression tree at all, it
+is in the analyzed plan).
 """
 
 from __future__ import annotations
@@ -35,12 +47,17 @@ from usda_food_data_pipeline_spark import registry
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# transcendental expression heads whose results differ across libms;
-# sqrt/cbrt are IEEE-correctly-rounded and therefore portable
+# transcendental / non-correctly-rounded expression heads whose results
+# differ across libms; sqrt/cbrt/floor are IEEE-correctly-rounded (or
+# exact) and therefore portable.  ``pow``/``**`` is included: IEEE does
+# not require correct rounding for it.
 _TRANSCENDENTAL = re.compile(
-    r"\b(log|ln|log10|log2|log1p|exp|expm1|power|pow|sin|cos|tan|asin|acos|atan|atan2|sinh|cosh|tanh)\(",
+    r"\b(log|ln|log10|log2|log1p|exp|expm1|power|pow|sin|cos|tan|asin|acos"
+    r"|atan|atan2|sinh|cosh|tanh)\(",
     re.IGNORECASE,
 )
+# SQL-side also bans the infix pow operator (DuckDB `**` = pow())
+_SQL_POW_INFIX = re.compile(r"\*\*")
 
 _SPECS = {s.name: s for s in registry.specs()}
 _WINDOW = registry._ORDER[:50]
@@ -66,7 +83,30 @@ def test_window_query_is_oracle_checked_and_transcendental_free(spark, name):
     spark.catalog.clearCache()
     assert not hits, (
         f"{name} evaluates {hits} inside the Spark plan; in-window "
-        "queries must single-source transcendentals through "
-        "functions/portable_log so the oracle's libm is the only one "
-        "in the comparison path (r06 verdict #1)"
+        "queries must carry transcendentals as portable literal tables "
+        "(functions/portable_ln) so no libm sits on the Spark side of "
+        "the comparison (r06 verdict #1)"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in _SPECS.items() if s.oracle is not None)
+)
+def test_every_oracle_sql_is_transcendental_free(name):
+    """r07 verdict tasks 2+5: the oracle text is half the comparison —
+    scan it for libm calls the same way the Spark plan is scanned.
+    Applies to the WHOLE registry (not just the window) so rotations
+    can never reintroduce the fragility."""
+    sql = _SPECS[name].oracle
+    hits = sorted(set(m.group(0) for m in _TRANSCENDENTAL.finditer(sql)))
+    assert not hits, (
+        f"{name}'s oracle SQL evaluates {hits} with the driver's DuckDB "
+        "libm — compared values must ride the portable chain "
+        "(functions/portable_ln sql_ln_select / sql_exp_select) instead "
+        "(r07 verdict #1: this exact blind spot cost two rounds)"
+    )
+    assert not _SQL_POW_INFIX.search(sql), (
+        f"{name}'s oracle SQL uses the infix pow operator `**` — "
+        "IEEE does not require pow to be correctly rounded; spell "
+        "exact powers as literals or integer shifts"
     )

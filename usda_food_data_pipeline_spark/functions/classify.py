@@ -19,15 +19,17 @@ Scale design (100 TB corpus):
 - The model (vocab-wide table of per-class log-likelihoods) is
   |vocab| rows — broadcast at scoring; the corpus token stream joins
   map-side and reduces per (doc, class) with sum/count aggregates.
-- Cross-engine exactness: log-likelihoods round onto a 9-dp decimal
+- Cross-engine exactness: log-likelihoods snap onto a 9-dp decimal
   grid so per-doc sums are independent of aggregation order; the logs
-  themselves are SINGLE-SOURCED from the in-process DuckDB build
-  (functions/portable_log) over the bounded distinct (class, count)
-  table, so the Spark plan evaluates no transcendental and the grid
-  values agree with the oracle's libm by construction (r06 verdict #2
-  — this family shared lm_doc_scores' ULP-at-grid-boundary fragility
-  and was green only by libm luck). Argmax ties resolve in explicit
-  ``classes`` order.
+  themselves are PORTABLE (functions/portable_ln): driver Python
+  evaluates the fixed-form IEEE software-ln over the bounded distinct
+  (class, count) table (``ln((c+1)/(t+V)) = ln(c+1) − ln(t+V)``, all
+  integer terms) and ships exact decimals; the oracle runs the same
+  chain in SQL, so the values agree bit for bit on every DuckDB build
+  — no libm on either side (r07 verdict #2: the previous
+  single-sourcing still let the DRIVER's DuckDB evaluate ``ln`` in
+  the oracle text, green only by libm luck). Argmax ties resolve in
+  explicit ``classes`` order.
 """
 
 from __future__ import annotations
@@ -59,7 +61,7 @@ def nb_train(
     training one aggregation pass (no distinct-label scan) and fixes
     the argmax tiebreak order.
     """
-    from .portable_log import duckdb_eval_table
+    from .portable_ln import literal_table, py_grid_decimal, py_ln_int
 
     spark = df.sparkSession
     toks = df.select(
@@ -78,18 +80,26 @@ def nb_train(
     }
     v = int(tc.agg(F.count_distinct("token").alias("_V")).collect()[0][0])
 
-    # Single-sourced log-likelihood table (see portable_log): distinct
+    # Portable log-likelihood table (see portable_ln): distinct
     # (class, token-count) pairs are bounded by count-value cardinality
-    # per class (heavy-tailed counts ⇒ tiny), never by vocab; ln runs
-    # once in the oracle's own libm and broadcasts back as literals.
+    # per class (heavy-tailed counts ⇒ tiny), never by vocab; driver
+    # Python evaluates the fixed-form IEEE ln over the integer terms —
+    # mirrors the oracle's chain: snap(ln(_c+1) - ln(_t+_V))
     pair_rows = tc.select("_y", "_c").distinct().collect()
-    # mirrors the oracle: ln((_c+1.0)/(_t+_V))
-    lp_tbl = duckdb_eval_table(
+    lp_tbl = literal_table(
         spark,
-        [(r["_y"], int(r["_c"]), totals[r["_y"]]) for r in pair_rows],
-        [("_y", "string"), ("_c", "bigint"), ("_t", "bigint")],
-        [("_lp", f"CAST(round(ln((_c+1.0)/(_t+{v})),9) AS {_LP_TYPE.upper()})", _LP_TYPE)],
-    ).select("_y", "_c", "_lp")
+        [
+            (
+                r["_y"],
+                int(r["_c"]),
+                py_grid_decimal(
+                    py_ln_int(int(r["_c"]) + 1) - py_ln_int(totals[r["_y"]] + v)
+                ),
+            )
+            for r in pair_rows
+        ],
+        f"_y string, _c bigint, _lp {_LP_TYPE}",
+    )
     model = (
         tc.join(F.broadcast(lp_tbl), ["_y", "_c"])
         .groupBy("token")
@@ -111,22 +121,21 @@ def nb_train(
     # with no training tokens contribute nothing to _nd_all and yield
     # NULL un/pr (empty max(CASE ...) aggregates) — mirror that here
     nd_all = sum(n for y, n in ndocs.items() if y in totals)
-    # per-class unseen log-likelihood + log prior, same single-source
-    # scheme (mirrors the oracle: ln(1.0/(_t+_V)), ln(CAST(_nd AS
-    # DOUBLE)/_nd_all))
-    cls_rows = duckdb_eval_table(
-        spark,
-        [
-            (c, totals.get(c), ndocs.get(c) if c in totals else None)
-            for c in classes
-        ],
-        [("_y", "string"), ("_t", "bigint"), ("_nd", "bigint")],
-        [
-            ("_un", f"CAST(round(ln(1.0/(_t+{v})),9) AS {_LP_TYPE.upper()})", _LP_TYPE),
-            ("_pr", f"CAST(round(ln(CAST(_nd AS DOUBLE)/{nd_all}),9) AS {_LP_TYPE.upper()})", _LP_TYPE),
-        ],
-    ).collect()
-    by_cls = {r["_y"]: (r["_un"], r["_pr"]) for r in cls_rows}
+    # per-class unseen log-likelihood + log prior, same portable scheme
+    # (mirrors the oracle's chain: snap(0.0 - ln(_t+_V)) and
+    # snap(ln(_nd) - ln(_nd_all)); classes absent from the training
+    # tokens stay NULL, as the oracle's empty CASE aggregates do)
+    by_cls = {
+        c: (
+            py_grid_decimal(0.0 - py_ln_int(totals[c] + v))
+            if c in totals
+            else None,
+            py_grid_decimal(py_ln_int(ndocs[c]) - py_ln_int(nd_all))
+            if c in totals and nd_all > 0
+            else None,
+        )
+        for c in classes
+    }
     stats = spark.createDataFrame(
         [tuple(by_cls[c][0] for c in classes) + tuple(by_cls[c][1] for c in classes)],
         schema=", ".join(

@@ -21,13 +21,18 @@ Why this scales to 100 TB:
   generation anywhere.
 
 Cross-engine exactness: bucket ids come from the portable ``md5_int``
-hash; the per-bucket log ratio is SINGLE-SOURCED from the in-process
-DuckDB build (functions/portable_log) — the ≤ ``n_buckets`` count rows
-are collected, ``round(ln(...), 9)`` is evaluated once with the
-oracle's own libm, and the resulting decimals are broadcast back as a
-literal table, so the Spark plan evaluates no transcendental and the
-grid values agree with the oracle by construction (r06 verdict #1).
-Per-document decimal sums are aggregation-order-independent as before.
+hash; the per-bucket log ratio is PORTABLE (functions/portable_ln) —
+the ≤ ``n_buckets`` count rows are collected and driver Python
+evaluates the fixed-form IEEE software-ln over the four integer terms
+(the smoothed ratio decomposes:
+``ln(((ct+1)(Nq+B)) / ((cq+1)(Nt+B))) =
+((ln(ct+1) + ln(Nq+B)) - ln(cq+1)) - ln(Nt+B)``, left-associated),
+snaps onto the 9-dp grid with ``floor(v·1e9 + 0.5)`` integer math, and
+broadcasts the exact decimals back as a literal table.  The oracle SQL
+runs the SAME op sequence through the portable chain, so the values
+agree bit for bit on every DuckDB build — no libm on either side of
+the comparison (r07 verdict #1).  Per-document decimal sums are
+aggregation-order-independent as before.
 
 Reference analog: none (the reference pipeline has no data-selection
 stage); extends SURVEY.md §2's text-analysis family per the
@@ -91,7 +96,7 @@ def dsir_select(
     target = docs.filter(F.col(source_col) == target_source)
     raw = docs.filter(F.col(source_col) != target_source)
 
-    from .portable_log import duckdb_eval_table
+    from .portable_ln import literal_table, py_grid_decimal, py_ln_combine
     from ..operators.dedup import _INTERMEDIATES
 
     spark = docs.sparkSession
@@ -110,30 +115,37 @@ def dsir_select(
 
     # Every scored bucket occurs in the raw pool by construction, so the
     # log-ratio table is cq-driven (ct defaults to 0 under the +1
-    # smoothing) and carries at most n_buckets rows: collect it, let the
-    # oracle's own libm compute the 9-dp log ratios once, broadcast the
-    # literals back (see module docstring — no JVM Math.log anywhere).
+    # smoothing) and carries at most n_buckets rows: collect it, compute
+    # the 9-dp log ratios in driver Python with the portable fixed-form
+    # IEEE ln (see module docstring — no libm anywhere), broadcast the
+    # exact decimals back.
     cq_rows = {int(r["b"]): int(r["cq"]) for r in cq.collect()}
     ct_rows = {int(r["b"]): int(r["ct"]) for r in ct.collect()}
     nq = sum(cq_rows.values())
     nt = sum(ct_rows.values())
-    cnt_rows = [
-        {"b": b, "cq": c, "ct": ct_rows.get(b, 0)} for b, c in cq_rows.items()
-    ]
-    # mirrors the oracle:
-    #   ln((CAST(COALESCE(ct,0)+1 AS DOUBLE) * CAST(nq+B AS DOUBLE))
-    #      / (CAST(cq+1 AS DOUBLE) * CAST(nt+B AS DOUBLE)))
-    lr_expr = (
-        f"CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST({nq + n_buckets} AS DOUBLE))"
-        f" / (CAST(cq + 1 AS DOUBLE) * CAST({nt + n_buckets} AS DOUBLE))), {LP_SCALE})"
-        f" AS {_LP_TYPE})"
-    )
-    lr_tbl = duckdb_eval_table(
+    # mirrors the oracle's portable chain, left-associated:
+    #   ((ln(ct+1) + ln(nq+B)) - ln(cq+1)) - ln(nt+B)
+    lr_tbl = literal_table(
         spark,
-        [(r["b"], r["cq"], r["ct"]) for r in cnt_rows],
-        [("b", "bigint"), ("cq", "bigint"), ("ct", "bigint")],
-        [("lr", lr_expr, _LP_TYPE)],
-    ).select("b", "lr")
+        [
+            (
+                b,
+                py_grid_decimal(
+                    py_ln_combine(
+                        [
+                            ("+", ct_rows.get(b, 0) + 1),
+                            ("+", nq + n_buckets),
+                            ("-", c + 1),
+                            ("-", nt + n_buckets),
+                        ]
+                    ),
+                    LP_SCALE,
+                ),
+            )
+            for b, c in cq_rows.items()
+        ],
+        f"b bigint, lr {_LP_TYPE}",
+    )
 
     scored = (
         dc.join(F.broadcast(lr_tbl), "b")

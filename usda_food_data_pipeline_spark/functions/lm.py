@@ -21,13 +21,18 @@ Shape (all linear, no pair generation):
   vocabulary fits (reference vocabularies are ~1e7 rows ≪ fact side).
 - S(cur|prev) = c(prev,cur)/c(prev) when the bigram was seen, else
   ALPHA·c(cur)/N (unseen cur falls to ALPHA·1/N).  Scores are natural
-  logs rounded onto the shared 9-dp decimal grid so per-doc decimal
-  sums are order-independent; the logs themselves are SINGLE-SOURCED
-  from the in-process DuckDB build (functions/portable_log) over the
-  bounded distinct count-value tables, so the Spark plan evaluates no
-  transcendental and the grid values agree with the oracle's libm by
-  construction (r06 verdict #1 — JVM Math.log vs DuckDB ln differ by
-  an ULP at grid boundaries).
+  logs snapped onto the shared 9-dp decimal grid so per-doc decimal
+  sums are order-independent; the logs themselves are PORTABLE
+  (functions/portable_ln): driver Python evaluates the fixed-form
+  IEEE software-ln over the bounded distinct count values and ships
+  the doubles as broadcast literal tables, the in-plan ratio combine
+  is one double subtraction (ln(a/b) = ln a − ln b; the backoff ratio
+  0.4·c/N decomposes to integers as ln(2c) − ln(5N)), and the grid
+  snap is floor(v·1e9 + 0.5) integer math — no libm anywhere on
+  either side of the comparison (r07 verdict #1: any scheme that
+  lets SOME engine's libm compute the log loses an ULP at grid
+  boundaries on a different build; round 6 lost JVM-vs-driver-DuckDB,
+  round 7 lost local-DuckDB-vs-driver-DuckDB).
 
 The keep/drop decision compares the decimal sum against a per-token
 threshold via exact decimal·int cross-multiplication — no division in
@@ -98,7 +103,12 @@ def lm_score_stupid_backoff(
     ``sum_lp ≥ threshold · n_bigrams`` (exact decimal arithmetic).
     Zero-bigram documents (≤1 token) score 0 and are kept.
     """
-    from .portable_log import duckdb_eval_table
+    from .portable_ln import (
+        grid_decimal_col,
+        grid_nanos_col,
+        literal_table,
+        py_ln_int,
+    )
     from ..operators.dedup import _INTERMEDIATES
 
     spark = docs.sparkSession
@@ -111,42 +121,35 @@ def lm_score_stupid_backoff(
     uni = uni.persist()
     bg = bg.persist()
     _INTERMEDIATES.rollover([uni, bg])
-    n_total = int(uni.agg(F.sum("c")).collect()[0][0] or 0)
+
+    # Portable log tables (see module docstring): two bounded driver
+    # jobs build everything — distinct bigram counts, and one pass over
+    # the unigram table for (N_total, distinct unigram counts).  The
+    # value domains are count-value cardinalities (heavy-tailed counts
+    # ⇒ tiny), never vocab- or corpus-sized.
+    bg_vals = sorted(int(r["c"]) for r in bg.select("c").distinct().collect())
+    st = uni.agg(
+        F.sum("c").alias("_n"), F.collect_set("c").alias("_vals")
+    ).collect()[0]
+    n_total = int(st["_n"] or 0)
+    uni_vals = sorted(int(v) for v in (st["_vals"] or []))
+    back_vals = sorted({1} | set(uni_vals))
+    ln_bg = literal_table(
+        spark, [(c, py_ln_int(c)) for c in bg_vals], "c_bg bigint, _lnbg double"
+    )
+    ln_prev = literal_table(
+        spark, [(c, py_ln_int(c)) for c in uni_vals], "c_prev bigint, _lnprev double"
+    )
+    # backoff ratio 0.4·c/N == 2c / 5N as an exact integer ratio
+    ln_back = literal_table(
+        spark,
+        [(c, py_ln_int(2 * c)) for c in back_vals],
+        "c_cur_eff bigint, _lnback double",
+    )
+    ln_5n = py_ln_int(5 * max(n_total, 1))
 
     up = uni.select(F.col("w").alias("prev"), F.col("c").alias("c_prev"))
     uc = uni.select(F.col("w").alias("cur"), F.col("c").alias("c_cur"))
-
-    # Single-sourced log tables (see module docstring): the distinct
-    # (c_bg, c_prev) pairs and distinct backoff counts are bounded by
-    # count-value cardinality (heavy-tailed counts ⇒ tiny), collected,
-    # ln-evaluated by the oracle's own libm, and broadcast back.
-    pair_rows = (
-        bg.withColumnRenamed("c", "c_bg")
-        .join(up, "prev")
-        .select("c_bg", "c_prev")
-        .distinct()
-        .collect()
-    )
-    # mirrors the oracle: ln(CAST(b.c AS DOUBLE) / CAST(up.c AS DOUBLE))
-    lp_pair = duckdb_eval_table(
-        spark,
-        [(int(r["c_bg"]), int(r["c_prev"])) for r in pair_rows],
-        [("c_bg", "bigint"), ("c_prev", "bigint")],
-        [("v_pair", "CAST(round(ln(CAST(c_bg AS DOUBLE) / CAST(c_prev AS DOUBLE)), 9) AS DECIMAL(18,9))", _LP_TYPE)],
-    )
-    back_vals = {1} | {int(r["c"]) for r in uni.select("c").distinct().collect()}
-    # mirrors the oracle: ln((0.4 * CAST(COALESCE(uc.c, 1) AS DOUBLE))
-    #                        / CAST(n_total AS DOUBLE))
-    lp_back = duckdb_eval_table(
-        spark,
-        [(v,) for v in sorted(back_vals)],
-        [("c_cur_eff", "bigint")],
-        [(
-            "v_back",
-            f"CAST(round(ln(({ALPHA} * CAST(c_cur_eff AS DOUBLE)) / CAST({max(n_total, 1)} AS DOUBLE)), 9) AS DECIMAL(18,9))",
-            _LP_TYPE,
-        )],
-    )
 
     score = docs.filter(F.col(source_col) != train_source).select(
         F.col(id_col), tokenize(F.col(text_col)).alias("toks")
@@ -156,19 +159,25 @@ def lm_score_stupid_backoff(
         .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     )
 
+    # In-plan combine + snap, mirroring the oracle text op for op:
+    # (lnbg - lnprev) when the bigram was seen (⇒ prev seen ⇒ both
+    # lookups hit), else (lnback - ln5n); then floor(v·1e9 + 0.5) and
+    # one exact decimal multiply — plain IEEE arithmetic inside
+    # whole-stage codegen, no transcendental in the plan.
+    v = F.when(
+        F.col("c_bg").isNotNull(), F.col("_lnbg") - F.col("_lnprev")
+    ).otherwise(F.col("_lnback") - F.lit(ln_5n))
     scored = (
         occ.join(bg.withColumnRenamed("c", "c_bg"), ["prev", "cur"], "left")
         .join(up, "prev", "left")
         .join(uc, "cur", "left")
         .withColumn("c_cur_eff", F.coalesce(F.col("c_cur"), F.lit(1)))
-        .join(F.broadcast(lp_pair), ["c_bg", "c_prev"], "left")
-        .join(F.broadcast(lp_back), "c_cur_eff", "left")
+        .join(F.broadcast(ln_bg), "c_bg", "left")
+        .join(F.broadcast(ln_prev), "c_prev", "left")
+        .join(F.broadcast(ln_back), "c_cur_eff", "left")
         .select(
             id_col,
-            # bigram seen ⇒ prev seen ⇒ the (c_bg, c_prev) lookup hit
-            F.when(F.col("c_bg").isNotNull(), F.col("v_pair"))
-            .otherwise(F.col("v_back"))
-            .alias("v"),
+            grid_decimal_col(grid_nanos_col(v), 18, LP_SCALE).alias("v"),
         )
     )
     agg = scored.groupBy(id_col).agg(

@@ -182,6 +182,35 @@ def literal_table(spark, rows: Iterable[tuple], schema: str):
 
 
 # ---------------------------------------------------------------------------
+# Spark column forms of the grid snap (mirror sql_grid_nanos /
+# sql_grid_decimal text for text — the in-plan combine of literal ln
+# doubles plus these snaps is the whole Spark-side arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def grid_nanos_col(v, dp: int = 9):
+    """Spark mirror of :func:`sql_grid_nanos`: ``floor((v * 10^dp) + 0.5)``
+    — F.floor on a double returns LONG; every op is exact or correctly
+    rounded identically to the oracle's text."""
+    from pyspark.sql import functions as F
+
+    return F.floor((v * F.lit(float(10**dp))) + F.lit(0.5))
+
+
+def grid_decimal_col(nanos, precision: int = 18, dp: int = 9):
+    """Spark mirror of :func:`sql_grid_decimal`: integer grid units ->
+    DECIMAL(precision, dp) via one exact decimal multiply (never
+    decimal division, whose result-type rules differ across engines)."""
+    from pyspark.sql import functions as F
+
+    one = "0." + "0" * (dp - 1) + "1"
+    return (
+        nanos.cast(f"decimal({precision},0)")
+        * F.expr(f"CAST({one} AS DECIMAL({dp},{dp}))")
+    ).cast(f"decimal({precision},{dp})")
+
+
+# ---------------------------------------------------------------------------
 # SQL chain generator (the oracle side)
 # ---------------------------------------------------------------------------
 

@@ -20,15 +20,18 @@ Scale notes (100 TB design point):
   pattern.
 - Cross-engine determinism: every ranking key is either pure-integer
   ((tf DESC, df ASC, token) for keywords) or a decimal-summed score
-  (BM25 per-term scores round to a 9-dp decimal grid and sum exactly,
+  (BM25 per-term scores snap onto a 9-dp decimal grid and sum exactly,
   so per-doc totals are identical in Spark and DuckDB regardless of
-  aggregation order).  The idf logs are SINGLE-SOURCED from the
-  in-process DuckDB build (functions/portable_log) over the collected
-  per-term document frequencies — bounded by the query's term count
-  (BM25) / distinct df values (TF-IDF) — so the Spark plan evaluates
-  no transcendental and the grid values agree with the oracle's libm
-  by construction (r06 verdict #2: this family shared lm_doc_scores'
-  ULP-at-grid-boundary fragility and was green only by libm luck).
+  aggregation order).  The idf logs are PORTABLE (functions/
+  portable_ln): driver Python evaluates the fixed-form IEEE software
+  ln over integer ratios — the Robertson idf ln(1 + (N-df+0.5)/
+  (df+0.5)) is the integer ratio (2N+2)/(2df+1), the smoothed TF-IDF
+  idf (N+1)/(df+1) is integral already — and the oracle SQL runs the
+  SAME chain, so both sides agree bit for bit on every DuckDB build
+  (r07 verdict #2: the previous single-sourcing still let the driver's
+  DuckDB evaluate ``ln`` in the oracle text — green only by libm
+  luck).  Grid snaps are floor(v·10^s + 0.5) integer math, never
+  float ``round()`` (whose tie/scaling behavior is engine-specific).
 """
 
 from __future__ import annotations
@@ -76,7 +79,7 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Dat
     # materialization every tf-idf build pays once — at warehouse scale
     # it would be a written table, in-session it's a MEMORY_AND_DISK
     # cache of (doc, token, tf) rows.
-    from .portable_log import duckdb_eval_table
+    from .portable_ln import grid_nanos_col, literal_table, py_ln_combine
 
     spark = df.sparkSession
     tf = doc_term_freq(df, id_col, text_col).persist()
@@ -84,23 +87,30 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Dat
     # the (doc, token, tf) cache is aggregated once
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).persist()
     n = int(df.agg(F.count(F.lit(1))).collect()[0][0])
-    # single-sourced idf (module docstring): distinct df values are
-    # bounded by distinct frequency cardinality, not vocab; mirrors the
-    # oracle: ln((CAST(N AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
-    idf_tbl = duckdb_eval_table(
+    # portable idf (module docstring): distinct df values are bounded
+    # by distinct frequency cardinality, not vocab; the smoothed idf
+    # (N+1)/(df+1) is an integer ratio — mirrors the oracle's chain:
+    # ln(N+1) - ln(df+1)
+    idf_tbl = literal_table(
         spark,
-        [(int(r["df"]),) for r in dfreq.select("df").distinct().collect()],
-        [("df", "bigint")],
-        [(
-            "_lnidf",
-            f"ln((CAST({n} AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))",
-            "double",
-        )],
+        [
+            (d, py_ln_combine([("+", n + 1), ("-", d + 1)]))
+            for d in sorted(int(r["df"]) for r in dfreq.select("df").distinct().collect())
+        ],
+        "df bigint, _lnidf double",
     )
+    # tf·idf snapped onto the 4-dp grid with floor integer math, shipped
+    # as a double value column (the rank key stays all-integer)
     scored = (
         tf.join(dfreq, "token")
         .join(F.broadcast(idf_tbl), "df")
-        .withColumn("tfidf", F.round(F.col("tf") * F.col("_lnidf"), 4))
+        .withColumn(
+            "tfidf",
+            grid_nanos_col(F.col("tf").cast("double") * F.col("_lnidf"), 4).cast(
+                "double"
+            )
+            / F.lit(10000.0),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
@@ -114,14 +124,18 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Dat
 
 def _bm25_term_score(k1: float, b: float, avgdl: float) -> Column:
     """Okapi BM25 per-(doc, term) contribution from columns tf, dl and
-    the single-sourced ``_idf`` double — rounded onto the decimal grid.
-    Everything here is IEEE-basic arithmetic (+, -, *, /), which both
-    engines round identically; the transcendental part rides in as the
-    ``_idf`` literal."""
+    the portable ``_idf`` double — snapped onto the decimal grid with
+    floor integer math.  Everything here is IEEE-basic arithmetic
+    (+, -, *, /), which both engines round identically; the
+    transcendental part rides in as the ``_idf`` literal."""
+    from .portable_ln import grid_decimal_col, grid_nanos_col
+
     sat = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     )
-    return F.round(F.col("_idf") * sat, SCORE_SCALE).cast(f"decimal(28,{SCORE_SCALE})")
+    return grid_decimal_col(
+        grid_nanos_col(F.col("_idf") * sat, SCORE_SCALE), 28, SCORE_SCALE
+    )
 
 
 def bm25_scores(
@@ -140,7 +154,7 @@ def bm25_scores(
     avgdl) ride a 1-row broadcast and document frequencies come from
     the already-tiny match table. Returns (id, n_terms_matched, bm25).
     """
-    from .portable_log import duckdb_eval_table
+    from .portable_ln import literal_table, py_ln_combine
 
     spark = df.sparkSession
     qarr = F.array(*[F.lit(t) for t in query_terms])
@@ -167,20 +181,25 @@ def bm25_scores(
     # collect and the score join; without it the corpus is re-scanned
     # per consumer.
     tf = matched.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
-    df_rows = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df")).collect()
-    # single-sourced idf over the (≤ |query_terms|)-row df table;
-    # mirrors the oracle: ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
-    idf_tbl = duckdb_eval_table(
+    df_rows = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).collect()
+    # portable idf over the (≤ |query_terms|)-row df table; the
+    # Robertson idf ln(1 + (N-df+0.5)/(df+0.5)) == ln((2N+2)/(2df+1)),
+    # an exact integer ratio — mirrors the oracle's chain:
+    # ln(2N+2) - ln(2df+1)
+    idf_tbl = literal_table(
         spark,
-        [(r["token"], float(r["df"])) for r in df_rows],
-        [("token", "string"), ("df", "double")],
-        [(
-            "_idf",
-            f"ln(1.0 + (CAST({int(n_docs)} AS DOUBLE) - df + 0.5) / (df + 0.5))",
-            "double",
-        )],
+        [
+            (
+                r["token"],
+                py_ln_combine(
+                    [("+", 2 * int(n_docs) + 2), ("-", 2 * int(r["df"]) + 1)]
+                ),
+            )
+            for r in df_rows
+        ],
+        "token string, _idf double",
     )
-    scored = tf.join(F.broadcast(idf_tbl.withColumnRenamed("df", "df_t")), "token")
+    scored = tf.join(F.broadcast(idf_tbl), "token")
     per_term = scored.withColumn("_s", _bm25_term_score(k1, b, avgdl))
     return per_term.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_terms_matched"),
@@ -214,10 +233,13 @@ def rrf_fuse(
 
     Inputs carry (id, rank) each; a candidate missing from one list
     contributes nothing for it. rrf = sum(1/(rrf_k + rank)) — small
-    integer ratios, so the doubles are identical across engines. The
-    candidate lists are top-n products (driver-small by construction),
-    so the outer join broadcasts.
+    integer ratios, so the doubles are identical across engines; the
+    shipped value snaps onto the 9-dp grid with floor integer math
+    (portable_ln — float ``round()`` tie/scaling behavior is
+    engine-specific). The candidate lists are top-n products
+    (driver-small by construction), so the outer join broadcasts.
     """
+    from .portable_ln import grid_nanos_col
     lex = lexical.select(F.col(id_col), F.col("rank").alias("_r_lex"))
     vec = vector.select(F.col(id_col), F.col("rank").alias("_r_vec"))
     fused = lex.join(vec, id_col, "full_outer").select(
@@ -236,7 +258,10 @@ def rrf_fuse(
             F.col(id_col),
             F.col("_r_lex").alias("rank_lexical"),
             F.col("_r_vec").alias("rank_vector"),
-            F.round("rrf", SCORE_SCALE).alias("rrf"),
+            (
+                grid_nanos_col(F.col("rrf"), SCORE_SCALE).cast("double")
+                / F.lit(1000000000.0)
+            ).alias("rrf"),
         )
     )
 
@@ -255,7 +280,7 @@ def bm25_batch_topk(
     queries per scan, not one.
 
     One token-stream filter against the UNION of all query terms, one
-    (doc, term) tf aggregate, one single-sourced idf table (portable_log
+    (doc, term) tf aggregate, one portable idf table (portable_ln
     — shared across queries), then a broadcast join against the
     (query_id, term) table fans each matched term out to the queries
     that want it; per-(query, doc) decimal sums and a per-query rank
@@ -269,7 +294,7 @@ def bm25_batch_topk(
     """
     from pyspark.sql import Window
 
-    from .portable_log import duckdb_eval_table
+    from .portable_ln import literal_table, py_ln_combine
 
     spark = df.sparkSession
     all_terms = sorted({t for _, ts in queries for t in ts})
@@ -295,19 +320,23 @@ def bm25_batch_topk(
         ),
     )
     tf = matched.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
-    df_rows = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df")).collect()
-    idf_tbl = duckdb_eval_table(
+    df_rows = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).collect()
+    # portable idf shared across the whole query batch (see bm25_scores)
+    idf_tbl = literal_table(
         spark,
-        [(r["token"], float(r["df"])) for r in df_rows],
-        [("token", "string"), ("df", "double")],
-        [(
-            "_idf",
-            f"ln(1.0 + (CAST({int(n_docs)} AS DOUBLE) - df + 0.5) / (df + 0.5))",
-            "double",
-        )],
+        [
+            (
+                r["token"],
+                py_ln_combine(
+                    [("+", 2 * int(n_docs) + 2), ("-", 2 * int(r["df"]) + 1)]
+                ),
+            )
+            for r in df_rows
+        ],
+        "token string, _idf double",
     )
     per_term = (
-        tf.join(F.broadcast(idf_tbl.drop("df")), "token")
+        tf.join(F.broadcast(idf_tbl), "token")
         .join(qterms, "token")
         .withColumn("_s", _bm25_term_score(k1, b, avgdl))
     )

@@ -10,9 +10,13 @@ Why this is THE sketch shape for Spark:
   partial counts combine map-side, so every exchange carries at most
   ``d·w`` rows per task — the definition of mergeable.  Sharded
   corpora build shards independently and SUM the tables;
-- estimation is ``min_r counters[r][h_r(token)]`` — for a bounded
-  candidate set this is a plan-time literal-map lookup (the kmeans
-  centroid-constant pattern), zero joins in the scoring pass;
+- estimation is ``min_r counters[r][h_r(token)]`` — one broadcast hash
+  join of the candidate keys against the 4096-row counter table plus a
+  map-side-combinable min (ADVICE r07 low: the previous plan-time
+  literal map repeated a create_map with up to 8192 literal children
+  once per depth arm — ~32k literal expressions in one projection,
+  codegen-fallback territory; the broadcast join is the same lookup
+  with constant-size expressions and no driver collect at all);
 - the classic guarantee holds verbatim: estimates never undercount,
   and overshoot ≤ εN with probability 1-δ (ε = e/w, δ = e^-d).
 
@@ -74,34 +78,33 @@ def cms_heavy_hitters(
     The candidate set here is the corpus vocabulary (the true counts
     ride the same vocab-bounded aggregate the estimate audit needs); at
     100 TB the candidate stream would instead be a bottom-k sample or
-    an external watchlist — the sketch lookup itself is a literal-map
-    expression either way and never rescans the corpus.
+    an external watchlist — the sketch lookup is the same broadcast
+    join either way and never rescans the corpus.
+
+    Estimation plan (ADVICE r07 low — no literal map, no collect):
+    each candidate fans out to its d (r, b) probe keys (scan-local
+    posexplode), one broadcast hash join resolves the counters, and a
+    map-side-combinable min folds them back to one row per candidate.
+    Every probed bucket exists in the sketch by construction (a
+    corpus-derived candidate contributed its own counts), so the inner
+    join is lossless.
     """
-    spark = docs.sparkSession
-    # collect the fixed-width sketch and fold it into ONE plan-time
-    # literal map keyed by r*w + b (kmeans centroid-constant pattern)
-    counters = {
-        int(r["r"]) * CMS_WIDTH + int(r["b"]): int(r["c"])
-        for r in cms_build(docs, text_col).collect()
-    }
-    if not counters:
-        return spark.createDataFrame(
-            [], "token string, true_n bigint, est_n bigint, overcount bigint"
-        )
-    cms_map = F.create_map(
-        *[F.lit(x) for kb, c in sorted(counters.items()) for x in (kb, c)]
-    )
     toks = docs.select(F.explode(tokenize(F.col(text_col))).alias("token"))
     truth = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
-    est = F.least(
-        *[
-            F.element_at(cms_map, (F.lit(i * CMS_WIDTH) + _bucket(F.col("token"), s)).cast("int"))
-            for i, s in enumerate(CMS_SEEDS)
-        ]
-    ).cast("bigint")
+    probes = truth.select(
+        "token",
+        "true_n",
+        F.posexplode(
+            F.array(*[_bucket(F.col("token"), s) for s in CMS_SEEDS])
+        ).alias("r", "b"),
+    )
+    est = (
+        probes.join(F.broadcast(cms_build(docs, text_col)), ["r", "b"])
+        .groupBy("token", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
     return (
-        truth.withColumn("est_n", est)
-        .withColumn("overcount", F.col("est_n") - F.col("true_n"))
+        est.withColumn("overcount", F.col("est_n") - F.col("true_n"))
         .orderBy(F.col("est_n").desc(), F.col("token"))
         .limit(k)
     )

@@ -281,14 +281,21 @@ def token_surprisal(df, id_col: str, text_col: str):
     to occurrences -> per-doc aggregate. The token join is Zipf-skewed
     by nature ("the" carries billions of rows at corpus scale) — AQE
     skew-join splits those partitions; no row is wider than (id, token,
-    count). ln(N) is folded in AFTER the per-doc average (ln(N) -
-    avg(ln(n))), so the join never carries the corpus total.
+    count). ln(N) is folded in AFTER the per-doc aggregate, so the
+    join never carries the corpus total.
+
+    Cross-engine exactness (functions/portable_ln): per-token ln(n)
+    values ride as 9-dp-grid INTEGER nanos from the portable chain, so
+    the per-doc aggregate is an exact BIGINT sum — order-independent,
+    unlike a float avg(ln(n)) whose summation order differs between
+    engines. The mean and the 4-dp output snap are then fixed-form
+    IEEE arithmetic over exact integers, identical everywhere.
     """
     from pyspark.sql import functions as F
 
     from ..operators.dedup import tokenize
 
-    from .portable_log import duckdb_eval_table
+    from .portable_ln import grid_nanos_col, literal_table, py_grid_nanos, py_ln_int
 
     spark = df.sparkSession
     toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
@@ -296,34 +303,37 @@ def token_surprisal(df, id_col: str, text_col: str):
     # persist so the corpus is tokenized once
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
     n_total = int(toks.agg(F.count(F.lit(1))).collect()[0][0] or 0)
-    # single-sourced ln over the distinct count values (portable_log):
-    # removes the JVM-vs-DuckDB libm variance from every summand; the
-    # residual avg() summation-order jitter (~1e-13, shared direction)
-    # is absorbed by the 4-dp grid as before. Mirrors the oracle:
-    # ln(c.n) and ln((SELECT N FROM tot)).
-    ln_tbl = duckdb_eval_table(
+    # portable ln over the distinct count values, as exact grid nanos
+    ln_tbl = literal_table(
         spark,
-        [(int(r["n"]),) for r in counts.select("n").distinct().collect()],
-        [("n", "bigint")],
-        [("_ln_n", "ln(n)", "double")],
+        [
+            (c, py_grid_nanos(py_ln_int(c)))
+            for c in sorted(int(r["n"]) for r in counts.select("n").distinct().collect())
+        ],
+        "n bigint, _ln_n_nanos bigint",
     )
-    ln_total = duckdb_eval_table(
-        spark, [(n_total,)], [("n", "bigint")], [("_ln", "ln(n)", "double")]
-    ).collect()
-    ln_n_total = float(ln_total[0]["_ln"]) if n_total else 0.0
+    ln_n_total_nanos = py_grid_nanos(py_ln_int(n_total)) if n_total else 0
     per_doc = (
         toks.join(counts, "token")
         .join(F.broadcast(ln_tbl), "n")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.avg("_ln_n").alias("_mean_ln_n"),
+            F.sum("_ln_n_nanos").alias("_sum_nanos"),
         )
+    )
+    # surprisal = lnN - mean(ln n) over the 9-dp grid, snapped to 4 dp:
+    # (lnN_nanos·k - sum_nanos) is an exact BIGINT; one double division
+    # and the floor snap mirror the oracle text op for op
+    v = (
+        (F.lit(ln_n_total_nanos) * F.col("n_tokens") - F.col("_sum_nanos"))
+        .cast("double")
+        / (F.col("n_tokens").cast("double") * F.lit(1000000000.0))
     )
     return per_doc.select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.round(F.lit(ln_n_total) - F.col("_mean_ln_n"), 4).alias("surprisal"),
+        (grid_nanos_col(v, 4).cast("double") / F.lit(10000.0)).alias("surprisal"),
     )
 
 

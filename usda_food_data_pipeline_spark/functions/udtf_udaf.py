@@ -48,12 +48,23 @@ def split_sentences(df, text_col: str, id_col: str):
 
 @pandas_udf("double")
 def geometric_mean(v: pd.Series) -> float:
-    """Grouped-agg pandas UDAF: exp(mean(log x)) over positive values —
-    a real UDAF shape (log-domain accumulation) that plain ``avg``
-    can't express. One Arrow batch per group, NaN on empty/nonpositive."""
-    import numpy as np
+    """Grouped-agg pandas UDAF: exp(mean(log x)) over positive
+    integer-valued inputs — a real UDAF shape (log-domain
+    accumulation) that plain ``avg`` can't express. One Arrow batch
+    per group, NaN on empty/nonpositive.
 
-    x = v[v > 0]
-    if len(x) == 0:
+    Cross-engine exactness (functions/portable_ln, r07 verdict #2):
+    per-value logs ride the portable fixed-form IEEE ln on the 9-dp
+    integer-nano grid, the accumulation is an exact Python int sum
+    (order-independent — numpy's pairwise float mean is not), and the
+    final exp is the portable range-reduced Taylor form, snapped to
+    4 dp with floor integer math.  The oracle SQL runs the identical
+    chain, so the values agree bit for bit on every DuckDB build."""
+    from .portable_ln import py_exp, py_grid_nanos, py_ln_int
+
+    vals = [int(x) for x in v if x > 0]
+    if not vals:
         return float("nan")
-    return float(np.exp(np.log(x.astype("float64")).mean()))
+    sum_nanos = sum(py_grid_nanos(py_ln_int(x)) for x in vals)
+    mean = float(sum_nanos) / (float(len(vals)) * 1000000000.0)
+    return float(py_grid_nanos(py_exp(mean), 4)) / 10000.0

@@ -75,12 +75,17 @@ def md5_int(col: Column, seed: int, nibbles: int = 12) -> Column:
 
 
 def oracle_md5_int_sql(expr: str, seed: int, nibbles: int = 12) -> str:
-    """DuckDB twin of :func:`md5_int` (no conv(): nibble arithmetic)."""
+    """DuckDB twin of :func:`md5_int` (no conv(): nibble arithmetic).
+
+    Place values are integer shifts (16^k == 1 << 4k), not float pow —
+    IEEE does not require ``pow`` to be correctly rounded, and the
+    rotation gate bans it from oracle text (r07 verdict task 5); the
+    all-integer form is exact by construction."""
     h = f"md5('s{seed}:' || ({expr}))"
     return (
         f"CAST(list_sum(list_transform(range(1, {nibbles + 1}), "
         f"i -> (strpos('0123456789abcdef', substr({h}, CAST(i AS INTEGER), 1)) - 1) "
-        f"* 16.0 ** ({nibbles} - i))) AS BIGINT)"
+        f"* (CAST(1 AS BIGINT) << (4 * ({nibbles} - i))))) AS BIGINT)"
     )
 
 

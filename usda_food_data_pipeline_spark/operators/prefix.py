@@ -19,18 +19,23 @@ themselves deterministic, but the OUTPUT is: the sort key is total
 (ties broken by a unique id), and any contiguous split of a totally
 ordered stream produces identical prefix sums.
 
-One materialization, not two (ADVICE r06, high): the totals collect
-and the returned DataFrame are SEPARATE Dataset actions, and separate
-actions do not share a repartitionByRange exchange — RangePartitioner
-samples with an rdd.id-derived seed, so a re-executed exchange may
-place boundary rows differently, silently invalidating the collected
-pid→offset map.  The per-partition stage is therefore persisted before
-the totals collect: the collect materializes the cache, the returned
-plan reads the same InMemoryRelation (one pinned RDD DAG — even a
-partition evicted under memory pressure recomputes through that RDD's
-own shuffle dependency, whose boundaries are already fixed in its
-shuffle files), so offsets and output always see one partitioning.
-The cache is janitor-tracked like the dedup intermediates.
+One materialization, not two (ADVICE r06 high, lifetime fixed per
+ADVICE r07 medium): the totals collect and the returned DataFrame are
+SEPARATE Dataset actions, and separate actions do not share a
+repartitionByRange exchange — RangePartitioner samples with an
+rdd.id-derived seed, so a re-executed exchange may place boundary rows
+differently, silently invalidating the collected pid→offset map.  The
+per-partition stage is therefore ``localCheckpoint``-ed (lineage CUT,
+not just cached): the totals collect materializes the checkpoint
+blocks, and the returned plan reads those same blocks — re-execution
+of the exchange is impossible by construction, not merely unlikely.
+This cache deliberately does NOT join the shared dedup janitor
+(ADVICE r07: a janitor rollover from any subsequent tracked operator
+would have unpersisted a correctness-load-bearing persist() before the
+caller consumed the output, re-running the exchange under a new
+sampling seed against the stale offset map).  The blocks release when
+the returned DataFrame is garbage-collected, like label_propagation's
+checkpoint generations.
 
 ``token_budget_select`` applies this to the selection step most
 training-data pipelines end with: order the corpus by a quality score
@@ -66,8 +71,6 @@ def global_prefix_sum(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    from .dedup import _INTERMEDIATES
-
     ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -76,12 +79,17 @@ def global_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # persist BEFORE the totals collect so the offsets and the returned
-    # output are computed from the same materialized partitioning (see
-    # module docstring — separate actions re-execute repartitionByRange
-    # with a different sampling seed)
-    local = ranged.withColumn("_lcum", F.sum(value_col).over(w)).persist()
-    _INTERMEDIATES.rollover([local])
+    # localCheckpoint BEFORE the totals collect: the collect (the first
+    # action) materializes the checkpoint blocks, cutting lineage — the
+    # offsets and the returned output can only ever read ONE physical
+    # partitioning (see module docstring).  Own lifetime, deliberately
+    # NOT janitor-tracked (ADVICE r07 medium): this block is
+    # correctness-load-bearing for the returned plan, so it must outlive
+    # any interleaved dedup-operator call; it releases with the
+    # DataFrame reference.
+    local = ranged.withColumn("_lcum", F.sum(value_col).over(w)).localCheckpoint(
+        eager=False
+    )
 
     totals = sorted(
         local.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect(),

@@ -122,14 +122,24 @@ _ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # gap_fill_daily takes text_tokens' slot (round 5 rotation): the
+    # cms_heavy_hitters takes gap_fill_daily's slot (round 8, r07
+    # verdict task 4): gap-fill got its driver-green row in r07 and its
+    # family stays attested in-window — the sequence()-explode Generate
+    # shape by decontaminate's n-gram explode, the
+    # last-observation-carried-forward window by dedup_latest_order /
+    # sessionize_gaps' analytic windows; gap_fill keeps its local+CI
+    # row. The mergeable-sketch family (fixed-width counter table,
+    # broadcast-join estimation, exactly-twinnable approximate
+    # structure) had NO driver row
+    "cms_heavy_hitters",
+    # (former slot note, retained for the audit trail)
+    # gap_fill_daily took text_tokens' slot (round 5 rotation): the
     # per-doc tokenize-and-derive projection family stays attested by
     # text_signals (same two-stage tokenize + regex-scan shape; the
     # mean-token-length formula runs inside its quality term) and
     # text_tokens keeps its local+CI row; calendar gap-fill (sequence()
     # explode + last-observation-carried-forward window) is a distinct
     # warehouse operator family that needs a driver row
-    "gap_fill_daily",
     # text_signals = text_langid + text_quality merged (round 4): one
     # per-doc row attests both formulas, freeing a slot for bm25_retrieval
     "text_signals",
@@ -169,7 +179,16 @@ _ORDER: list[str] = [
     "interval_overlap",
     "funnel_conversion",
     "asof_join_events",
-    # dedup_stats takes range_join_bands' slot (round 7, r06 verdict
+    # label_propagation takes dedup_stats' slot (round 8, r07 verdict
+    # task 4): dedup_stats got its driver-green row in r07 and its
+    # two-level agg shape stays attested by group_mean + the four
+    # in-window dedup queries (its own r07 rotation note); it keeps its
+    # local+CI row. Deterministic community detection (synchronous LPA
+    # — iterative label joins, the second graph family after pagerank's
+    # mass iteration) had no driver row
+    "label_propagation",
+    # (former slot note, retained for the audit trail)
+    # dedup_stats took range_join_bands' slot (round 7, r06 verdict
     # task 5): the banded range join's explode-bucket + equi-join +
     # exact-predicate shape stays attested in-window by
     # interval_overlap (same canonical-bucket plan family) next to
@@ -177,7 +196,6 @@ _ORDER: list[str] = [
     # its no-NLJ plan pin. The dedup observability rollup (cluster-size
     # histogram over the exact-dedup groups table) is the reporting
     # family a curation run publishes and had no driver row
-    "dedup_stats",
     # data_expectations takes set_ops' slot: union/except/intersect keep
     # their local+CI row (the union shape also runs inside
     # data_expectations' result assembly); the declarative quality gate
@@ -196,14 +214,22 @@ _ORDER: list[str] = [
     # the batch twin of the streaming session window and needs a driver
     # row of its own
     "sessionize_gaps",
-    # doc_novelty takes triangle_count's slot (round 7, r06 verdict
+    # bm25_batch takes doc_novelty's slot (round 8, r07 verdict task
+    # 4): doc_novelty got its driver-green row in r07 and its
+    # inverted-index df shape stays attested by decontaminate +
+    # dup_substring_spans (its own r07 rotation note); it keeps its
+    # local+CI row. Batch retrieval (N queries in ONE corpus pass —
+    # shared tf/idf, broadcast query fan-out, per-query rank windows)
+    # is the serving shape single-query bm25_retrieval cannot attest
+    "bm25_batch",
+    # (former slot note, retained for the audit trail)
+    # doc_novelty took triangle_count's slot (round 7, r06 verdict
     # task 5): the graph family stays attested in-window by
     # pagerank_parts, and triangle_count keeps its local+CI row plus
     # its degree-orientation/no-NLJ plan-pin tests. Per-doc novelty
     # (corpus-unique shingle fraction + mean shingle df) is the
     # keep-fresh-content curation signal and had no driver row; its
     # inverted-index df shape is shared with the dedup prefix filter
-    "doc_novelty",
     # round-6 rotation (r05 verdict task 7): the four round-5 operators
     # with exact oracles move into the window; each displaced query's
     # family keeps an in-window twin and its own local+CI row.
@@ -211,10 +237,18 @@ _ORDER: list[str] = [
     # stays attested by decontaminate's n-gram explode): manifest
     # time-travel is the warehouse read path with no in-window twin
     "snapshot_read",
-    # table_diff takes topk_avg_retrieved's slot (retrieval attested by
+    # ann_recall_eval takes table_diff's slot (round 8, r07 verdict
+    # task 4): table_diff got its driver-green row in rounds 6-7 and
+    # its full-outer reconciliation shape stays attested by
+    # merge_upsert (CDC family); it keeps its local+CI row. The
+    # ANN-quality eval harness (IVF nprobe=1 vs brute-force recall@10
+    # in one plan — the measurement every ANN deployment ships with)
+    # had no driver row
+    "ann_recall_eval",
+    # (former slot note, retained for the audit trail)
+    # table_diff took topk_avg_retrieved's slot (retrieval attested by
     # cosine_topk + bm25_retrieval; the avg-over-topk agg ⊂ group_mean):
     # version reconciliation (CDC capture's batch twin)
-    "table_diff",
     "decontaminate",
     # dup_substring_spans takes dedup_stats' slot (the cluster-size
     # histogram's two-level agg ⊂ group_mean + the four in-window
@@ -243,13 +277,13 @@ _ORDER: list[str] = [
     # (try_cast_round / regexp_extract_unit fold into scalar_functions'
     # coerced_price / unit_extracted columns; global_sort_topk and tpch_q3 are
     # the same TakeOrdered / join-chain shapes as densest_rows and flagship)
-    # round-7 operators (families attested in-window: vocab aggregates
-    # ⊂ group_mean/text_signals; the sketch itself is a new capability
-    # attested by its exact oracle + property tests beyond the window)
-    "cms_heavy_hitters",
-    "ann_recall_eval",
-    "label_propagation",
-    "bm25_batch",
+    # displaced round 8 (r07 verdict task 4 rotation) — all four hold
+    # driver-green rows from earlier rounds and in-window family twins
+    # (see the in-window slot notes above)
+    "gap_fill_daily",
+    "dedup_stats",
+    "doc_novelty",
+    "table_diff",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

@@ -790,25 +790,68 @@ def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Grouped-agg pandas UDAF oracle row (SURVEY §2.9): geometric mean of
-# l_quantity per (returnflag, linestatus). Both sides compute
-# exp(mean(ln(x))) in float64; the 4-dp rounding absorbs the ~1e-13
-# summation-order divergence between numpy's pairwise mean and DuckDB's
-# streaming avg (an exact-decimal trick is impossible in the log
-# domain, so this is the one query that rounds an aggregate — the
-# margin between error (~1e-13) and the rounding grid (5e-5) is 9
-# orders of magnitude).
+# l_quantity per (returnflag, linestatus). Cross-engine exactness via
+# functions/portable_ln (r07 verdict #2): per-value logs ride the
+# portable IEEE ln on the 9-dp integer-nano grid (l_quantity is
+# integer-valued), the per-group accumulation is an exact integer sum
+# (order-independent — float avg(ln) is not), and the final exp is the
+# portable range-reduced Taylor form snapped to 4 dp with floor math.
+# The UDAF runs the same chain in Python, bit-identical by
+# construction.
 # ---------------------------------------------------------------------------
+
+
+def _geomean_oracle() -> str:
+    from .functions.portable_ln import (
+        POWS_CTE,
+        sql_exp_select,
+        sql_grid_nanos,
+        sql_ln_select,
+    )
+
+    lnq = sql_ln_select(
+        "(SELECT DISTINCT q FROM vals) _dlq",
+        ["q"],
+        {"a": "q"},
+        [("_q_nanos", "CAST(floor(((_ln_a) * 1000000000.0) + 0.5) AS BIGINT)")],
+    )
+    ex = sql_exp_select(
+        "g",
+        ["return_flag", "line_status"],
+        "CAST(s AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000000.0)",
+        "_gm",
+    )
+    return f"""
+    WITH {POWS_CTE},
+    vals AS (
+        SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    lnq AS ({lnq}),
+    g AS (
+        SELECT return_flag, line_status, count(*) AS k, sum(l._q_nanos) AS s
+        FROM vals JOIN lnq l USING (q)
+        GROUP BY return_flag, line_status
+    ),
+    ex AS ({ex}),
+    counts AS (
+        SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT e.return_flag, e.line_status,
+           CAST({sql_grid_nanos('e._gm', 4)} AS DOUBLE) / 10000.0 AS gm_quantity,
+           c.n_items
+    FROM ex e JOIN counts c USING (return_flag, line_status)
+    """
+
 
 @register(
     "geomean_quantity",
-    """
-    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
-           round(exp(avg(ln(l_quantity))), 4) AS gm_quantity,
-           CAST(count(*) AS BIGINT) AS n_items
-    FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    "grouped-agg pandas UDAF: per-group geometric mean of quantity",
+    _geomean_oracle(),
+    "grouped-agg pandas UDAF: per-group geometric mean of quantity "
+    "(portable ln/exp chain — functions/portable_ln)",
 )
 def q_geomean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.udtf_udaf import geometric_mean
@@ -820,8 +863,9 @@ def q_geomean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
     # (INVALID_PANDAS_UDF_PLACEMENT) — run the count as its own grouped
-    # agg and broadcast-join the handful of group rows back together
-    gm = li.groupBy(*keys).agg(F.round(geometric_mean("l_quantity"), 4).alias("gm_quantity"))
+    # agg and broadcast-join the handful of group rows back together;
+    # the UDAF output is already 4-dp-snapped (portable chain)
+    gm = li.groupBy(*keys).agg(geometric_mean("l_quantity").alias("gm_quantity"))
     counts = li.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_items"))
     return gm.join(F.broadcast(counts), ["return_flag", "line_status"])
 

@@ -32,6 +32,8 @@ from .operators.dedup import (
     oracle_md5_int_sql,
     simhash_fingerprints,
 )
+from .functions.portable_ln import POWS_CTE as _POWS_CTE
+from .functions.portable_ln import sql_ln_select as _sql_ln_select
 from .registry import register
 from .sources.tables import load_table
 
@@ -943,7 +945,7 @@ _MIX_SEED = 5
     SELECT d.doc_id, d.source, d.lang
     FROM documents d JOIN rates r USING (source)
     WHERE {oracle_md5_int_sql("CAST(doc_id AS VARCHAR)", 5)}
-          < CAST(r.rate * 2.0 ** 48 AS BIGINT)
+          < CAST(r.rate * CAST(281474976710656 AS DOUBLE) AS BIGINT)
     """,
     "training-mix sampling: per-source rates, deterministic content-hash keep",
 )
@@ -999,16 +1001,57 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_surprisal",
     f"""
-    WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents),
+    WITH {_POWS_CTE},
+    toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents),
     counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
-    tot AS (SELECT count(*) AS N FROM toks)
-    SELECT t.doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           round(ln((SELECT N FROM tot)) - avg(ln(c.n)), 4) AS surprisal
-    FROM toks t JOIN counts c USING (token)
-    GROUP BY t.doc_id
-    """,
-    "per-doc mean token self-information under corpus unigram frequencies",
+    tot AS (SELECT count(*) AS N FROM toks),
+    lnn AS ({{LNN}}),
+    lnt AS ({{LNT}}),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               sum(l._ln_n_nanos) AS _sum_nanos
+        FROM toks t JOIN counts c USING (token) JOIN lnn l ON l.n = c.n
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST({{SNAP}} AS DOUBLE) / 10000.0 AS surprisal
+    FROM per_doc CROSS JOIN lnt
+    """.replace(
+        "{LNN}",
+        _sql_ln_select(
+            "(SELECT DISTINCT n FROM counts) _dln",
+            ["n"],
+            {"a": "n"},
+            [
+                (
+                    "_ln_n_nanos",
+                    "CAST(floor(((_ln_a) * 1000000000.0) + 0.5) AS BIGINT)",
+                )
+            ],
+        ),
+    ).replace(
+        "{LNT}",
+        _sql_ln_select(
+            "(SELECT greatest(N, 1) AS N FROM tot) _dlt",
+            [],
+            {"a": "N"},
+            [
+                (
+                    "_ln_t_nanos",
+                    "CAST(floor(((_ln_a) * 1000000000.0) + 0.5) AS BIGINT)",
+                )
+            ],
+        ),
+    ).replace(
+        "{SNAP}",
+        "CAST(floor(((CAST(lnt._ln_t_nanos * per_doc.n_tokens - per_doc._sum_nanos "
+        "AS DOUBLE) / (CAST(per_doc.n_tokens AS DOUBLE) * 1000000000.0)) "
+        "* 10000.0) + 0.5) AS BIGINT)",
+    ),
+    "per-doc mean token self-information under corpus unigram "
+    "frequencies (portable ln + exact integer nano sums + floor snap — "
+    "functions/portable_ln)",
 )
 def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.textstats import token_surprisal
@@ -1166,20 +1209,34 @@ _TFIDF_K = 3
 @register(
     "tfidf_keywords",
     f"""
-    WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents),
+    WITH {_POWS_CTE},
+    toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents),
     tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
     dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
     n AS (SELECT count(*) AS N FROM documents),
+    lnidf AS ({{LNIDF}}),
     ranked AS (
         SELECT t.doc_id, t.token, t.tf, d.df,
-               round(t.tf * ln((CAST(n.N AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)), 4) AS tfidf,
+               CAST({{SNAP}} AS DOUBLE) / 10000.0 AS tfidf,
                row_number() OVER (PARTITION BY t.doc_id
                                   ORDER BY t.tf DESC, d.df ASC, t.token ASC) AS rank
-        FROM tf t JOIN dfreq d USING (token), n
+        FROM tf t JOIN dfreq d USING (token) JOIN lnidf i USING (df)
     )
     SELECT doc_id, rank, token, tf, df, tfidf FROM ranked WHERE rank <= {_TFIDF_K}
-    """,
-    "top-3 TF-IDF keywords per doc (integer rank key; WindowGroupLimit pushdown)",
+    """.replace(
+        "{LNIDF}",
+        _sql_ln_select(
+            "(SELECT DISTINCT d.df, n.N FROM dfreq d CROSS JOIN n) _din",
+            ["df"],
+            {"a": "N + 1", "b": "df + 1"},
+            [("_lnidf", "_ln_a - _ln_b")],
+        ),
+    ).replace(
+        "{SNAP}",
+        "CAST(floor(((CAST(t.tf AS DOUBLE) * i._lnidf) * 10000.0) + 0.5) AS BIGINT)",
+    ),
+    "top-3 TF-IDF keywords per doc (integer rank key; WindowGroupLimit "
+    "pushdown; portable idf + floor grid snap — functions/portable_ln)",
 )
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.retrieval import tfidf_keywords
@@ -1194,26 +1251,47 @@ _BM25_TERMS = ["spark", "join", "dup"]
 def _bm25_scored_ctes(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB CTE chain mirroring functions/retrieval.bm25_scores.
     Non-binary-exact float literals (k1, k1+1) are forced to DOUBLE so
-    decimal literal arithmetic can't diverge from Spark's doubles."""
+    decimal literal arithmetic can't diverge from Spark's doubles; the
+    Robertson idf rides the portable ln chain over the integer ratio
+    (2N+2)/(2df+1) — bit-identical to the Python that builds Spark's
+    idf literal table — and the per-term grid snap is floor integer
+    math (functions/portable_ln, r07 verdict #2)."""
+    from .functions.portable_ln import (
+        sql_grid_decimal,
+        sql_grid_nanos,
+        sql_ln_select,
+    )
+
     terms_sql = ", ".join(f"'{t}'" for t in terms)
+    lnidf = sql_ln_select(
+        "(SELECT d.token, d.df, s.n_rows FROM dfreq d CROSS JOIN stats s) _din",
+        ["token"],
+        {"a": "(2 * n_rows) + 2", "b": "(2 * df) + 1"},
+        [("_idf", "_ln_a - _ln_b")],
+    )
+    s_term = sql_grid_decimal(
+        sql_grid_nanos(
+            f"i._idf * ((t.tf * CAST({k1 + 1.0} AS DOUBLE))"
+            f" / (t.tf + CAST({k1} AS DOUBLE) * (1.0 - {b} + {b} * t.dl / s.avgdl)))"
+        ),
+        28,
+    )
     return f"""base AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
     stats AS (SELECT CAST(count(*) AS DOUBLE) AS N,
-                     avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+                     avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
+                     count(*) AS n_rows FROM base),
     matched AS (
         SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
                unnest(list_filter(toks, t -> list_contains([{terms_sql}], t))) AS token
         FROM base
     ),
     tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM matched GROUP BY doc_id, dl, token),
-    dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    lnidf AS ({lnidf}),
     per_term AS (
         SELECT t.doc_id,
-               CAST(round(
-                   ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
-                   * ((t.tf * CAST({k1 + 1.0} AS DOUBLE))
-                      / (t.tf + CAST({k1} AS DOUBLE) * (1.0 - {b} + {b} * t.dl / s.avgdl))),
-                   9) AS DECIMAL(28,9)) AS s_term
-        FROM tf t JOIN dfreq d USING (token), stats s
+               {s_term} AS s_term
+        FROM tf t JOIN lnidf i USING (token), stats s
     ),
     scores AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
@@ -1225,7 +1303,8 @@ def _bm25_scored_ctes(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str
 @register(
     "bm25_retrieval",
     f"""
-    WITH {_bm25_scored_ctes(_BM25_TERMS)}
+    WITH {_POWS_CTE},
+    {_bm25_scored_ctes(_BM25_TERMS)}
     SELECT doc_id, n_terms_matched, bm25
     FROM scores ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
@@ -1356,18 +1435,51 @@ _NB_CLASSES = ["de", "en", "es", "fr", "zh"]
 
 
 def _nb_oracle(classes: list[str]) -> str:
+    # Portable ln (functions/portable_ln): every log-likelihood is the
+    # fixed-form IEEE chain over integer terms, bit-identical to the
+    # Python that builds Spark's literal tables (r07 verdict #2):
+    #   lp = snap(ln(_c+1) - ln(_t+_V)); un = snap(0.0 - ln(_t+_V));
+    #   pr = snap(ln(_nd) - ln(_nd_all))
+    from .functions.portable_ln import (
+        POWS_CTE,
+        sql_grid_decimal,
+        sql_grid_nanos,
+        sql_ln_select,
+    )
+
     dec = "DECIMAL(18,9)"
+    lnc_sel = sql_ln_select(
+        "(SELECT DISTINCT _c FROM tc) _dlc", ["_c"], {"a": "_c + 1"}, [("_lnc", "_ln_a")]
+    )
+    lnt_sel = sql_ln_select(
+        "(SELECT _y, _t + _V AS _tv FROM totals CROSS JOIN vocab) _dlt",
+        ["_y"],
+        {"a": "_tv"},
+        [("_lnt", "_ln_a")],
+    )
+    lp_val = sql_grid_decimal(sql_grid_nanos("lc._lnc - lt._lnt"))
+    un_val = sql_grid_decimal(sql_grid_nanos("0.0 - lt._lnt"))
     lp = ",\n       ".join(
-        f"max(CASE WHEN _y='{c}' THEN CAST(round(ln((_c+1.0)/(_t+_V)),9) AS {dec}) END) AS lp_{c}"
-        for c in classes
+        f"max(CASE WHEN tc._y='{c}' THEN {lp_val} END) AS lp_{c}" for c in classes
     )
     un = ",\n       ".join(
-        f"max(CASE WHEN _y='{c}' THEN CAST(round(ln(1.0/(_t+_V)),9) AS {dec}) END) AS un_{c}"
+        f"max(CASE WHEN totals._y='{c}' THEN {un_val} END) AS un_{c}"
         for c in classes
     )
-    nd = ",\n       ".join(f"max(CASE WHEN _y='{c}' THEN _nd END) AS _nd_{c}" for c in classes)
-    pr = ",\n       ".join(
-        f"CAST(round(ln(CAST(_nd_{c} AS DOUBLE)/_nd_all),9) AS {dec}) AS pr_{c}" for c in classes
+    nd = ",\n       ".join(
+        f"max(CASE WHEN totals._y='{c}' THEN _nd END) AS _nd_{c}" for c in classes
+    )
+    pr_sel = sql_ln_select(
+        "stats0",
+        [f"un_{c}" for c in classes] + [f"_nd_{c}" for c in classes],
+        {f"n{c}": f"_nd_{c}" for c in classes} | {"nall": "_nd_all"},
+        [
+            (
+                f"pr_{c}",
+                sql_grid_decimal(sql_grid_nanos(f"_ln_n{c} - _ln_nall")),
+            )
+            for c in classes
+        ],
     )
     sm = ",\n       ".join(
         f"sum(lp_{c}) AS s_{c}, count(lp_{c}) AS m_{c}" for c in classes
@@ -1379,23 +1491,31 @@ def _nb_oracle(classes: list[str]) -> str:
     g = ", ".join(f"t_{c}" for c in classes)
     case = " ".join(f"WHEN t_{c} = g THEN '{c}'" for c in classes)
     return f"""
-WITH toks AS (SELECT doc_id, lang AS _y, unnest({TOKS_SQL}) AS token FROM documents),
+WITH {POWS_CTE},
+toks AS (SELECT doc_id, lang AS _y, unnest({TOKS_SQL}) AS token FROM documents),
 tc AS (SELECT _y, token, count(*) AS _c FROM toks GROUP BY 1, 2),
 totals AS (SELECT _y, sum(_c) AS _t FROM tc GROUP BY 1),
 vocab AS (SELECT count(DISTINCT token) AS _V FROM tc),
+lnc AS ({lnc_sel}),
+lnt AS ({lnt_sel}),
 model AS (
     SELECT token,
        {lp}
-    FROM tc JOIN totals USING (_y) CROSS JOIN vocab GROUP BY token
+    FROM tc
+    JOIN lnc lc ON lc._c = tc._c
+    JOIN lnt lt ON lt._y = tc._y
+    GROUP BY token
 ),
 ndocs AS (SELECT lang AS _y, count(*) AS _nd FROM documents GROUP BY 1),
 stats0 AS (
     SELECT {un},
        {nd},
        sum(_nd) AS _nd_all
-    FROM totals CROSS JOIN vocab JOIN ndocs USING (_y)
+    FROM totals
+    JOIN ndocs ON ndocs._y = totals._y
+    JOIN lnt lt ON lt._y = totals._y
 ),
-stats AS (SELECT *, {pr} FROM stats0),
+stats AS ({pr_sel}),
 scored AS (
     SELECT doc_id, _y, count(*) AS _n,
        {sm}
@@ -1451,7 +1571,7 @@ kept AS (
     SELECT d.source, count(*) AS n_kept
     FROM documents d JOIN rates r USING (source)
     WHERE {oracle_md5_int_sql("CAST(doc_id AS VARCHAR)", 7)}
-          < CAST(r.rate * 2.0 ** 48 AS BIGINT)
+          < CAST(r.rate * CAST(281474976710656 AS DOUBLE) AS BIGINT)
     GROUP BY 1
 )
 SELECT r.source, r.n AS n_total, r.rate, coalesce(k.n_kept, 0) AS n_kept
@@ -2201,9 +2321,43 @@ _LM_KEEP_LP = "-8.0"
 
 
 def _lm_oracle_sql() -> str:
-    lp = "CAST(round(ln({x}), 9) AS DECIMAL(18,9))"
+    # Portable ln (functions/portable_ln): the log tables are computed
+    # over the bounded DISTINCT count values by the fixed-form IEEE
+    # chain — mirroring the Spark side's Python-built literal tables
+    # bit for bit — and the per-occurrence value is one double
+    # subtraction plus the floor-based grid snap.  No libm anywhere
+    # (r07 verdict #1).  The backoff ratio 0.4·c/N rides as the exact
+    # integer ratio 2c / 5N.
+    from .functions.portable_ln import (
+        POWS_CTE,
+        sql_grid_decimal,
+        sql_grid_nanos,
+        sql_ln_select,
+    )
+
+    ln_bg = sql_ln_select(
+        "(SELECT DISTINCT c FROM bg) _dbg", ["c"], {"a": "c"}, [("_lnbg", "_ln_a")]
+    )
+    ln_uni = sql_ln_select(
+        "(SELECT DISTINCT c FROM uni) _dun", ["c"], {"a": "c"}, [("_lnprev", "_ln_a")]
+    )
+    ln_back = sql_ln_select(
+        "(SELECT DISTINCT c FROM (SELECT c FROM uni UNION SELECT CAST(1 AS BIGINT) AS c)) _dbk",
+        ["c"],
+        {"a": "2 * c"},
+        [("_lnback", "_ln_a")],
+    )
+    ln_5n = sql_ln_select(
+        "(SELECT greatest(COALESCE(n_total, 0), 1) AS n FROM tot) _d5n",
+        [],
+        {"a": "5 * n"},
+        [("_ln5n", "_ln_a")],
+    )
+    v_pair = sql_grid_decimal(sql_grid_nanos("lb._lnbg - lu._lnprev"))
+    v_back = sql_grid_decimal(sql_grid_nanos("lk._lnback - l5._ln5n"))
     return f"""
-    WITH train AS (
+    WITH {POWS_CTE},
+    train AS (
         SELECT {TOKS_SQL} AS toks FROM documents WHERE source = '{_LM_TRAIN_SRC}'
     ),
     uni AS (
@@ -2218,6 +2372,10 @@ def _lm_oracle_sql() -> str:
                   FROM train)
         ) GROUP BY prev, cur
     ),
+    lnbg AS ({ln_bg}),
+    lnuni AS ({ln_uni}),
+    lnback AS ({ln_back}),
+    ln5n AS ({ln_5n}),
     score AS (
         SELECT doc_id, {TOKS_SQL} AS toks FROM documents
         WHERE source != '{_LM_TRAIN_SRC}'
@@ -2230,13 +2388,17 @@ def _lm_oracle_sql() -> str:
     lp AS (
         SELECT o.doc_id,
                CASE WHEN b.c IS NOT NULL
-                    THEN {lp.format(x="CAST(b.c AS DOUBLE) / CAST(up.c AS DOUBLE)")}
-                    ELSE {lp.format(x="(0.4 * CAST(COALESCE(uc.c, 1) AS DOUBLE)) / CAST((SELECT n_total FROM tot) AS DOUBLE)")}
+                    THEN {v_pair}
+                    ELSE {v_back}
                END AS v
         FROM occ o
         LEFT JOIN bg b ON b.prev = o.prev AND b.cur = o.cur
         LEFT JOIN uni up ON up.w = o.prev
         LEFT JOIN uni uc ON uc.w = o.cur
+        LEFT JOIN lnbg lb ON lb.c = b.c
+        LEFT JOIN lnuni lu ON lu.c = up.c
+        LEFT JOIN lnback lk ON lk.c = COALESCE(uc.c, 1)
+        CROSS JOIN ln5n l5
     ),
     agg AS (
         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
@@ -2285,8 +2447,40 @@ def _dsir_oracle_sql() -> str:
     bg = "toks[g] || ' ' || toks[g+1]"
     bucket = f"{oracle_md5_int_sql(bg, 31, 8)} % {_DSIR_BUCKETS}"
     b = _DSIR_BUCKETS
+    # Portable ln (functions/portable_ln): the smoothed log ratio is
+    # the left-associated four-term combine
+    # ((ln(ct+1) + ln(nq+B)) - ln(cq+1)) - ln(nt+B) through the
+    # fixed-form IEEE chain + floor grid snap — bit-identical to the
+    # Python that builds Spark's literal table (r07 verdict #1).
+    from .functions.portable_ln import (
+        POWS_CTE,
+        sql_grid_decimal,
+        sql_grid_nanos,
+        sql_ln_select,
+    )
+
+    lr_sel = sql_ln_select(
+        "(SELECT cq.b AS b, cq.cq AS cq, COALESCE(ct.ct, 0) AS ct, tot.nq AS nq, tot.nt AS nt"
+        " FROM cq LEFT JOIN ct ON ct.b = cq.b CROSS JOIN tot) _lrin",
+        ["b"],
+        {
+            "a": "ct + 1",
+            "b": f"nq + {b}",
+            "c": "cq + 1",
+            "d": f"nt + {b}",
+        },
+        [
+            (
+                "lr",
+                sql_grid_decimal(
+                    sql_grid_nanos("((_ln_a + _ln_b) - _ln_c) - _ln_d")
+                ),
+            )
+        ],
+    )
     return f"""
-    WITH raw_occ AS (
+    WITH {POWS_CTE},
+    raw_occ AS (
         SELECT doc_id, {bucket} AS b
         FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-1, 0)+1)) AS g
               FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents
@@ -2305,14 +2499,7 @@ def _dsir_oracle_sql() -> str:
         SELECT CAST((SELECT sum(cq) FROM cq) AS BIGINT) AS nq,
                CAST(COALESCE((SELECT sum(ct) FROM ct), 0) AS BIGINT) AS nt
     ),
-    lr AS (
-        SELECT cq.b,
-               CAST(round(ln(
-                   (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) * CAST(tot.nq + {b} AS DOUBLE))
-                 / (CAST(cq.cq + 1 AS DOUBLE) * CAST(tot.nt + {b} AS DOUBLE))
-               ), 9) AS DECIMAL(18,9)) AS lr
-        FROM cq LEFT JOIN ct ON ct.b = cq.b CROSS JOIN tot
-    ),
+    lr AS ({lr_sel}),
     scored AS (
         SELECT dc.doc_id,
                CAST(sum(dc.cnt) AS INTEGER) AS n_bigrams,
@@ -2591,15 +2778,39 @@ _BM25_BATCH_K = 10
 
 
 def _bm25_batch_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    # portable idf + floor grid snap, shared with _bm25_scored_ctes
+    # (functions/portable_ln, r07 verdict #2)
+    from .functions.portable_ln import (
+        POWS_CTE,
+        sql_grid_decimal,
+        sql_grid_nanos,
+        sql_ln_select,
+    )
+
     all_terms = sorted({t for _, ts in _BM25_BATCH for t in ts})
     terms_sql = ", ".join(f"'{t}'" for t in all_terms)
     qrows = ", ".join(
         f"({qid}, '{t}')" for qid, ts in _BM25_BATCH for t in sorted(set(ts))
     )
+    lnidf = sql_ln_select(
+        "(SELECT d.token, d.df, s.n_rows FROM dfreq d CROSS JOIN stats s) _din",
+        ["token"],
+        {"a": "(2 * n_rows) + 2", "b": "(2 * df) + 1"},
+        [("_idf", "_ln_a - _ln_b")],
+    )
+    s_term = sql_grid_decimal(
+        sql_grid_nanos(
+            f"i._idf * ((t.tf * CAST({k1 + 1.0} AS DOUBLE))"
+            f" / (t.tf + CAST({k1} AS DOUBLE) * (1.0 - {b} + {b} * t.dl / s.avgdl)))"
+        ),
+        28,
+    )
     return f"""
-WITH base AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+WITH {POWS_CTE},
+base AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS N,
-                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
+                 count(*) AS n_rows FROM base),
 q(query_id, token) AS (VALUES {qrows}),
 matched AS (
     SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
@@ -2607,15 +2818,12 @@ matched AS (
     FROM base
 ),
 tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM matched GROUP BY doc_id, dl, token),
-dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+lnidf AS ({lnidf}),
 per_term AS (
     SELECT q.query_id, t.doc_id,
-           CAST(round(
-               ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
-               * ((t.tf * CAST({k1 + 1.0} AS DOUBLE))
-                  / (t.tf + CAST({k1} AS DOUBLE) * (1.0 - {b} + {b} * t.dl / s.avgdl))),
-               9) AS DECIMAL(28,9)) AS s_term
-    FROM tf t JOIN dfreq d USING (token) JOIN q ON q.token = t.token, stats s
+           {s_term} AS s_term
+    FROM tf t JOIN lnidf i USING (token) JOIN q ON q.token = t.token, stats s
 ),
 scores AS (
     SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
@@ -2644,7 +2852,7 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every query, a broadcast (query, term) fan-out join, per-query rank
     windows. Corpus cost independent of query count — the shape that
     replaces per-query scans in production serving. idf logs ride in as
-    portable_log literals (no in-engine transcendental)."""
+    portable_ln literals (no libm on either comparison side)."""
     from .functions.retrieval import bm25_batch_topk
 
     docs = load_table(spark, sf_dir, "documents")

@@ -245,10 +245,16 @@ def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _rrf_oracle() -> str:
+    from .functions.portable_ln import POWS_CTE, sql_grid_nanos
     from .registry_text import _BM25_TERMS, _bm25_scored_ctes
 
+    # the shipped rrf value snaps onto the 9-dp grid with floor integer
+    # math (portable_ln) — float round() tie/scaling behavior is
+    # engine-specific
+    rrf_snap = f"CAST({sql_grid_nanos('rrf')} AS DOUBLE) / 1000000000.0"
     return f"""
-WITH {_bm25_scored_ctes(_BM25_TERMS)},
+WITH {POWS_CTE},
+{_bm25_scored_ctes(_BM25_TERMS)},
 lex AS (
     SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r
     FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20
@@ -271,8 +277,8 @@ fused AS (
          + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r), CAST(0.0 AS DOUBLE)) AS rrf
     FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
 )
-SELECT doc_id, rank_lexical, rank_vector, round(rrf, 9) AS rrf
-FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+SELECT doc_id, rank_lexical, rank_vector, {rrf_snap} AS rrf
+FROM fused ORDER BY fused.rrf DESC, doc_id LIMIT 10
 """
 
 
@@ -444,8 +450,11 @@ c AS (
     {cap_bucket_qualify_sql('bkt', DEFAULT_MAX_BUCKET)}
 ),
 b AS (
+    -- the BENCHMARK side is never capped (ADVICE r07 medium: the Spark
+    -- operator stopped capping it in r07 — a capped twin would diverge
+    -- whenever an eval bucket exceeds the guard, green only by data
+    -- luck); recall-preserving on both engines by construction
     SELECT * FROM p WHERE vec_id % 10 = 0
-    {cap_bucket_qualify_sql('bkt', DEFAULT_MAX_BUCKET)}
 ),
 flagged AS (
     SELECT DISTINCT c.vec_id

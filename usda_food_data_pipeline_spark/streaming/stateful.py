@@ -167,10 +167,17 @@ def streaming_heavy_hitters(
     exact (both pinned in tests/test_streaming_state.py). Counters fold
     batch-aggregated observations in (count DESC, item ASC) order, so
     the result is a deterministic function of the micro-batch sequence.
+
+    NULL items (absent ``item_col`` values, or non-numeric values the
+    bigint cast nulls out) are filtered EXPLICITLY before the stateful
+    fold, and ``n_seen`` counts non-null items only (ADVICE r07 low:
+    pandas groupby would have dropped them silently AFTER n_seen was
+    advanced in spirit — the documented ``true - n/m ≤ est`` guarantee
+    must be stated against the n the counters actually folded).
     """
     keyed = events_stream.select(
         "event_type", F.col(item_col).cast("bigint").alias("item")
-    )
+    ).filter(F.col("item").isNotNull())
     return keyed.groupBy("event_type").applyInPandasWithState(
         make_mg_update(m),
         outputStructType=MG_OUTPUT_SCHEMA,
