@@ -1040,3 +1040,29 @@ def test_winnowing_density_and_coverage_guarantee(spark, tmp_path):
     fps = {row[0]: set(row[1]) for row in con.execute(sql).fetchall()}
     assert fps[1] & fps[2], "docs sharing a 10-token run must share a fingerprint hash"
     assert not (fps[1] & fps[3])
+
+
+def test_doc_repetition_signals(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import doc_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),          # 4 identical bigrams
+            (2, "a b c d e"),                          # all bigrams unique
+            (3, "x y x y x y"),                        # "x y"×3, "y x"×2
+            (4, "solo"),                               # <2 tokens -> excluded
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in doc_repetition(docs, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    assert (r1["n_bigrams"], r1["top_bigram"], r1["top_count"]) == (4, "spam spam", 4)
+    assert r1["top_frac"] == 1.0 and r1["dup_frac"] == 1.0
+    r2 = rows[2]
+    assert r2["top_count"] == 1 and r2["dup_frac"] == 0.0
+    assert r2["top_bigram"] == "a b"  # (count DESC, bigram ASC) tie-break
+    assert r2["top_frac"] == 0.25
+    r3 = rows[3]
+    assert (r3["n_bigrams"], r3["top_bigram"], r3["top_count"]) == (5, "x y", 3)
+    assert r3["dup_frac"] == 1.0 and r3["top_frac"] == 0.6

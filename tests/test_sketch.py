@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from usda_food_data_pipeline_spark.functions.sketch import (
@@ -128,3 +129,63 @@ def test_label_propagation_separates_two_cliques(spark):
     assert len({got[n] for n in range(4)}) == 1
     assert len({got[n] for n in range(10, 14)}) == 1
     assert got[0] != got[13]  # two communities survive the bridge
+
+
+def test_hll_registers_match_reference_python(spark):
+    """Register table = pure function of the token set: recompute with
+    an independent Python md5 implementation."""
+    import hashlib
+
+    from usda_food_data_pipeline_spark.functions.sketch import (
+        HLL_M,
+        HLL_SEED,
+        hll_registers,
+    )
+
+    rows = [(i, f"tok{i % 37} tok{(i * 7) % 23} filler{i % 5}") for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["j"]: r["mj"] for r in hll_registers(docs, "text").collect()}
+
+    want: dict[int, int] = {}
+    for _, text in rows:
+        for w in text.split():
+            h = int(hashlib.md5(f"s{HLL_SEED}:{w}".encode()).hexdigest()[:12], 16)
+            j, wq = h % HLL_M, h // HLL_M
+            r = 41 if wq == 0 else 41 - wq.bit_length()
+            want[j] = max(want.get(j, 0), r)
+    assert got == want
+
+
+def test_hll_estimate_tracks_true_distinct(spark):
+    """With vocab ≫ m the raw estimator engages; relative error should
+    sit well inside the 3σ band (σ ≈ 1.04/√256 = 6.5%)."""
+    from usda_food_data_pipeline_spark.functions.sketch import hll_distinct
+
+    n_vocab = 5000
+    rows = [
+        (i, " ".join(f"w{(i * 97 + k) % n_vocab}" for k in range(40)))
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = hll_distinct(docs, "text").collect()[0]
+    true_d = row["true_distinct"]
+    assert true_d == len({f"w{(i * 97 + k) % n_vocab}" for i in range(400) for k in range(40)})
+    assert abs(row["est"] - true_d) / true_d < 0.20
+    assert row["rel_err"] == pytest.approx((row["est"] - true_d) / true_d, abs=1e-6)
+
+
+def test_hll_merge_is_elementwise_max(spark):
+    """Shard registers merge by elementwise max == whole-corpus
+    registers (the mergeability contract)."""
+    from usda_food_data_pipeline_spark.functions.sketch import hll_registers
+
+    rows = [(i, f"alpha{i % 50} beta{(i * 3) % 80}") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    whole = {r["j"]: r["mj"] for r in hll_registers(docs, "text").collect()}
+    a = {r["j"]: r["mj"] for r in hll_registers(docs.filter("doc_id % 2 = 0"), "text").collect()}
+    b = {r["j"]: r["mj"] for r in hll_registers(docs.filter("doc_id % 2 = 1"), "text").collect()}
+    merged: dict[int, int] = {}
+    for d in (a, b):
+        for j, m in d.items():
+            merged[j] = max(merged.get(j, 0), m)
+    assert merged == whole

@@ -119,8 +119,15 @@ def dsir_select(
     # the 9-dp log ratios in driver Python with the portable fixed-form
     # IEEE ln (see module docstring — no libm anywhere), broadcast the
     # exact decimals back.
-    cq_rows = {int(r["b"]): int(r["cq"]) for r in cq.collect()}
-    ct_rows = {int(r["b"]): int(r["ct"]) for r in ct.collect()}
+    # the two count collects are independent jobs (pool buckets read the
+    # dc cache, target buckets tokenize the eval slice) — run them
+    # concurrently (r07 verdict task 6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_cq = pool.submit(lambda: {int(r["b"]): int(r["cq"]) for r in cq.collect()})
+        f_ct = pool.submit(lambda: {int(r["b"]): int(r["ct"]) for r in ct.collect()})
+        cq_rows, ct_rows = f_cq.result(), f_ct.result()
     nq = sum(cq_rows.values())
     nt = sum(ct_rows.values())
     # mirrors the oracle's portable chain, left-associated:

@@ -112,11 +112,28 @@ def lm_score_stupid_backoff(
     from ..operators.dedup import _INTERMEDIATES
 
     spark = docs.sparkSession
-    uni, bg = lm_train_counts(
-        docs.filter(F.col(source_col) == train_source), text_col
+    # tokenize the training slice ONCE: both count tables read this
+    # cache (r07 verdict task 6 — the model-build jobs previously
+    # re-tokenized the slice per consumer).  Released below as soon as
+    # uni/bg are materialized; never escapes this function.
+    toks = (
+        docs.filter(F.col(source_col) == train_source)
+        .select(tokenize(F.col(text_col)).alias("toks"))
+        .persist()
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = (
+        toks.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c"))
     )
     # The model tables feed several consumers (log-table collects + the
-    # scoring joins); persist so the training slice is tokenized once.
+    # scoring joins); persist so each is aggregated once.
     # Janitor-tracked: the NEXT tracked operator call retires them.
     uni = uni.persist()
     bg = bg.persist()
@@ -124,13 +141,25 @@ def lm_score_stupid_backoff(
 
     # Portable log tables (see module docstring): two bounded driver
     # jobs build everything — distinct bigram counts, and one pass over
-    # the unigram table for (N_total, distinct unigram counts).  The
-    # value domains are count-value cardinalities (heavy-tailed counts
-    # ⇒ tiny), never vocab- or corpus-sized.
-    bg_vals = sorted(int(r["c"]) for r in bg.select("c").distinct().collect())
-    st = uni.agg(
-        F.sum("c").alias("_n"), F.collect_set("c").alias("_vals")
-    ).collect()[0]
+    # the unigram table for (N_total, distinct unigram counts) — run
+    # CONCURRENTLY (Spark schedules independent jobs in parallel; both
+    # read the toks cache, so the slice tokenizes once in whichever job
+    # lands first).  The collected value domains are count-value
+    # cardinalities (heavy-tailed counts ⇒ tiny), never vocab- or
+    # corpus-sized.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_bg = pool.submit(
+            lambda: sorted(int(r["c"]) for r in bg.select("c").distinct().collect())
+        )
+        f_uni = pool.submit(
+            lambda: uni.agg(
+                F.sum("c").alias("_n"), F.collect_set("c").alias("_vals")
+            ).collect()[0]
+        )
+        bg_vals, st = f_bg.result(), f_uni.result()
+    toks.unpersist()
     n_total = int(st["_n"] or 0)
     uni_vals = sorted(int(v) for v in (st["_vals"] or []))
     back_vals = sorted({1} | set(uni_vals))

@@ -574,3 +574,65 @@ def bpe_pair_counts(df, text_col: str, k: int = 20):
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def doc_repetition(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.2): repeated n-grams are the strongest cheap predictor of
+    boilerplate / spam / generation loops, and corpus curation drops
+    documents whose repetition fractions exceed thresholds.
+
+    Per document, over adjacent-token bigrams:
+    ``n_bigrams``; the most frequent bigram (``top_bigram``,
+    ``top_count``; ties by (count DESC, bigram ASC) — deterministic);
+    ``top_frac`` = top_count/n_bigrams; ``dup_frac`` = fraction of
+    bigram occurrences whose bigram repeats within the doc.  Documents
+    with < 2 tokens carry no signal and are excluded.
+
+    Plan: explode → (doc, bigram) count (map-side combine; the only
+    corpus-sized exchange carries distinct pairs) → one per-doc
+    aggregate + one WindowGroupLimit-pruned rank window.  Fractions are
+    integer ratios evaluated in one correctly-rounded double division
+    and snapped onto the 6-dp grid with floor math (portable_ln) —
+    bit-identical cross-engine, no transcendental anywhere.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokenize
+    from .dsir import _bigrams
+    from .portable_ln import grid_nanos_col
+
+    occ = df.select(
+        F.col(id_col), F.explode(_bigrams(tokenize(F.col(text_col)))).alias("g")
+    )
+    cnt = occ.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c")).persist()
+    per = cnt.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("_dup"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("g").asc())
+    top = (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("g").alias("top_bigram"),
+            F.col("c").cast("bigint").alias("top_count"),
+        )
+    )
+
+    def frac(num, den):
+        v = num.cast("double") / den.cast("double")
+        return grid_nanos_col(v, 6).cast("double") / F.lit(1000000.0)
+
+    return per.join(top, id_col).select(
+        id_col,
+        "n_bigrams",
+        "top_bigram",
+        "top_count",
+        frac(F.col("top_count"), F.col("n_bigrams")).alias("top_frac"),
+        frac(F.col("_dup"), F.col("n_bigrams")).alias("dup_frac"),
+    )

@@ -284,6 +284,10 @@ _ORDER: list[str] = [
     "dedup_stats",
     "doc_novelty",
     "table_diff",
+    # round-8 operators (exact oracles + 3-scale local rows; rotate
+    # in-window next round per the standard rotation protocol)
+    "hll_distinct",
+    "doc_repetition",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

@@ -2752,16 +2752,110 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens by Count-Min estimate with exact counts alongside
     (functions/sketch.py). The sketch is a 4×1024 integer table built by
     one map-side-combined aggregation — fixed-width and shard-mergeable
-    at any corpus size — and estimation is a plan-time literal-map
-    lookup (the kmeans centroid-constant pattern). Estimates never
-    undercount (overcount ≥ 0 row-wise, asserted in tests); hashing is
-    portable md5, so the oracle rebuilds the identical sketch: an
-    exactly-twinnable APPROXIMATE structure, its approximation being
-    deterministic data reduction rather than randomness."""
+    at any corpus size — and estimation is one broadcast hash join of
+    the candidates' (r, b) probe keys against that table plus a
+    map-side-combinable min (ADVICE r07 low: replaced the 32k-literal
+    create_map projection). Estimates never undercount (overcount ≥ 0
+    row-wise, asserted in tests); hashing is portable md5, so the
+    oracle rebuilds the identical sketch: an exactly-twinnable
+    APPROXIMATE structure, its approximation being deterministic data
+    reduction rather than randomness."""
     from .functions.sketch import cms_heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
     return cms_heavy_hitters(docs, "text", k=_CMS_K)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-token estimate (functions/sketch.hll_distinct):
+# the second mergeable sketch — distinct counting without the vocab
+# exchange; registers + estimate arithmetic exactly twinned through the
+# portable IEEE chain (no libm on either side)
+# ---------------------------------------------------------------------------
+
+
+def _hll_oracle() -> str:
+    from .functions.portable_ln import POWS_CTE, sql_ln_select
+    from .functions.sketch import HLL_ALPHA_SQL, HLL_M, HLL_SEED
+
+    m = HLL_M
+    h = oracle_md5_int_sql("w", HLL_SEED, 12)
+    lnlc = sql_ln_select(
+        "(SELECT v FROM agg WHERE v > 0) _dlv",
+        [],
+        {"a": f"{m}", "b": "v"},
+        [("_lnr", "_ln_a - _ln_b")],
+    )
+    snap4_raw = "CAST(floor((raw * 10000.0) + 0.5) AS BIGINT)"
+    snap4_est = "CAST(floor((est * 10000.0) + 0.5) AS BIGINT)"
+    return f"""
+    WITH {POWS_CTE},
+    toks AS (SELECT unnest({TOKS_SQL}) AS w FROM documents),
+    occ AS (
+        SELECT h % {m} AS j, h // {m} AS wq
+        FROM (SELECT {h} AS h FROM toks)
+    ),
+    regs AS (
+        SELECT j, max(CASE WHEN wq = 0 THEN 41
+                           ELSE 41 - length(bin(wq)) END) AS mj
+        FROM occ GROUP BY j
+    ),
+    agg AS (
+        SELECT CAST(COALESCE(sum(CAST(1 AS BIGINT) << (41 - mj)), 0)
+                    + ({m} - count(*)) * (CAST(1 AS BIGINT) << 41) AS BIGINT) AS s41,
+               CAST({m} - count(*) AS INTEGER) AS v
+        FROM regs
+    ),
+    lnlc AS ({lnlc}),
+    fin AS (
+        SELECT a.s41, a.v,
+               (({HLL_ALPHA_SQL} * 65536.0) * 2199023255552.0)
+                   / CAST(a.s41 AS DOUBLE) AS raw
+        FROM agg a
+    ),
+    fin2 AS (
+        SELECT f.s41, f.v, f.raw,
+               CASE WHEN f.v > 0 AND f.raw <= 640.0
+                    THEN 256.0 * l._lnr ELSE f.raw END AS est
+        FROM fin f LEFT JOIN lnlc l ON 1 = 1
+    ),
+    fin3 AS (
+        SELECT s41, v, raw, {snap4_raw} AS raw4n, {snap4_est} AS e4n
+        FROM fin2
+    ),
+    tru AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS td FROM toks)
+    SELECT CAST({m} AS INTEGER) AS m, v AS v_zeros, s41,
+           CAST(raw4n AS DOUBLE) / 10000.0 AS raw_est,
+           CAST(e4n AS DOUBLE) / 10000.0 AS est,
+           td AS true_distinct,
+           CASE WHEN td = 0 THEN NULL
+                ELSE CAST(CAST(floor(((((CAST(e4n AS DOUBLE) / 10000.0)
+                     - CAST(td AS DOUBLE)) / CAST(td AS DOUBLE))
+                     * 1000000.0) + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+           END AS rel_err
+    FROM fin3 CROSS JOIN tru
+    """
+
+
+@register(
+    "hll_distinct",
+    _hll_oracle(),
+    "HyperLogLog distinct-token estimate (256 registers, portable "
+    "hash/ln; exact integer harmonic sum) with the exact count audit",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token count (functions/sketch.hll_distinct):
+    256-register sketch over the portable 48-bit md5 — one explode +
+    one 256-row max-aggregate, no vocab exchange, mergeable across
+    shards (elementwise register max). The harmonic sum rides as the
+    EXACT integer Σ 2^(41-M_j) and the estimate arithmetic (bias
+    constant from integer-literal divisions, linear-counting ln through
+    functions/portable_ln, floor grid snaps) is spelled identically in
+    driver Python and the oracle SQL — bit-identical on every build."""
+    from .functions.sketch import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hll_distinct(docs, "text")
 
 
 # ---------------------------------------------------------------------------
@@ -2857,3 +2951,56 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_batch_topk(docs, _BM25_BATCH, k=_BM25_BATCH_K)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (functions/textstats.doc_repetition): per-doc
+# top-bigram dominance + duplicated-bigram fraction — the curation
+# thresholds of Rae et al. 2021 §A1.2; deepens the expression-only
+# repetition_stats shingle ratio with count-distribution signals
+# ---------------------------------------------------------------------------
+
+_REP_SNAP6 = (
+    "CAST(CAST(floor((({x}) * 1000000.0) + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0"
+)
+
+
+@register(
+    "doc_repetition",
+    f"""
+    WITH occ AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+              FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents))
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM occ GROUP BY doc_id, g),
+    per AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+        FROM cnt GROUP BY doc_id
+    ),
+    top AS (
+        SELECT doc_id, g AS top_bigram, CAST(c AS BIGINT) AS top_count
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, g) AS rn FROM cnt)
+        WHERE rn = 1
+    )
+    SELECT p.doc_id, p.n_bigrams, t.top_bigram, t.top_count,
+           {_REP_SNAP6.format(x="CAST(t.top_count AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)")} AS top_frac,
+           {_REP_SNAP6.format(x="CAST(p.dup AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)")} AS dup_frac
+    FROM per p JOIN top t USING (doc_id)
+    """,
+    "Gopher repetition signals: per-doc top-bigram dominance + "
+    "duplicated-bigram occurrence fraction (6-dp floor grid)",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-repetition curation signals
+    (functions/textstats.doc_repetition): one distinct-pair-bounded
+    count aggregate feeds a per-doc rollup and a WindowGroupLimit-pruned
+    top-1 rank window; fractions are integer ratios through one
+    correctly-rounded double division + the floor 6-dp grid snap —
+    exact cross-engine, no transcendental."""
+    from .functions.textstats import doc_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_repetition(docs, "doc_id", "text")
