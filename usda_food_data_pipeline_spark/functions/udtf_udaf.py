@@ -60,11 +60,18 @@ def geometric_mean(v: pd.Series) -> float:
     final exp is the portable range-reduced Taylor form, snapped to
     4 dp with floor integer math.  The oracle SQL runs the identical
     chain, so the values agree bit for bit on every DuckDB build."""
+    import numpy as np
+
     from .portable_ln import py_exp, py_grid_nanos, py_ln_int
 
-    vals = [int(x) for x in v if x > 0]
-    if not vals:
+    x = v[v > 0]
+    if len(x) == 0:
         return float("nan")
-    sum_nanos = sum(py_grid_nanos(py_ln_int(x)) for x in vals)
-    mean = float(sum_nanos) / (float(len(vals)) * 1000000000.0)
+    # ln per DISTINCT value (quantities are small integers), folded by
+    # exact integer multiply-accumulate — vectorized, not per-row Python
+    uniq, counts = np.unique(x.astype("int64").to_numpy(), return_counts=True)
+    sum_nanos = sum(
+        int(c) * py_grid_nanos(py_ln_int(int(u))) for u, c in zip(uniq, counts)
+    )
+    mean = float(sum_nanos) / (float(len(x)) * 1000000000.0)
     return float(py_grid_nanos(py_exp(mean), 4)) / 10000.0
