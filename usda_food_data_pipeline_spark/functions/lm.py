@@ -50,7 +50,10 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import tokenize
 
-ALPHA = 0.4  # Brants et al.'s backoff constant
+# Brants et al.'s backoff constant. Encoded in the scoring path as the
+# exact integer ratio 2/5 (ln(0.4·c/N) = ln(2c) - ln(5N)) — changing it
+# means changing that decomposition, not just this value.
+ALPHA = 0.4
 LP_SCALE = 9
 _LP_TYPE = f"decimal(18,{LP_SCALE})"
 
