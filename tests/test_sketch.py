@@ -189,3 +189,21 @@ def test_hll_merge_is_elementwise_max(spark):
         for j, m in d.items():
             merged[j] = max(merged.get(j, 0), m)
     assert merged == whole
+
+
+def test_kcore_peel_keeps_clique_drops_chain(spark):
+    """A 4-clique survives k=2 peeling; a pendant chain hanging off it
+    peels away one node per round (bounded rounds = approximation from
+    above, exact at convergence)."""
+    from usda_food_data_pipeline_spark.operators.graph import kcore_peel
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, ["src", "dst"])
+    # 3 rounds: 12 (deg1) goes in r1, 11 in r2, 10 in r3 -> clique only
+    got = {r["n"]: r["deg"] for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # 1 round: only the tail node peels; induced degrees reflect it
+    got1 = {r["n"]: r["deg"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert set(got1) == {0, 1, 2, 3, 10, 11}
+    assert got1[11] == 1  # superset-from-above: not yet converged

@@ -309,3 +309,74 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     out = labels.select("n", "label").localCheckpoint(eager=True)
     und.unpersist()
     return out
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Bounded-round k-core peeling: ``rounds`` synchronous iterations
+    of "drop every node whose degree among survivors is < k", then
+    report the surviving nodes with their induced-subgraph degree.
+
+    The true k-core is the FIXPOINT of this peel; a fixed round count
+    makes the operator a deterministic, exactly-SQL-twinnable
+    approximation FROM ABOVE (each round only removes nodes, so the
+    result is always a superset of the k-core, and equals it once a
+    round removes nothing).  Bounding rounds is also what a production
+    pass does — convergence depth is data-dependent and a pipeline
+    budget is not.
+
+    Why a curation pipeline wants this: in link/co-occurrence graphs
+    the k-core separates densely embedded nodes from chains and
+    pendants — the standard spam/quality prior on web-domain graphs
+    (deep-core domains are heavily cross-referenced), and the dual of
+    LPA's community split.
+
+    Scale shape: per round, the persisted undirected edge list joins
+    the (shrinking) nodes-sized survivor set on BOTH endpoints — the
+    join strategy is left to AQE, which broadcasts the survivor side
+    when it fits and falls back to a nodes-sized shuffle when the node
+    set outgrows broadcast — followed by one
+    map-side-combined degree count.  O(rounds · |E|) total, no
+    quadratic stage.  Lineage is cut per round with ``localCheckpoint``
+    (the CC/LPA discipline) so ``rounds`` never compounds the plan.
+
+    Input: ``(src, dst)`` undirected edges (one row per pair, src<dst).
+    Output: ``(n, deg)`` — survivors of ``rounds`` peels with their
+    degree inside the surviving induced subgraph.
+    """
+    und = (
+        edges.select(
+            F.col("src").cast("bigint").alias("n"),
+            F.col("dst").cast("bigint").alias("m"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("bigint").alias("n"),
+                F.col("src").cast("bigint").alias("m"),
+            )
+        )
+        .persist()
+    )
+    surv = und.select("n").distinct()
+    prev = None
+    for _ in range(rounds):
+        deg = (
+            und.join(surv, "n")
+            .join(surv.select(F.col("n").alias("m")), "m")
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = deg.filter(F.col("deg") >= k).select("n").localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev, surv = nxt, nxt
+    out = (
+        und.join(surv, "n")
+        .join(surv.select(F.col("n").alias("m")), "m")
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    if prev is not None:
+        prev.unpersist()
+    und.unpersist()
+    return out

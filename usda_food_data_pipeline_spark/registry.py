@@ -288,6 +288,7 @@ _ORDER: list[str] = [
     # in-window next round per the standard rotation protocol)
     "hll_distinct",
     "doc_repetition",
+    "kcore_nodes",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

@@ -828,3 +828,65 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=_LPA_ROUNDS).select(
         F.col("n").cast("bigint").alias("n"), F.col("label").cast("bigint").alias("label")
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    # one degree/survivor CTE pair per synchronous peel round, unrolled
+    # exactly like the Spark loop (bounded rounds ARE the semantics)
+    ctes = [
+        """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+              FROM op a JOIN op b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+    und AS (SELECT CAST(x AS BIGINT) AS n, CAST(y AS BIGINT) AS m FROM pairs
+            UNION ALL
+            SELECT CAST(y AS BIGINT) AS n, CAST(x AS BIGINT) AS m FROM pairs),
+    s0 AS (SELECT DISTINCT n FROM und)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    d{r} AS (
+        SELECT u.n, count(*) AS deg
+        FROM und u
+        JOIN s{r - 1} a ON a.n = u.n
+        JOIN s{r - 1} b ON b.n = u.m
+        GROUP BY u.n
+    ),
+    s{r} AS (SELECT n FROM d{r} WHERE deg >= {k})""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT u.n, CAST(count(*) AS BIGINT) AS deg
+    FROM und u
+    JOIN s{rounds} a ON a.n = u.n
+    JOIN s{rounds} b ON b.n = u.m
+    GROUP BY u.n"""
+    )
+
+
+@register(
+    "kcore_nodes",
+    _kcore_oracle(),
+    f"bounded-round k-core peel (k={_KCORE_K}, {_KCORE_ROUNDS} rounds) on the "
+    "repeated co-purchase graph: survivors + induced degree",
+)
+def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (operators/graph.kcore_peel): drop
+    degree<k nodes for a fixed number of synchronous rounds, report
+    survivors with their induced-subgraph degree — the dense-core
+    quality prior on link/co-occurrence graphs (superset of the true
+    k-core, equal at convergence; the oracle unrolls the identical
+    rounds). Per round one edge⋈survivor join pair (AQE-broadcast) +
+    one map-side-combined degree count; lineage localCheckpoint-cut."""
+    from .operators.graph import copurchase_edges, kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_pair_count=2).select("src", "dst")
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
