@@ -265,3 +265,71 @@ def test_misra_gries_stateful_heavy_hitters(spark, tmp_path):
     for (et, item), true_n in truth.items():
         if true_n > n_per_type[et] / 4:  # > n/m must survive the summary
             assert (et, item) in small and small[(et, item)] > 0
+
+
+def test_streaming_hll_matches_batch_sketch_and_bounds_state(spark, tmp_path):
+    """Bounded-state continuous distinct counting (streaming/stateful.py):
+    the per-key HLL registers after replaying the whole stream must
+    EQUAL the batch sketch over the union of the data (registers are
+    elementwise-max folds of a pure per-item function, so micro-batch
+    partitioning cannot change them), the emitted estimate must be the
+    batch estimator verbatim, and the state store holds ONE row per
+    key-group regardless of item cardinality or stream volume."""
+    from usda_food_data_pipeline_spark.functions.portable_ln import (
+        py_grid_nanos,
+        py_ln_int,
+    )
+    from usda_food_data_pipeline_spark.functions.sketch import HLL_M, _hll_alpha
+    from usda_food_data_pipeline_spark.streaming.stateful import (
+        _hll_hash,
+        streaming_distinct_hll,
+    )
+
+    base = str(tmp_path / "hll")
+    os.makedirs(base)
+    _write_funnel_files(spark, base, rows_per_hour=40)
+
+    schema = spark.read.parquet(os.path.join(base, "f00.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "f*.parquet"))
+    )
+    out = streaming_distinct_hll(stream, item_col="user_id")
+    name = f"hll_{abs(hash(base)) % 10**8}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        state_rows = sum(op["numRowsTotal"] for op in q.lastProgress["stateOperators"])
+        rows = spark.sql(
+            f"""SELECT event_type, est, v_zeros, s41 FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY event_type ORDER BY s41 ASC
+                  ) AS rn FROM {name}) WHERE rn = 1"""
+        ).collect()
+    finally:
+        q.stop()
+    got = {r["event_type"]: (r["est"], r["v_zeros"], r["s41"]) for r in rows}
+
+    # reference: batch registers over the union, same hash/estimator
+    items = spark.read.parquet(os.path.join(base, "f*.parquet")).select(
+        "event_type", F.col("user_id").cast("bigint").alias("item")
+    ).distinct().collect()
+    regs: dict[str, list[int]] = {}
+    for r in items:
+        js, rk = _hll_hash(int(r["item"]))
+        rg = regs.setdefault(r["event_type"], [0] * HLL_M)
+        rg[js] = max(rg[js], rk)
+    assert set(got) == set(regs)
+    for et, rg in regs.items():
+        s41 = sum(1 << (41 - x) for x in rg)
+        v = sum(1 for x in rg if x == 0)
+        raw = ((_hll_alpha() * 65536.0) * 2199023255552.0) / float(s41)
+        est = 256.0 * (py_ln_int(HLL_M) - py_ln_int(v)) if (v > 0 and raw <= 640.0) else raw
+        est4 = float(py_grid_nanos(est, 4)) / 10000.0
+        assert got[et] == (est4, v, s41), et
+        # sanity: the estimate tracks the true per-key distinct count
+        true_d = sum(1 for r in items if r["event_type"] == et)
+        assert abs(est4 - true_d) / true_d < 0.25
+    # one state row per key-group, regardless of distinct items
+    assert state_rows == len(regs)

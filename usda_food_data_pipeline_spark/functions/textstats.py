@@ -606,7 +606,15 @@ def doc_repetition(df, id_col: str, text_col: str):
     occ = df.select(
         F.col(id_col), F.explode(_bigrams(tokenize(F.col(text_col)))).alias("g")
     )
+    # the (doc, bigram) count table feeds the rollup AND the top-1
+    # window; persist so the corpus tokenizes once.  Janitor-tracked:
+    # safe here (unlike prefix.py's cache) because no collected
+    # constant couples to this materialization — an early unpersist
+    # merely recomputes the same deterministic counts.
     cnt = occ.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c")).persist()
+    from ..operators.dedup import _INTERMEDIATES
+
+    _INTERMEDIATES.rollover([cnt])
     per = cnt.groupBy(id_col).agg(
         F.sum("c").cast("bigint").alias("n_bigrams"),
         F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))

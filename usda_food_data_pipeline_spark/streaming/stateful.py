@@ -185,3 +185,103 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- HyperLogLog distinct count per key-group -------------------------------
+
+HLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("est", DoubleType()),
+        StructField("v_zeros", LongType()),
+        StructField("s41", LongType()),
+    ]
+)
+
+HLL_STATE_SCHEMA = StructType(
+    [
+        StructField("regs", StringType()),  # csv of 256 register values (0..41)
+    ]
+)
+
+
+def _hll_hash(item: int) -> tuple[int, int]:
+    """(register index, rank) for one item — the EXACT batch split
+    (functions/sketch.hll_registers): portable md5 over 's{seed}:{item}',
+    j = h mod 256, rank = 41 - bit_length(h div 256)."""
+    import hashlib
+
+    from ..functions.sketch import HLL_M, HLL_SEED
+
+    h = int(hashlib.md5(f"s{HLL_SEED}:{item}".encode()).hexdigest()[:12], 16)
+    wq = h // HLL_M
+    return h % HLL_M, (41 if wq == 0 else 41 - wq.bit_length())
+
+
+def _hll_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    from ..functions.portable_ln import py_grid_nanos, py_ln_int
+    from ..functions.sketch import HLL_M, _hll_alpha
+
+    (event_type,) = key
+    regs = (
+        [int(x) for x in state.get[0].split(",")] if state.exists else [0] * HLL_M
+    )
+    for pdf in pdfs:
+        # registers are max-folds over the item SET: dedupe the batch
+        # first so the per-item Python hash runs once per distinct item
+        for item in pdf["item"].drop_duplicates():
+            j, r = _hll_hash(int(item))
+            if r > regs[j]:
+                regs[j] = r
+    state.update((",".join(str(r) for r in regs),))
+    # the batch estimator, verbatim (functions/sketch.hll_distinct)
+    s41 = sum(1 << (41 - r) for r in regs)
+    v = sum(1 for r in regs if r == 0)
+    raw = ((_hll_alpha() * 65536.0) * 2199023255552.0) / float(s41)
+    if v > 0 and raw <= 640.0:
+        est = 256.0 * (py_ln_int(HLL_M) - py_ln_int(v))
+    else:
+        est = raw
+    est4 = float(py_grid_nanos(est, 4)) / 10000.0
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "est": [est4],
+            "v_zeros": [v],
+            "s41": [s41],
+        }
+    )
+
+
+def streaming_distinct_hll(
+    events_stream: DataFrame, item_col: str = "user_id"
+) -> DataFrame:
+    """Continuous per-key distinct-count estimate with BOUNDED state:
+    a 256-register HyperLogLog per ``event_type``, emitted in update
+    mode each micro-batch.
+
+    State is O(m) integers per group regardless of how many distinct
+    items stream through — the streaming twin of the exact-but-
+    state-unbounded dropDuplicates/approx pattern. Registers fold by
+    elementwise max, so the summary after ANY micro-batch partitioning
+    of the stream equals the batch sketch over the union of the data
+    seen so far (pinned exactly in tests/test_streaming_state.py) —
+    order- and replay-insensitive by construction. The estimate is the
+    batch estimator verbatim: exact integer harmonic sum + the portable
+    libm-free ln chain (functions/portable_ln).
+
+    NULL items are filtered explicitly before the stateful fold, like
+    streaming_heavy_hitters.
+    """
+    keyed = events_stream.select(
+        "event_type", F.col(item_col).cast("bigint").alias("item")
+    ).filter(F.col("item").isNotNull())
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _hll_update,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
