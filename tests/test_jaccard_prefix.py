@@ -252,3 +252,68 @@ def test_randomized_mixed_cap_no_false_positives(spark):
             ).collect()
         }
         assert got <= _brute_pairs(rows), f"seed {seed}"
+
+
+def test_containment_pairs_planted(spark):
+    """Planted containment: doc 1's shingles are a strict subset of
+    doc 2's (quotation case — Jaccard ~0.5 misses at 0.6, containment
+    1.0 hits); doc 3 is unrelated. Both directions checked."""
+    from usda_food_data_pipeline_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    inner = "alpha beta gamma delta epsilon zeta"
+    wrapper = inner + " eta theta iota kappa lam mu nu xi omicron pi rho sigma"
+    docs = spark.createDataFrame(
+        [
+            (1, inner),
+            (2, wrapper),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs_prefix(docs, "doc_id", "text", 3, 5).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)] == 1.0  # fully contained
+    assert (2, 1) not in rows  # wrapper is NOT inside the quote
+    assert not any(3 in k for k in rows)
+
+
+def test_containment_count_filter_is_lossless_vs_bruteforce(spark):
+    """The l-extended count filter must emit exactly the brute-force
+    containment pairs on a corpus where the cap never engages."""
+    import itertools
+    import random
+
+    from usda_food_data_pipeline_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    rnd = random.Random(13)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = {
+        i: " ".join(rnd.choice(vocab) for _ in range(rnd.randint(8, 30)))
+        for i in range(30)
+    }
+    # plant two containment pairs
+    texts[100] = texts[0] + " " + texts[1]
+    texts[101] = texts[2]
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def shingles(t):
+        toks = t.split()
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    tn, td = 3, 5
+    want = set()
+    for a, b in itertools.permutations(texts, 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        if sa and len(sa & sb) * td >= len(sa) * tn:
+            want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_prefix(docs, "doc_id", "text", tn, td).collect()
+    }
+    assert got == want

@@ -1278,3 +1278,149 @@ def incremental_dedup(
     )
     matched = near.select(F.col("id_b").alias(id_col)).distinct()
     return no_exact.join(matched, id_col, "left_anti")
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_n: int = 2,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    observation=None,
+    ext_l: int = 3,
+    hash_seed: int = 29,
+) -> DataFrame:
+    """Asymmetric set-containment join: all ordered pairs (a, b), a≠b,
+    with ``|Sa ∩ Sb| / |Sa| ≥ tn/td`` over n-gram shingle sets — "a is
+    mostly inside b".  The asymmetric sibling of
+    :func:`jaccard_pairs_prefix`: Jaccard misses a short document
+    quoted inside a long one (the union term swamps it), which is
+    exactly the wrapper-page / quotation / boilerplate-inclusion case
+    a curation pipeline must catch (SSJoin-family containment
+    semantics, Chaudhuri et al. ICDE 2006).
+
+    Candidate generation is the ℓ-EXTENDED containment prefix filter
+    (the jaccard_pairs_prefix lemma, one-sided): with α = ceil(t·|Sa|)
+    required overlap, the i-th rarest common element (global (df,
+    code) order) has ≥ α − i commons after it in a's order, so for
+    i ≤ ℓ it sits inside a's first ``|Sa| − α + ℓ`` codes.  The
+    extended prefix (rare-first, portable 48-bit codes — text never
+    shuffles) joins the FULL inverted index on the b side; containment
+    cannot prefix-filter the container.  Each of the first min(ℓ, α)
+    commons is therefore either a counted collision or a code whose
+    index bucket is over ``max_bucket`` (hotness is a global property
+    of the code), giving the lossless count filter
+    ``c + H_a ≥ min(ℓ, α)`` with H_a = hot codes in a's extended
+    prefix.  Over-cap index buckets are dropped by
+    :func:`cap_bucket_size` with guard counters (reported via
+    ``observation``, never silent); a pair ALL of whose shared codes
+    are hot generates no collision row at all and is missed — the
+    level-2 escalation jaccard carries is a documented non-goal here
+    (the guard stays at 0 drops through the tested scales).  The size
+    filter ``sz_b·td ≥ sz_a·tn`` (⟺ |Sb| ≥ α) is lossless.
+
+    Verification re-attaches both shingle arrays and tests
+    ``|∩|·td ≥ tn·|Sa|`` in exact integers.  Output
+    ``(id_a, id_b, containment)`` where containment = |∩|/|Sa|;
+    mutual near-copies emit both directions.
+
+    Scale shape: one df aggregate, one per-doc prefix window, one
+    prefix⋈index join whose exchange is bounded by
+    Σ_prefix-codes min(df, cap), pair-slim aggregation (repartition
+    before groupBy — the exchange carries exactly (id_a, id_b)), two
+    verify joins on the count-filtered candidates — all linear in the
+    exploded code count, the jaccard_pairs_prefix contract.
+    """
+    from ..sources.tables import spread
+
+    tn, td = threshold_num, threshold_den
+    sh_t = spread(df).select(
+        F.col(id_col).alias("doc_id_"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(tokenize(F.col(text_col)), shingle_n),
+                lambda x: md5_int(x, hash_seed),
+            )
+        ).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    sh_t = sh_t.persist()
+
+    ex = sh_t.select("doc_id_", "sz", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_n"))
+    # ℓ-extended containment prefix: first sz - ceil(t·sz) + ℓ rarest
+    # codes (in the FULL index, a code's bucket occupancy IS its df)
+    p_len = F.col("sz") - F.expr(f"(sz * {tn} + {td} - 1) DIV {td}") + ext_l
+    w = Window.partitionBy("doc_id_").orderBy("df_n", "s")
+    exd = ex.join(dfreq, "s")
+    prefix = (
+        exd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= p_len)
+        .select(
+            "doc_id_",
+            "sz",
+            "s",
+            (F.col("df_n") > max_bucket).cast("long").alias("_hot"),
+        )
+    )
+    # H_a = hot codes in a's extended prefix (per-doc constant, joined
+    # back onto the AGGREGATED pair stream — never through the
+    # collision exchange)
+    astats = prefix.groupBy("doc_id_").agg(
+        F.max("sz").alias("sz_a"), F.sum("_hot").alias("_H_a")
+    )
+    # the container side is the full index, cap-guarded per code
+    index = cap_bucket_size(
+        exd.select("doc_id_", "sz", "s"), ["s"], max_bucket, observation
+    )
+    a, b = prefix.alias("a"), index.alias("b")
+    g1 = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id_") != F.col("b.doc_id_"))
+            # lossless size filter: |Sb| >= alpha(a)
+            & (F.col("b.sz") * td >= F.col("a.sz") * tn),
+        )
+        .select(
+            F.col("a.doc_id_").alias("id_a"), F.col("b.doc_id_").alias("id_b")
+        )
+        # slim pair exchange + exchange-free aggregate (the
+        # jaccard_pairs_prefix trick)
+        .repartition("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # lossless count filter: c + H_a >= min(l, alpha) — the l arm
+    # handles alpha >= l, the alpha arm tiny docs where alpha < l
+    lhs = F.col("_c") + F.col("_H_a")
+    cand = (
+        g1.join(
+            astats.select(F.col("doc_id_").alias("id_a"), "sz_a", "_H_a"), "id_a"
+        )
+        .filter((lhs >= ext_l) | (lhs * td >= F.col("sz_a") * tn))
+        .select("id_a", "id_b")
+    )
+    verified = cand.join(
+        sh_t.select(
+            F.col("doc_id_").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
+        ),
+        "id_a",
+    ).join(
+        sh_t.select(F.col("doc_id_").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    _INTERMEDIATES.rollover([sh_t])
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        verified.withColumn("_i", inter)
+        .filter(F.col("_i") * td >= F.col("sz_a") * tn)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_i").cast("double") / F.col("sz_a").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )

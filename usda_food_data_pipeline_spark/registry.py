@@ -289,6 +289,7 @@ _ORDER: list[str] = [
     "hll_distinct",
     "doc_repetition",
     "kcore_nodes",
+    "containment_pairs",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

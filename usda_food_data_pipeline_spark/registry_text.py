@@ -3004,3 +3004,102 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return doc_repetition(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Set-containment join (operators/dedup.containment_pairs_prefix): the
+# asymmetric sibling of dedup_ngram_jaccard — short docs quoted/wrapped
+# inside long ones, which the Jaccard union term swamps
+# ---------------------------------------------------------------------------
+
+_CT_TN, _CT_TD = 3, 5
+
+
+def _containment_oracle(
+    tn: int = _CT_TN,
+    td: int = _CT_TD,
+    cap: int = DEFAULT_MAX_BUCKET,
+    shingle_n: int = 2,
+    ext_l: int = 3,
+    hash_seed: int = 29,
+) -> str:
+    code = oracle_md5_int_sql("g", hash_seed)
+    return f"""
+WITH sh_t AS (
+    SELECT doc_id,
+           list_distinct(list_transform({shingles_sql(TOKS_SQL, shingle_n)},
+                                        g -> {code})) AS sh
+    FROM documents
+),
+sized AS (SELECT doc_id, sh, len(sh) AS sz FROM sh_t),
+ex AS (SELECT doc_id, sz, unnest(sh) AS s FROM sized),
+dfreq AS (SELECT s, count(*) AS df_n FROM ex GROUP BY s),
+-- l-extended containment prefix: first sz - ceil(t*sz) + {ext_l}
+-- rarest codes of a; in the full index a code's occupancy IS its df
+pfx AS (
+    SELECT doc_id, sz, s, CASE WHEN df_n > {cap} THEN 1 ELSE 0 END AS hot
+    FROM (
+        SELECT e.doc_id, e.sz, e.s, d.df_n,
+               row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df_n, e.s) AS rn
+        FROM ex e JOIN dfreq d ON e.s = d.s
+    ) WHERE rn <= sz - ((sz * {tn} + {td} - 1) // {td}) + {ext_l}
+),
+astats AS (SELECT doc_id, max(sz) AS sz_a, sum(hot) AS h_a FROM pfx GROUP BY doc_id),
+-- the container side is the full index, cap-guarded per code
+-- (operators/dedup.cap_bucket_size twin)
+idx AS (
+    SELECT doc_id, sz, s FROM ex
+    {cap_bucket_qualify_sql('s', cap)}
+),
+g1 AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM pfx a JOIN idx b
+      ON a.s = b.s AND a.doc_id <> b.doc_id
+     AND b.sz * {td} >= a.sz * {tn}
+    GROUP BY a.doc_id, b.doc_id
+),
+-- lossless count filter (one-sided extension lemma):
+-- c + H_a >= min(l, alpha)
+cand AS (
+    SELECT g1.id_a, g1.id_b
+    FROM g1 JOIN astats s ON s.doc_id = g1.id_a
+    WHERE (g1.c + s.h_a) >= {ext_l}
+       OR (g1.c + s.h_a) * {td} >= s.sz_a * {tn}
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / CAST(x.sz AS DOUBLE) AS containment
+FROM cand c JOIN sized x ON c.id_a = x.doc_id JOIN sized y ON c.id_b = y.doc_id
+WHERE len(list_intersect(x.sh, y.sh)) * {td} >= x.sz * {tn}
+"""
+
+
+@register(
+    "containment_pairs",
+    _containment_oracle(),
+    f"asymmetric set-containment join (|A∩B|/|A| >= {_CT_TN}/{_CT_TD}, "
+    "bigram shingles): containment prefix filter vs the cap-guarded "
+    "full index",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment join (operators/dedup.containment_pairs_prefix):
+    ordered pairs where doc a's bigram-shingle set is >= 60% inside
+    doc b — quotation/wrapper/boilerplate-inclusion detection that
+    Jaccard's union term misses. Lossless containment prefix filter on
+    the contained side (pigeonhole over the sz-alpha+1 rarest codes);
+    the container side cannot be prefix-filtered, so its index buckets
+    are cap-guarded with reported (never silent) degradation. Exact
+    integer verification; text never shuffles (portable 48-bit codes).
+    """
+    from .operators.dedup import containment_pairs_prefix
+    from .registry import guard_observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs_prefix(
+        docs,
+        "doc_id",
+        "text",
+        _CT_TN,
+        _CT_TD,
+        observation=guard_observation("containment_pairs"),
+    )
