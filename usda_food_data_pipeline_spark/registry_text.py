@@ -2532,6 +2532,31 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable-chain diagnostic probe (functions/chain_probe.py): fixed
+# adversarial literals through the exact lm/dsir arithmetic — the
+# driver-row bisect for the 3-round lm/dsir driver-env divergence
+# (r08 verdict task 2)
+# ---------------------------------------------------------------------------
+
+def _chain_probe_oracle() -> str:
+    from .functions.chain_probe import chain_probe_oracle_sql
+
+    return chain_probe_oracle_sql()
+
+
+@register(
+    "portable_chain_probe",
+    _chain_probe_oracle(),
+    "portable ln chain over fixed grid-boundary-adjacent integers: per-term "
+    "nano snaps plus 2- and 4-term combines snapped per-term and after-combine",
+)
+def q_portable_chain_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.chain_probe import chain_probe
+
+    return chain_probe(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Duplicated-substring spans (functions/spans.py): Lee et al. 2022 exact
 # substring dedup, relationally — k-gram df marks positions, islands merge
 # ---------------------------------------------------------------------------
