@@ -65,16 +65,38 @@ def load_ab_notes() -> dict:
         return {}
 
 
+def ab_ratios(ab: dict) -> dict[str, float]:
+    """Reduce the AB_NOTES payload to bare ``{query: ratio}`` pairs for
+    the compact line (r08 verdict task 4: the full payload grew past the
+    driver's ~2000-char stdout tail and cut off the headline metric —
+    BENCH_r08 parsed=null; prose stays in AB_NOTES.json/the full line)."""
+    out: dict[str, float] = {}
+    for name, entry in (ab or {}).items():
+        if not isinstance(entry, dict):
+            continue
+        for v in entry.values():
+            if isinstance(v, dict) and isinstance(v.get("ratio"), (int, float)):
+                out[name] = v["ratio"]
+                break
+    return out
+
+
 def build_compact(
     timings: dict[str, float], errors: list[str], sf: float, repeats: int,
-    max_chars: int = 1100, guards: dict[str, dict] | None = None,
+    max_chars: int = 1500, guards: dict[str, dict] | None = None,
     ab: dict | None = None,
 ) -> dict:
     """Compact headline line for the driver's ~2000-char stdout tail:
     headline metric + the slowest queries that fit. ``n_errors`` counts
     QUERIES THAT RAISED (tracked by name, not inferred from negative
     timings — r04 verdict: an error before timing must not be
-    invisible); the names ship in ``errors`` whenever nonzero."""
+    invisible); the names ship in ``errors`` whenever nonzero.
+
+    The ENTIRE line is budgeted under ``max_chars`` — every variable
+    payload (errors, guard drops, AB ratios, the query fill) trims to
+    fit, so the headline metric can never be pushed out of the driver's
+    tail capture again (the r03 full-map and r08 AB-payload failure
+    modes were both this line growing unbounded)."""
     compact = {
         "metric": "sum_query_sec",
         "value": round(sum(v for v in timings.values() if v >= 0), 3),
@@ -87,6 +109,8 @@ def build_compact(
     }
     if errors:
         compact["errors"] = sorted(errors)
+        while len(compact["errors"]) > 1 and len(json.dumps(compact)) > max_chars:
+            compact["errors"].pop()
     # guard drops are a RECALL signal, not a perf one: nonzero means a
     # bucket cap engaged and pair output is incomplete for that query —
     # surface it in the headline line, never bury it in the full map
@@ -98,7 +122,14 @@ def build_compact(
     if dropped:
         compact["guard_dropped_rows"] = dropped
     if ab:
-        compact["same_session_ab"] = ab
+        ratios = ab_ratios(ab)
+        if ratios:
+            compact["same_session_ab"] = ratios
+            # keep room for at least a few slowest-query entries
+            while ratios and len(json.dumps(compact)) > max_chars - 300:
+                del ratios[sorted(ratios)[-1]]
+            if not ratios:
+                del compact["same_session_ab"]
     # fill with the slowest queries while the line stays inside the window
     for name in sorted(timings, key=lambda n: -timings[n]):
         compact["queries"][name] = timings[name]

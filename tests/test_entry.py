@@ -62,3 +62,35 @@ def test_bench_compact_counts_raised_queries():
     trimmed = build_compact(many, ["q001"], sf=0.1, repeats=1, max_chars=500)
     assert len(json.dumps(trimmed)) < 700
     assert trimmed["errors"] == ["q001"]
+
+
+def test_bench_compact_ab_payload_budgeted():
+    """r08 verdict task 4: the AB_NOTES payload pushed the headline out
+    of the driver's 2000-char stdout tail (BENCH_r08 parsed=null). The
+    compact line must carry only {query: ratio} pairs and the WHOLE line
+    must respect the budget no matter how large AB_NOTES grows."""
+    import json
+
+    from bench import ab_ratios, build_compact
+
+    ab = {
+        "protocol": "prose " * 200,
+        "change_summary": "prose " * 200,
+        f"q{0:02d}": {"change": "x" * 500, "sf0.1": {"old_sec": 2.0, "new_sec": 1.0, "ratio": 0.5}},
+    }
+    for i in range(1, 40):
+        ab[f"q{i:02d}"] = {
+            "change": "y" * 300,
+            "sf0.1": {"old_sec": 1.0, "new_sec": 1.1, "ratio": 1.1},
+        }
+    assert ab_ratios(ab)["q00"] == 0.5
+    assert "protocol" not in ab_ratios(ab)
+
+    timings = {f"q{i:03d}": float(i) for i in range(150)}
+    compact = build_compact(timings, [], sf=0.1, repeats=2, ab=ab)
+    line = json.dumps(compact)
+    assert len(line) <= 1500, len(line)
+    # the headline metric survives and the ab entries are bare ratios
+    assert compact["metric"] == "sum_query_sec"
+    assert all(isinstance(v, float) for v in compact.get("same_session_ab", {}).values())
+    assert compact["queries"], "query fill should still have room"
