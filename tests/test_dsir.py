@@ -6,7 +6,7 @@ enough to recompute by hand in Python, including the exact decimal grid.
 """
 
 import math
-from decimal import ROUND_HALF_UP, Decimal
+from decimal import Decimal
 
 import pytest
 from pyspark.sql import functions as F
@@ -14,12 +14,20 @@ from pyspark.sql import functions as F
 from usda_food_data_pipeline_spark.functions.dsir import dsir_select
 
 
-def _grid(x: float) -> Decimal:
-    return Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+def _nanos(x: int) -> int:
+    """Per-term snap of ln(x) onto the 1e-9 grid — recomputed with
+    math.log here (accuracy ~1e-13 vs the portable chain; these tiny
+    hand corpora sit nowhere near a grid tie, asserted below)."""
+    v = math.log(x)
+    n = math.floor(v * 1e9 + 0.5)
+    assert abs((v * 1e9 + 0.5) - round(v * 1e9 + 0.5)) > 1e-3, "tie-adjacent input"
+    return n
 
 
 def _py_dsir(raw_docs, tgt_docs, n_buckets, bucket_of):
-    """Reference recomputation: per-doc sum of cnt * round(ln(...), 9)."""
+    """Reference recomputation, mirroring the per-term BIGINT snapping:
+    lr[b] = ((n(ct+1) + n(nq+B)) - n(cq+1)) - n(nt+B) in integer nanos,
+    per-doc sum of cnt·lr converted once to the 9-dp decimal."""
     cq, ct, dc = {}, {}, {}
     for doc_id, toks in raw_docs:
         for a, b in zip(toks, toks[1:]):
@@ -32,16 +40,14 @@ def _py_dsir(raw_docs, tgt_docs, n_buckets, bucket_of):
             ct[bk] = ct.get(bk, 0) + 1
     nq, nt = sum(cq.values()), sum(ct.values())
     lr = {
-        bk: _grid(
-            math.log(
-                ((ct.get(bk, 0) + 1) * float(nq + n_buckets))
-                / ((cq[bk] + 1) * float(nt + n_buckets))
-            )
-        )
+        bk: ((_nanos(ct.get(bk, 0) + 1) + _nanos(nq + n_buckets))
+             - _nanos(cq[bk] + 1)) - _nanos(nt + n_buckets)
         for bk in cq
     }
     return {
-        doc_id: sum(cnt * lr[bk] for bk, cnt in buckets.items())
+        doc_id: Decimal(
+            sum(cnt * lr[bk] for bk, cnt in buckets.items())
+        ).scaleb(-9)
         for doc_id, buckets in dc.items()
     }
 

@@ -21,18 +21,20 @@ Why this scales to 100 TB:
   generation anywhere.
 
 Cross-engine exactness: bucket ids come from the portable ``md5_int``
-hash; the per-bucket log ratio is PORTABLE (functions/portable_ln) —
-the ≤ ``n_buckets`` count rows are collected and driver Python
-evaluates the fixed-form IEEE software-ln over the four integer terms
-(the smoothed ratio decomposes:
-``ln(((ct+1)(Nq+B)) / ((cq+1)(Nt+B))) =
-((ln(ct+1) + ln(Nq+B)) - ln(cq+1)) - ln(Nt+B)``, left-associated),
-snaps onto the 9-dp grid with ``floor(v·1e9 + 0.5)`` integer math, and
-broadcasts the exact decimals back as a literal table.  The oracle SQL
-runs the SAME op sequence through the portable chain, so the values
-agree bit for bit on every DuckDB build — no libm on either side of
-the comparison (r07 verdict #1).  Per-document decimal sums are
-aggregation-order-independent as before.
+hash; the per-bucket log ratio is PORTABLE (functions/portable_ln)
+with PER-TERM BIGINT snapping (r08 verdict task 3) — the ≤
+``n_buckets`` count rows are collected and driver Python evaluates the
+fixed-form IEEE software-ln over the four integer terms of the
+smoothed ratio ``ln(((ct+1)(Nq+B)) / ((cq+1)(Nt+B)))``, snaps EACH
+term onto the 9-dp nano grid with ``floor(v·1e9 + 0.5)`` integer math,
+combines them left-associated in exact integer arithmetic, and
+broadcasts the BIGINT nanos back as a literal table.  The oracle SQL
+runs the SAME op sequence through the portable chain, so cross-engine
+agreement rests only on the four single-ln snaps per bucket — never on
+a combine of doubles, and never on BIGINT×DECIMAL promotion rules
+(which vary across DuckDB versions).  Per-document sums are exact
+BIGINT; ``sum_lw`` materializes once at the end via the exact
+integer→decimal conversion.
 
 Reference analog: none (the reference pipeline has no data-selection
 stage); extends SURVEY.md §2's text-analysis family per the
@@ -48,7 +50,6 @@ from ..operators.dedup import md5_int, tokenize
 
 HASH_SEED = 31
 LP_SCALE = 9
-_LP_TYPE = f"decimal(18,{LP_SCALE})"
 _SUM_TYPE = f"decimal(38,{LP_SCALE})"
 
 
@@ -75,9 +76,10 @@ def dsir_select(
     """Rank the raw pool (``source != target_source``) by hashed-bigram
     importance weight toward the target slice and keep the ``top_n``.
 
-    Per-bucket log ratio (add-one smoothed, pinned operation order)::
+    Per-bucket log ratio in integer nanos (add-one smoothed, per-term
+    snapped, pinned operation order; ``n(x) = floor(ln(x)·1e9 + 0.5)``)::
 
-        lr[b] = round(ln( ((ct[b]+1) * (Nq+B)) / ((cq[b]+1) * (Nt+B)) ), 9)
+        lr[b] = ((n(ct[b]+1) + n(Nq+B)) - n(cq[b]+1)) - n(Nt+B)
 
     Returns ``id_col, n_bigrams, sum_lw (decimal), rank`` for the top
     ``top_n`` documents, ordered by (sum_lw DESC, id) — deterministic
@@ -96,7 +98,12 @@ def dsir_select(
     target = docs.filter(F.col(source_col) == target_source)
     raw = docs.filter(F.col(source_col) != target_source)
 
-    from .portable_ln import literal_table, py_grid_decimal, py_ln_combine
+    from .portable_ln import (
+        grid_decimal_col,
+        literal_table,
+        py_grid_nanos,
+        py_ln_int,
+    )
     from ..operators.dedup import _INTERMEDIATES
 
     spark = docs.sparkSession
@@ -130,28 +137,25 @@ def dsir_select(
         cq_rows, ct_rows = f_cq.result(), f_ct.result()
     nq = sum(cq_rows.values())
     nt = sum(ct_rows.values())
-    # mirrors the oracle's portable chain, left-associated:
-    #   ((ln(ct+1) + ln(nq+B)) - ln(cq+1)) - ln(nt+B)
+    # Per-term BIGINT snapping (r08 verdict task 3): snap EACH of the
+    # four ln terms to integer grid nanos in driver Python, then
+    # combine left-associated ENTIRELY in exact integer arithmetic —
+    #   ((n(ct+1) + n(nq+B)) - n(cq+1)) - n(nt+B), n(x) = snap(ln x).
+    # Cross-engine agreement rests only on the four single-ln snaps
+    # per bucket (what the portable_chain_probe driver row measures),
+    # never on a combine of doubles, and the former BIGINT×DECIMAL
+    # product whose promotion rules vary across DuckDB versions is
+    # gone — scoring is BIGINT·BIGINT throughout.
+    def _lr_nanos(b: int, c: int) -> int:
+        n = lambda x: py_grid_nanos(py_ln_int(x))  # noqa: E731
+        return ((n(ct_rows.get(b, 0) + 1) + n(nq + n_buckets)) - n(c + 1)) - n(
+            nt + n_buckets
+        )
+
     lr_tbl = literal_table(
         spark,
-        [
-            (
-                b,
-                py_grid_decimal(
-                    py_ln_combine(
-                        [
-                            ("+", ct_rows.get(b, 0) + 1),
-                            ("+", nq + n_buckets),
-                            ("-", c + 1),
-                            ("-", nt + n_buckets),
-                        ]
-                    ),
-                    LP_SCALE,
-                ),
-            )
-            for b, c in cq_rows.items()
-        ],
-        f"b bigint, lr {_LP_TYPE}",
+        [(b, _lr_nanos(b, c)) for b, c in cq_rows.items()],
+        "b bigint, lr bigint",
     )
 
     scored = (
@@ -159,13 +163,19 @@ def dsir_select(
         .groupBy(id_col)
         .agg(
             F.sum("cnt").cast("int").alias("n_bigrams"),
-            # cnt is narrowed to decimal(10,0) so the product is
-            # decimal(29,9) — exact.  A bigint operand would promote to
-            # decimal(20,0) and push the product past precision 38,
-            # making Spark silently drop the 9th decimal digit.
-            F.sum(
-                (F.col("cnt").cast("decimal(10,0)") * F.col("lr")).cast(_SUM_TYPE)
-            ).alias("sum_lw"),
+            # exact integer sum; a long overflows only past ~2·10⁸
+            # bigram occurrences in ONE document (|lr| ≤ ~45e9 nanos)
+            F.sum(F.col("cnt") * F.col("lr")).alias("sn"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            # one exact integer→decimal conversion: decimal(28,0)·
+            # decimal(9,9) → decimal(38,9), inside both engines'
+            # no-adjustment precision range
+            grid_decimal_col(F.col("sn"), 28, LP_SCALE)
+            .cast(_SUM_TYPE)
+            .alias("sum_lw"),
         )
     )
     top = scored.orderBy(F.col("sum_lw").desc(), F.col(id_col)).limit(top_n)

@@ -21,22 +21,24 @@ Shape (all linear, no pair generation):
   vocabulary fits (reference vocabularies are ~1e7 rows ≪ fact side).
 - S(cur|prev) = c(prev,cur)/c(prev) when the bigram was seen, else
   ALPHA·c(cur)/N (unseen cur falls to ALPHA·1/N).  Scores are natural
-  logs snapped onto the shared 9-dp decimal grid so per-doc decimal
-  sums are order-independent; the logs themselves are PORTABLE
-  (functions/portable_ln): driver Python evaluates the fixed-form
-  IEEE software-ln over the bounded distinct count values and ships
-  the doubles as broadcast literal tables, the in-plan ratio combine
-  is one double subtraction (ln(a/b) = ln a − ln b; the backoff ratio
-  0.4·c/N decomposes to integers as ln(2c) − ln(5N)), and the grid
-  snap is floor(v·1e9 + 0.5) integer math — no libm anywhere on
-  either side of the comparison (r07 verdict #1: any scheme that
-  lets SOME engine's libm compute the log loses an ULP at grid
-  boundaries on a different build; round 6 lost JVM-vs-driver-DuckDB,
-  round 7 lost local-DuckDB-vs-driver-DuckDB).
+  logs on the shared 9-dp integer nano grid, snapped PER TERM
+  (r08 verdict task 3): driver Python evaluates the fixed-form IEEE
+  software-ln (functions/portable_ln — no libm on either side of the
+  comparison) over the bounded distinct count values, snaps EACH
+  ln to BIGINT nanos with floor(v·1e9 + 0.5) integer math, and ships
+  the integers as broadcast literal tables.  The in-plan ratio
+  combine is one BIGINT subtraction (ln(a/b) = ln a − ln b in nanos;
+  the backoff ratio 0.4·c/N decomposes to integers as
+  ln(2c) − ln(5N)), per-doc sums are BIGINT sums, and the keep
+  threshold is a BIGINT cross-multiplication — cross-engine agreement
+  rests ONLY on the per-distinct-count single-ln snaps (measured
+  directly by the portable_chain_probe driver row), never on
+  per-occurrence double combines (rounds 6-8 each lost an ULP
+  somewhere in a combine-then-snap of doubles on SOME DuckDB build).
 
-The keep/drop decision compares the decimal sum against a per-token
-threshold via exact decimal·int cross-multiplication — no division in
-any compared column.
+``sum_lp`` is materialized once at the end by the exact
+integer→decimal conversion (decimal(28,0)·decimal(9,9) → decimal(38,9),
+inside both engines' no-adjustment precision range).
 
 Reference analog: none (the reference pipeline has no quality model);
 this extends SURVEY.md §2's text-analysis family per the LLM-pipeline
@@ -55,7 +57,6 @@ from ..operators.dedup import tokenize
 # means changing that decomposition, not just this value.
 ALPHA = 0.4
 LP_SCALE = 9
-_LP_TYPE = f"decimal(18,{LP_SCALE})"
 
 
 def _adjacent_pairs(toks: Column) -> Column:
@@ -106,10 +107,12 @@ def lm_score_stupid_backoff(
     ``sum_lp ≥ threshold · n_bigrams`` (exact decimal arithmetic).
     Zero-bigram documents (≤1 token) score 0 and are kept.
     """
+    from decimal import Decimal
+
     from .portable_ln import (
         grid_decimal_col,
-        grid_nanos_col,
         literal_table,
+        py_grid_nanos,
         py_ln_int,
     )
     from ..operators.dedup import _INTERMEDIATES
@@ -166,19 +169,31 @@ def lm_score_stupid_backoff(
     n_total = int(st["_n"] or 0)
     uni_vals = sorted(int(v) for v in (st["_vals"] or []))
     back_vals = sorted({1} | set(uni_vals))
+    # Per-term BIGINT snapping (r08 verdict task 3): each distinct
+    # count's ln is snapped to integer grid nanos HERE, once per
+    # distinct value, and every downstream combine/sum/threshold runs
+    # in exact integer space.  Cross-engine agreement then rests only
+    # on these per-distinct-value single-ln snaps (what the
+    # portable_chain_probe driver row measures) — not on thousands of
+    # per-occurrence double combines (~1000× less ULP exposure than
+    # the after-combine snap this replaces).
     ln_bg = literal_table(
-        spark, [(c, py_ln_int(c)) for c in bg_vals], "c_bg bigint, _lnbg double"
+        spark,
+        [(c, py_grid_nanos(py_ln_int(c))) for c in bg_vals],
+        "c_bg bigint, _nbg bigint",
     )
     ln_prev = literal_table(
-        spark, [(c, py_ln_int(c)) for c in uni_vals], "c_prev bigint, _lnprev double"
+        spark,
+        [(c, py_grid_nanos(py_ln_int(c))) for c in uni_vals],
+        "c_prev bigint, _nprev bigint",
     )
     # backoff ratio 0.4·c/N == 2c / 5N as an exact integer ratio
     ln_back = literal_table(
         spark,
-        [(c, py_ln_int(2 * c)) for c in back_vals],
-        "c_cur_eff bigint, _lnback double",
+        [(c, py_grid_nanos(py_ln_int(2 * c))) for c in back_vals],
+        "c_cur_eff bigint, _nback bigint",
     )
-    ln_5n = py_ln_int(5 * max(n_total, 1))
+    n5n_nanos = py_grid_nanos(py_ln_int(5 * max(n_total, 1)))
 
     up = uni.select(F.col("w").alias("prev"), F.col("c").alias("c_prev"))
     uc = uni.select(F.col("w").alias("cur"), F.col("c").alias("c_cur"))
@@ -191,14 +206,16 @@ def lm_score_stupid_backoff(
         .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     )
 
-    # In-plan combine + snap, mirroring the oracle text op for op:
-    # (lnbg - lnprev) when the bigram was seen (⇒ prev seen ⇒ both
-    # lookups hit), else (lnback - ln5n); then floor(v·1e9 + 0.5) and
-    # one exact decimal multiply — plain IEEE arithmetic inside
-    # whole-stage codegen, no transcendental in the plan.
+    # In-plan combine, mirroring the oracle text op for op: the
+    # per-occurrence value is one BIGINT subtraction of pre-snapped
+    # nanos — (nbg - nprev) when the bigram was seen (⇒ prev seen ⇒
+    # both lookups hit), else (nback - n5n).  No floating point in the
+    # plan at all; per-doc sums are exact integer arithmetic.  A long
+    # sum overflows only past ~2·10⁸ bigrams in ONE document (40e9
+    # nanos/occurrence · 2.3e8 ≈ 2^63) — far beyond any real document.
     v = F.when(
-        F.col("c_bg").isNotNull(), F.col("_lnbg") - F.col("_lnprev")
-    ).otherwise(F.col("_lnback") - F.lit(ln_5n))
+        F.col("c_bg").isNotNull(), F.col("_nbg") - F.col("_nprev")
+    ).otherwise(F.col("_nback") - F.lit(n5n_nanos))
     scored = (
         occ.join(bg.withColumnRenamed("c", "c_bg"), ["prev", "cur"], "left")
         .join(up, "prev", "left")
@@ -207,28 +224,29 @@ def lm_score_stupid_backoff(
         .join(F.broadcast(ln_bg), "c_bg", "left")
         .join(F.broadcast(ln_prev), "c_prev", "left")
         .join(F.broadcast(ln_back), "c_cur_eff", "left")
-        .select(
-            id_col,
-            grid_decimal_col(grid_nanos_col(v), 18, LP_SCALE).alias("v"),
-        )
+        .select(id_col, v.alias("v"))
     )
     agg = scored.groupBy(id_col).agg(
         F.count("*").cast("int").alias("n_bigrams"),
-        F.sum("v").cast(f"decimal(38,{LP_SCALE})").alias("sum_lp"),
+        F.sum("v").alias("sn"),
     )
-    thr = F.lit(keep_lp_per_token).cast(_LP_TYPE)
+    # keep threshold in exact integer nanos: sum_nanos ≥ thr_nanos·n
+    thr_nanos = int(Decimal(keep_lp_per_token).scaleb(LP_SCALE))
+    sn0 = F.coalesce(F.col("sn"), F.lit(0).cast("bigint"))
     return (
         score.select(id_col)
         .join(agg, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
-            F.coalesce(F.col("sum_lp"), F.lit(0).cast(f"decimal(38,{LP_SCALE})")).alias(
-                "sum_lp"
-            ),
+            # one exact integer→decimal conversion at the end:
+            # decimal(28,0)·decimal(9,9) → decimal(38,9), no precision
+            # adjustment on either engine
+            grid_decimal_col(sn0, 28, LP_SCALE)
+            .cast(f"decimal(38,{LP_SCALE})")
+            .alias("sum_lp"),
             (
-                F.coalesce(F.col("sum_lp"), F.lit(0).cast(f"decimal(38,{LP_SCALE})"))
-                >= thr * F.coalesce("n_bigrams", F.lit(0))
+                sn0 >= F.lit(thr_nanos) * F.coalesce("n_bigrams", F.lit(0))
             ).alias("keep"),
         )
     )

@@ -8,6 +8,8 @@ SimHash signatures oracle-check exactly.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2321,12 +2323,14 @@ _LM_KEEP_LP = "-8.0"
 
 
 def _lm_oracle_sql() -> str:
-    # Portable ln (functions/portable_ln): the log tables are computed
-    # over the bounded DISTINCT count values by the fixed-form IEEE
-    # chain — mirroring the Spark side's Python-built literal tables
-    # bit for bit — and the per-occurrence value is one double
-    # subtraction plus the floor-based grid snap.  No libm anywhere
-    # (r07 verdict #1).  The backoff ratio 0.4·c/N rides as the exact
+    # Portable ln (functions/portable_ln) with PER-TERM BIGINT snapping
+    # (r08 verdict task 3): each distinct count's ln is snapped to
+    # integer grid nanos inside its own CTE — mirroring the Spark
+    # side's Python-built literal tables bit for bit — and every
+    # downstream combine/sum/threshold is exact integer arithmetic.
+    # No libm anywhere, and no per-occurrence double combine for a
+    # divergent FMA/constant-folding path to perturb (the rounds-6..8
+    # failure class).  The backoff ratio 0.4·c/N rides as the exact
     # integer ratio 2c / 5N.
     from .functions.portable_ln import (
         POWS_CTE,
@@ -2336,25 +2340,34 @@ def _lm_oracle_sql() -> str:
     )
 
     ln_bg = sql_ln_select(
-        "(SELECT DISTINCT c FROM bg) _dbg", ["c"], {"a": "c"}, [("_lnbg", "_ln_a")]
+        "(SELECT DISTINCT c FROM bg) _dbg",
+        ["c"],
+        {"a": "c"},
+        [("_nbg", sql_grid_nanos("_ln_a"))],
     )
     ln_uni = sql_ln_select(
-        "(SELECT DISTINCT c FROM uni) _dun", ["c"], {"a": "c"}, [("_lnprev", "_ln_a")]
+        "(SELECT DISTINCT c FROM uni) _dun",
+        ["c"],
+        {"a": "c"},
+        [("_nprev", sql_grid_nanos("_ln_a"))],
     )
     ln_back = sql_ln_select(
         "(SELECT DISTINCT c FROM (SELECT c FROM uni UNION SELECT CAST(1 AS BIGINT) AS c)) _dbk",
         ["c"],
         {"a": "2 * c"},
-        [("_lnback", "_ln_a")],
+        [("_nback", sql_grid_nanos("_ln_a"))],
     )
     ln_5n = sql_ln_select(
         "(SELECT greatest(COALESCE(n_total, 0), 1) AS n FROM tot) _d5n",
         [],
         {"a": "5 * n"},
-        [("_ln5n", "_ln_a")],
+        [("_n5n", sql_grid_nanos("_ln_a"))],
     )
-    v_pair = sql_grid_decimal(sql_grid_nanos("lb._lnbg - lu._lnprev"))
-    v_back = sql_grid_decimal(sql_grid_nanos("lk._lnback - l5._ln5n"))
+    v_pair = "lb._nbg - lu._nprev"
+    v_back = "lk._nback - l5._n5n"
+    thr_nanos = -8_000_000_000  # _LM_KEEP_LP = -8.0 on the 1e-9 grid
+    assert int(Decimal(_LM_KEEP_LP).scaleb(9)) == thr_nanos
+    sum_lp = sql_grid_decimal("COALESCE(a.sn, 0)", 28, 9)
     return f"""
     WITH {POWS_CTE},
     train AS (
@@ -2402,15 +2415,13 @@ def _lm_oracle_sql() -> str:
     ),
     agg AS (
         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
-               CAST(sum(v) AS DECIMAL(38,9)) AS sum_lp
+               CAST(sum(v) AS BIGINT) AS sn
         FROM lp GROUP BY doc_id
     )
     SELECT s.doc_id,
            COALESCE(a.n_bigrams, 0) AS n_bigrams,
-           COALESCE(a.sum_lp, CAST(0 AS DECIMAL(38,9))) AS sum_lp,
-           COALESCE(a.sum_lp, CAST(0 AS DECIMAL(38,9)))
-               >= CAST({_LM_KEEP_LP} AS DECIMAL(18,9)) * COALESCE(a.n_bigrams, 0)
-               AS keep
+           CAST({sum_lp} AS DECIMAL(38,9)) AS sum_lp,
+           COALESCE(a.sn, 0) >= {thr_nanos} * COALESCE(a.n_bigrams, 0) AS keep
     FROM score s LEFT JOIN agg a ON a.doc_id = s.doc_id
     """
 
@@ -2447,11 +2458,13 @@ def _dsir_oracle_sql() -> str:
     bg = "toks[g] || ' ' || toks[g+1]"
     bucket = f"{oracle_md5_int_sql(bg, 31, 8)} % {_DSIR_BUCKETS}"
     b = _DSIR_BUCKETS
-    # Portable ln (functions/portable_ln): the smoothed log ratio is
-    # the left-associated four-term combine
-    # ((ln(ct+1) + ln(nq+B)) - ln(cq+1)) - ln(nt+B) through the
-    # fixed-form IEEE chain + floor grid snap — bit-identical to the
-    # Python that builds Spark's literal table (r07 verdict #1).
+    # Portable ln (functions/portable_ln) with PER-TERM BIGINT snapping
+    # (r08 verdict task 3): each of the four ln terms snaps to integer
+    # grid nanos, the combine
+    # ((n(ct+1) + n(nq+B)) - n(cq+1)) - n(nt+B) is exact BIGINT
+    # arithmetic, and scoring is BIGINT·BIGINT — no double combine for
+    # a divergent FMA path to perturb and no BIGINT×DECIMAL promotion
+    # (version-dependent in DuckDB; the r08 verdict's prime suspect).
     from .functions.portable_ln import (
         POWS_CTE,
         sql_grid_decimal,
@@ -2472,12 +2485,12 @@ def _dsir_oracle_sql() -> str:
         [
             (
                 "lr",
-                sql_grid_decimal(
-                    sql_grid_nanos("((_ln_a + _ln_b) - _ln_c) - _ln_d")
-                ),
+                f"(({sql_grid_nanos('_ln_a')} + {sql_grid_nanos('_ln_b')}) "
+                f"- {sql_grid_nanos('_ln_c')}) - {sql_grid_nanos('_ln_d')}",
             )
         ],
     )
+    sum_lw = sql_grid_decimal("sum(dc.cnt * lr.lr)", 28, 9)
     return f"""
     WITH {POWS_CTE},
     raw_occ AS (
@@ -2503,7 +2516,7 @@ def _dsir_oracle_sql() -> str:
     scored AS (
         SELECT dc.doc_id,
                CAST(sum(dc.cnt) AS INTEGER) AS n_bigrams,
-               CAST(sum(CAST(dc.cnt * lr.lr AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sum_lw
+               CAST({sum_lw} AS DECIMAL(38,9)) AS sum_lw
         FROM dc JOIN lr ON lr.b = dc.b
         GROUP BY dc.doc_id
     )
