@@ -58,6 +58,17 @@ _TRANSCENDENTAL = re.compile(
 )
 # SQL-side also bans the infix pow operator (DuckDB `**` = pow())
 _SQL_POW_INFIX = re.compile(r"\*\*")
+# float round() tie handling is engine-implementation-defined (Spark
+# rounds the shortest decimal repr half-up; DuckDB rounds the binary
+# value) — the residual fragility class the r08 verdict's task 5 names.
+# Compared columns must use the floor grid snap
+# (cleaning.grid_round_col / sql_grid_round, portable_ln grid snaps)
+# instead.  ``bround``/``round_even`` stays allowed: the one use
+# (scalar_functions.eighth_banker) applies half-even to p_partkey/8,
+# whose binary repr is exact, so both engines see the true tie — and
+# it attests the reference's pandas round-half-even semantics.  The
+# negative lookbehind keeps ``bround(``/``grid_round(`` legal.
+_FLOAT_ROUND = re.compile(r"(?<![a-z_0-9])round\s*\(", re.IGNORECASE)
 
 _SPECS = {s.name: s for s in registry.specs()}
 _WINDOW = registry._ORDER[:50]
@@ -80,12 +91,18 @@ def test_window_query_is_oracle_checked_and_transcendental_free(spark, name):
     df = spec.fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().analyzed().toString()
     hits = sorted(set(m.group(0) for m in _TRANSCENDENTAL.finditer(plan)))
+    round_hits = sorted(set(m.group(0) for m in _FLOAT_ROUND.finditer(plan)))
     spark.catalog.clearCache()
     assert not hits, (
         f"{name} evaluates {hits} inside the Spark plan; in-window "
         "queries must carry transcendentals as portable literal tables "
         "(functions/portable_ln) so no libm sits on the Spark side of "
         "the comparison (r06 verdict #1)"
+    )
+    assert not round_hits, (
+        f"{name} evaluates float round() inside the Spark plan — "
+        "engine-defined tie handling; use cleaning.grid_round_col / the "
+        "portable_ln grid snaps on compared columns (r08 verdict task 5)"
     )
 
 
@@ -109,4 +126,11 @@ def test_every_oracle_sql_is_transcendental_free(name):
         f"{name}'s oracle SQL uses the infix pow operator `**` — "
         "IEEE does not require pow to be correctly rounded; spell "
         "exact powers as literals or integer shifts"
+    )
+    round_hits = sorted(set(m.group(0) for m in _FLOAT_ROUND.finditer(sql)))
+    assert not round_hits, (
+        f"{name}'s oracle SQL calls float round() — engine-defined tie "
+        "handling diverges across DuckDB builds on grid-boundary "
+        "doubles; use cleaning.sql_grid_round / portable_ln "
+        "sql_grid_nanos-sql_grid_decimal instead (r08 verdict task 5)"
     )

@@ -39,6 +39,27 @@ def safe_cast_round(col: Column | str, scale: int = 2) -> Column:
     return F.bround(c.try_cast(T.DoubleType()), scale)
 
 
+def grid_round_col(col: Column | str, dp: int = 2) -> Column:
+    """Engine-portable replacement for ``F.round`` on a compared double
+    column: ``floor(x·10^dp + 0.5) / 10^dp`` — every step is exact or
+    correctly-rounded IEEE arithmetic, so Spark and any DuckDB build
+    produce identical bits.  Float ``round()`` tie handling is
+    engine-implementation-defined (Spark rounds the shortest decimal
+    repr half-up, DuckDB rounds the binary value) — the same
+    cross-engine fragility class that cost the lm/dsir rounds, banned
+    on compared columns by tests/test_rotation_gate.py (r08 verdict
+    task 5).  Ties snap toward +inf on both engines; null propagates."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**dp)
+    return F.floor((c * F.lit(scale)) + F.lit(0.5)) / F.lit(scale)
+
+
+def sql_grid_round(expr: str, dp: int = 2) -> str:
+    """Oracle-SQL twin of :func:`grid_round_col`, spelled op for op."""
+    scale = repr(float(10**dp))
+    return f"(CAST(floor((({expr}) * {scale}) + 0.5) AS BIGINT) / {scale})"
+
+
 def concat_label_with_unit(name: Column | str, unit: Column | str) -> Column:
     """``NAME (UNIT)`` composite label.
 

@@ -117,7 +117,7 @@ def time_weighted_avg(
 
     Cross-engine determinism: the value is exact at ``value_decimals``
     (prices/metrics), so it lifts to an exact BIGINT
-    (``round(value·10^d)``); value·weight products and their sums stay
+    (``floor(value·10^d + 0.5)`` — engine-portable, unlike round()); value·weight products and their sums stay
     in BIGINT (associative, overflow-safe while
     max_value·10^d · key_time_span < 2^63), and the single int64→double
     conversion before the closing divisions is one well-defined IEEE
@@ -130,7 +130,7 @@ def time_weighted_avg(
     us = F.unix_micros(F.col(ts_col))
     hold = F.lead(us).over(w) - us  # NULL for the last observation
     scale = 10 ** value_decimals
-    v_int = F.round(F.col(value_col) * scale, 0).cast("bigint")
+    v_int = F.floor((F.col(value_col) * scale) + F.lit(0.5)).cast("bigint")
     weighted = events.select(
         F.col(key_col), v_int.alias("_v"), hold.alias("_w")
     )

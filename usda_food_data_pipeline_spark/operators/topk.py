@@ -144,7 +144,9 @@ def temperature_mix_rates(
 
     - alpha is FIXED at 0.5 because sqrt is IEEE-correctly-rounded on
       every engine (pow(x, a) is not) — sqrt(n_i) is bit-identical.
-    - the weight denominator sums sqrt(n_i) rounded to a 9-dp DECIMAL,
+    - the weight denominator sums sqrt(n_i) floor-grid-snapped to a
+      9-dp DECIMAL (round() tie handling is engine-defined; the floor
+      snap is not — r08 verdict task 5),
       so the total is aggregation-order-independent.
     - the final rate snaps to a dyadic grid (floor(x * 2^grid_bits) /
       2^grid_bits), making rate * 2^48 an exact integer for
@@ -154,7 +156,11 @@ def temperature_mix_rates(
     source) + a 1-row broadcast — the rates table is |sources| rows.
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-    cs = counts.withColumn("_sq", F.round(F.sqrt("n"), 9).cast("decimal(28,9)"))
+    from ..functions.portable_ln import grid_decimal_col, grid_nanos_col
+
+    cs = counts.withColumn(
+        "_sq", grid_decimal_col(grid_nanos_col(F.sqrt("n")), 28, 9)
+    )
     tot = cs.agg(F.sum("_sq").alias("_S"), F.sum("n").alias("_N"))
     grid = float(2**grid_bits)
     raw = (

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import grid_round_col, sql_grid_round
 from ..operators.dedup import dedup_latest
 from ..operators.pivot import group_avg_pivot
 from ..sources.tables import load_table
@@ -74,7 +75,7 @@ def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("customer_key"),
         F.upper(F.trim(F.col("c_name"))).alias("customer_name"),
         F.col("o_orderkey").alias("order_key"),
-        F.round(F.col("o_totalprice"), 2).alias("order_total"),
+        grid_round_col(F.col("o_totalprice"), 2).alias("order_total"),
         *[
             F.when(F.col(c) <= F.lit(t), F.col(c)).alias(c)
             for c, t in PRICE_THRESHOLDS.items()
@@ -83,7 +84,7 @@ def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-FLAGSHIP_ORACLE_SQL = """
+FLAGSHIP_ORACLE_SQL = f"""
 WITH latest AS (
     SELECT * FROM (
         SELECT o.*, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
@@ -109,7 +110,7 @@ SELECT
     c.c_custkey AS customer_key,
     upper(trim(c.c_name)) AS customer_name,
     o.o_orderkey AS order_key,
-    round(o.o_totalprice, 2) AS order_total,
+    {sql_grid_round('o.o_totalprice', 2)} AS order_total,
     CASE WHEN p.avg_price_a <= 55000.0 THEN p.avg_price_a END AS avg_price_a,
     CASE WHEN p.avg_price_n <= 50000.0 THEN p.avg_price_n END AS avg_price_n,
     CASE WHEN p.avg_price_r <= 45000.0 THEN p.avg_price_r END AS avg_price_r

@@ -19,7 +19,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.cleaning import deterministic_avg, deterministic_sum
+from .functions.cleaning import (
+    deterministic_avg,
+    deterministic_sum,
+    grid_round_col,
+    sql_grid_round,
+)
 from .operators.dedup import dedup_latest
 from .operators.pivot import group_avg_pivot
 from .operators.topk import densest_rows
@@ -311,9 +316,13 @@ _ORDER: list[str] = [
     # driver-green in r08, family attested by bm25_retrieval
     "bm25_batch",
     # round-8 operators (exact oracles + 3-scale local rows; rotate
-    # in-window as slots open per the standard rotation protocol —
-    # containment_pairs additionally gated on guard-drops=0 at the
-    # driver's sf or the L2 escalation, r08 verdict task 6)
+    # in-window as slots open per the standard rotation protocol).
+    # containment_pairs carries the L2 super-shingle escalation since
+    # round 9 (r08 verdict task 6): the all-hot-prefix suppression case
+    # is recovered for contiguous inclusion, guard-reported otherwise;
+    # its oracle twin models L1 only, so window eligibility still
+    # requires guard-drops=0 at the driver's sf (holds: 0 drops at
+    # sf0.01-0.1, cap engages first at sf3)
     "doc_repetition",
     "containment_pairs",
     # round-6 operators whose families are already driver-attested
@@ -431,10 +440,10 @@ register("flagship", FLAGSHIP_ORACLE_SQL, "reference pipeline on the star schema
 
 @register(
     "dedup_latest_order",
-    """
+    f"""
     SELECT o_orderkey AS order_key, o_custkey AS customer_key,
            o_orderstatus AS order_status,
-           round(o_totalprice, 2) AS order_total,
+           {sql_grid_round('o_totalprice', 2)} AS order_total,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date
     FROM (
         SELECT o.*, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
@@ -449,7 +458,7 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_key"),
         F.col("o_custkey").alias("customer_key"),
         F.col("o_orderstatus").alias("order_status"),
-        F.round("o_totalprice", 2).alias("order_total"),
+        grid_round_col("o_totalprice", 2).alias("order_total"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
     )
 
@@ -460,8 +469,8 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semi_join_orders",
-    """
-    SELECT o_orderkey AS order_key, round(o_totalprice, 2) AS order_total
+    f"""
+    SELECT o_orderkey AS order_key, {sql_grid_round('o_totalprice', 2)} AS order_total
     FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
     """,
     "orders that have lineitems (left_semi ~ reference isin filter :85,:100)",
@@ -473,7 +482,7 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi"
     ).select(
         F.col("o_orderkey").alias("order_key"),
-        F.round("o_totalprice", 2).alias("order_total"),
+        grid_round_col("o_totalprice", 2).alias("order_total"),
     )
 
 
@@ -502,11 +511,11 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "project_rename_normalize",
-    """
+    f"""
     SELECT c_custkey AS customer_key,
            upper(trim(c_name)) AS customer_name,
            upper(trim(c_mktsegment)) AS segment,
-           round(c_acctbal, 2) AS account_balance
+           {sql_grid_round('c_acctbal', 2)} AS account_balance
     FROM customer
     """,
     "5-col projection with renames and trim/upper normalization",
@@ -517,7 +526,7 @@ def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("customer_key"),
         F.upper(F.trim("c_name")).alias("customer_name"),
         F.upper(F.trim("c_mktsegment")).alias("segment"),
-        F.round("c_acctbal", 2).alias("account_balance"),
+        grid_round_col("c_acctbal", 2).alias("account_balance"),
     )
 
 
@@ -616,10 +625,10 @@ def q_pivot_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "threshold_nullout",
-    """
+    f"""
     SELECT l_orderkey AS order_key, l_linenumber AS line_number,
-           round(CASE WHEN l_extendedprice <= 30000.0 THEN l_extendedprice END, 2) AS price_capped,
-           round(CASE WHEN l_quantity <= 25.0 THEN l_quantity END, 2) AS qty_capped
+           {sql_grid_round('CASE WHEN l_extendedprice <= 30000.0 THEN l_extendedprice END', 2)} AS price_capped,
+           {sql_grid_round('CASE WHEN l_quantity <= 25.0 THEN l_quantity END', 2)} AS qty_capped
     FROM lineitem
     """,
     "per-column threshold rule table: values above threshold become null",
@@ -635,8 +644,8 @@ def _capped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem.select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_number"),
-        F.round(F.when(F.col("l_extendedprice") <= 30000.0, F.col("l_extendedprice")), 2).alias("price_capped"),
-        F.round(F.when(F.col("l_quantity") <= 25.0, F.col("l_quantity")), 2).alias("qty_capped"),
+        grid_round_col(F.when(F.col("l_extendedprice") <= 30000.0, F.col("l_extendedprice")), 2).alias("price_capped"),
+        grid_round_col(F.when(F.col("l_quantity") <= 25.0, F.col("l_quantity")), 2).alias("qty_capped"),
     )
 
 
@@ -646,11 +655,11 @@ def _capped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "densest_rows",
-    """
+    f"""
     SELECT * FROM (
         SELECT l_orderkey AS order_key, l_linenumber AS line_number,
-               round(CASE WHEN l_extendedprice <= 30000.0 THEN l_extendedprice END, 2) AS price_capped,
-               round(CASE WHEN l_quantity <= 25.0 THEN l_quantity END, 2) AS qty_capped,
+               {sql_grid_round('CASE WHEN l_extendedprice <= 30000.0 THEN l_extendedprice END', 2)} AS price_capped,
+               {sql_grid_round('CASE WHEN l_quantity <= 25.0 THEN l_quantity END', 2)} AS qty_capped,
                (CASE WHEN (CASE WHEN l_extendedprice <= 30000.0 THEN l_extendedprice END) IS NULL THEN 1 ELSE 0 END
               + CASE WHEN (CASE WHEN l_quantity <= 25.0 THEN l_quantity END) IS NULL THEN 1 ELSE 0 END
               + CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END
@@ -672,8 +681,8 @@ def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "global_sort_topk",
-    """
-    SELECT o_orderkey AS order_key, round(o_totalprice, 2) AS order_total
+    f"""
+    SELECT o_orderkey AS order_key, {sql_grid_round('o_totalprice', 2)} AS order_total
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
     "top-100 orders by total price (heap-based TakeOrdered, no full sort)",
@@ -685,7 +694,7 @@ def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(
             F.col("o_orderkey").alias("order_key"),
-            F.round("o_totalprice", 2).alias("order_total"),
+            grid_round_col("o_totalprice", 2).alias("order_total"),
         )
     )
 
@@ -720,11 +729,11 @@ def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_functions",
-    r"""
+    rf"""
     SELECT p_partkey AS part_key,
            upper(trim(p_brand)) || ' (' || upper(trim(p_type)) || ')' AS brand_label,
            CAST(p_partkey AS VARCHAR) AS part_key_str,
-           round(p_retailprice, 2) AS retail_price,
+           {sql_grid_round('p_retailprice', 2)} AS retail_price,
            p_retailprice / p_size AS price_per_size,
            TRY_CAST(CASE WHEN p_size % 2 = 0 THEN CAST(p_retailprice AS VARCHAR)
                          ELSE p_name END AS DOUBLE) AS coerced_price,
@@ -747,7 +756,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper(F.trim("p_brand")), F.lit(" ("), F.upper(F.trim("p_type")), F.lit(")")
         ).alias("brand_label"),
         F.col("p_partkey").cast("string").alias("part_key_str"),
-        F.round("p_retailprice", 2).alias("retail_price"),
+        grid_round_col("p_retailprice", 2).alias("retail_price"),
         (F.col("p_retailprice") / F.col("p_size")).alias("price_per_size"),
         F.when(F.col("p_size") % 2 == 0, F.col("p_retailprice").cast("string"))
         .otherwise(F.col("p_name"))
@@ -766,9 +775,9 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "try_cast_round",
-    """
+    f"""
     SELECT event_id,
-           round(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 2) AS k_value
+           {sql_grid_round("TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)", 2)} AS k_value
     FROM events
     """,
     "null-on-failure cast (pandas to_numeric(errors='coerce') analog) on JSON field",
@@ -777,7 +786,7 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.round(
+        grid_round_col(
             F.get_json_object("props", "$.k").try_cast("double"), 2
         ).alias("k_value"),
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.cleaning import deterministic_sum
+from .functions.cleaning import deterministic_sum, grid_round_col, sql_grid_round
 from .operators.asof import asof_join
 from .registry import register
 from .sources.tables import load_table
@@ -330,10 +330,10 @@ def q_topk_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "topk_per_group",
-    """
+    f"""
     SELECT segment, order_key, order_total, rnk FROM (
         SELECT c_mktsegment AS segment, o_orderkey AS order_key,
-               round(o_totalprice, 2) AS order_total,
+               {sql_grid_round('o_totalprice', 2)} AS order_total,
                row_number() OVER (PARTITION BY c_mktsegment
                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         FROM orders JOIN customer ON o_custkey = c_custkey
@@ -352,7 +352,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderkey").alias("order_key"),
-            F.round("o_totalprice", 2).alias("order_total"),
+            grid_round_col("o_totalprice", 2).alias("order_total"),
             F.row_number().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
@@ -400,8 +400,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "above_avg_parts",
-    """
-    SELECT p_partkey AS part_key, round(p_retailprice, 2) AS retail_price
+    f"""
+    SELECT p_partkey AS part_key, {sql_grid_round('p_retailprice', 2)} AS retail_price
     FROM part
     WHERE p_retailprice > (
         SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)
@@ -422,7 +422,7 @@ def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_retailprice") > F.col("avg_price"))
         .select(
             F.col("p_partkey").alias("part_key"),
-            F.round("p_retailprice", 2).alias("retail_price"),
+            grid_round_col("p_retailprice", 2).alias("retail_price"),
         )
     )
 
@@ -712,14 +712,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q18_big_orders",
-    """
+    f"""
     WITH big AS (
         SELECT l_orderkey
         FROM lineitem GROUP BY l_orderkey
         HAVING sum(l_quantity) > 150
     )
     SELECT c_custkey AS customer_key, o_orderkey AS order_key,
-           round(o_totalprice, 2) AS order_total,
+           {sql_grid_round('o_totalprice', 2)} AS order_total,
            CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -750,7 +750,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("c_custkey").alias("customer_key"),
             F.col("o_orderkey").alias("order_key"),
-            F.round("o_totalprice", 2).alias("order_total"),
+            grid_round_col("o_totalprice", 2).alias("order_total"),
             "total_qty",
         )
     )

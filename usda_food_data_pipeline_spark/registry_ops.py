@@ -423,7 +423,7 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_twap",
     """
     WITH held AS (
-      SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS v,
+      SELECT user_id, CAST(floor((value * 100) + 0.5) AS BIGINT) AS v,
              lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                - epoch_us(ts) AS w
       FROM events

@@ -35,6 +35,10 @@ from .operators.dedup import (
     simhash_fingerprints,
 )
 from .functions.portable_ln import POWS_CTE as _POWS_CTE
+from .functions.portable_ln import grid_decimal_col as _grid_decimal_col
+from .functions.portable_ln import grid_nanos_col as _grid_nanos_col
+from .functions.portable_ln import sql_grid_decimal as _sql_grid_decimal
+from .functions.portable_ln import sql_grid_nanos as _sql_grid_nanos
 from .functions.portable_ln import sql_ln_select as _sql_ln_select
 from .registry import register
 from .sources.tables import load_table
@@ -1560,7 +1564,7 @@ _TMIX_SEED = 7
 
 TEMPERATURE_MIX_ORACLE = f"""
 WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
-cs AS (SELECT source, n, CAST(round(sqrt(n), 9) AS DECIMAL(28,9)) AS sq FROM counts),
+cs AS (SELECT source, n, {_sql_grid_decimal(_sql_grid_nanos("sqrt(n)"), 28, 9)} AS sq FROM counts),
 tot AS (SELECT sum(sq) AS s_all, sum(n) AS n_all FROM cs),
 rates AS (
     SELECT source, n,
@@ -1716,7 +1720,7 @@ WITH hashes AS (SELECT md5(text) AS h, count(*) AS hc FROM documents GROUP BY 1)
 base AS (
     SELECT d.lang, d.source,
            len({TOKS_SQL}) AS n_toks,
-           CAST(round({_QUALITY_SQL}, 9) AS DECIMAL(18,9)) AS q,
+           {_sql_grid_decimal(_sql_grid_nanos(_QUALITY_SQL), 18, 9)} AS q,
            CASE WHEN h.hc >= 2 THEN 1 ELSE 0 END AS is_dup
     FROM documents d JOIN hashes h ON md5(d.text) = h.h
 )
@@ -1754,7 +1758,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             token_count(F.col("text")).cast("long").alias("_nt"),
-            F.round(quality_score(F.col("text")), 9).cast("decimal(18,9)").alias("_q"),
+            _grid_decimal_col(_grid_nanos_col(quality_score(F.col("text"))), 18, 9).alias("_q"),
             F.md5("text").alias("_h"),
         )
         .join(hashes, "_h")
@@ -3126,8 +3130,13 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard's union term misses. Lossless containment prefix filter on
     the contained side (pigeonhole over the sz-alpha+1 rarest codes);
     the container side cannot be prefix-filtered, so its index buckets
-    are cap-guarded with reported (never silent) degradation. Exact
-    integer verification; text never shuffles (portable 48-bit codes).
+    are cap-guarded with reported (never silent) degradation, and the
+    all-hot-prefix case escalates to L2 super-shingle keys (r08 task 6;
+    probe-gated, so it never enters this plan while the guard is at 0).
+    The oracle twin models L1 only — exact parity holds in the
+    guard-drops=0 regime the gate tests; L2 can only ADD
+    exactly-verified pairs beyond it. Exact integer verification; text
+    never shuffles (portable 48-bit codes).
     """
     from .operators.dedup import containment_pairs_prefix
     from .registry import guard_observation

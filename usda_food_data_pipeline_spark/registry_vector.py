@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.portable_ln import grid_decimal_col as _grid_decimal_col
+from .functions.portable_ln import grid_nanos_col as _grid_nanos_col
+from .functions.portable_ln import sql_grid_decimal as _sql_grid_decimal
+from .functions.portable_ln import sql_grid_nanos as _sql_grid_nanos
 from .operators.dedup import DEFAULT_MAX_BUCKET, cap_bucket_qualify_sql
 from .operators.similarity import (
     cosine_topk,
@@ -390,14 +394,14 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Class-prototype centroids: mean embedding per label
 # ---------------------------------------------------------------------------
 
-PROTOTYPES_ORACLE = """
+PROTOTYPES_ORACLE = f"""
 WITH e AS (
     SELECT label, unnest(embedding) AS v,
            generate_subscripts(embedding, 1) AS pos
     FROM embeddings
 )
 SELECT label, CAST(pos AS INTEGER) AS pos,
-       CAST(sum(CAST(round(CAST(v AS DOUBLE), 9) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS sum_v,
+       CAST(sum({_sql_grid_decimal(_sql_grid_nanos('CAST(v AS DOUBLE)'), 18, 9)}) AS DECIMAL(38,9)) AS sum_v,
        count(*) AS n
 FROM e GROUP BY label, pos
 """
@@ -426,7 +430,7 @@ def q_label_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             (F.col("pos0") + 1).cast("int").alias("pos"),
-            F.round(F.col("v").cast("double"), 9).cast("decimal(18,9)").alias("_v"),
+            _grid_decimal_col(_grid_nanos_col(F.col("v").cast("double")), 18, 9).alias("_v"),
         )
         .groupBy("label", "pos")
         .agg(
