@@ -317,3 +317,77 @@ def test_containment_count_filter_is_lossless_vs_bruteforce(spark):
         for r in containment_pairs_prefix(docs, "doc_id", "text", tn, td).collect()
     }
     assert got == want
+
+
+def test_containment_hot_escalation_recovers_suppressed_pair(spark):
+    """r08 verdict task 6: a pair ALL of whose shared prefix codes are
+    over the index cap used to vanish silently at the RESULT level
+    (guard-reported only). The L2 super-shingle escalation must recover
+    the contiguous-inclusion case: A quoted verbatim inside B while
+    every one of A's bigram codes is hot (df > cap) because scattered
+    copies of those bigrams ride inside filler docs."""
+    import itertools
+
+    from usda_food_data_pipeline_spark.operators.dedup import (
+        GuardStats,
+        containment_pairs_prefix,
+    )
+
+    a_text = "p q r s t u"
+    b_text = "bj0 bj1 bj2 " + a_text + " bj3 bj4"
+    a_bigrams = ["p q", "q r", "r s", "s t", "t u"]
+    texts = {1: a_text, 2: b_text}
+    # 10 fillers, each carrying 2 of A's 5 bigrams NON-contiguously
+    # (separated by junk) -> each bigram code lands in exactly 4
+    # fillers + A + B = df 6 > cap 4, so A's whole prefix is hot; no
+    # filler shares >= 3 of A's bigrams, so no chance containment.
+    for i in range(10):
+        picks = [a_bigrams[(2 * i) % 5], a_bigrams[(2 * i + 1) % 5]]
+        texts[10 + i] = (
+            f"f{i}a f{i}b f{i}c " + picks[0] + f" f{i}d " + picks[1] + f" f{i}e"
+        )
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def shingles(t):
+        toks = t.split()
+        return {f"{x} {y}" for x, y in zip(toks, toks[1:])}
+
+    tn, td = 3, 5
+    want = set()
+    for a, b in itertools.permutations(texts, 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        if sa and len(sa & sb) * td >= len(sa) * tn:
+            want.add((a, b))
+    assert want == {(1, 2)}, "corpus must plant exactly the A-in-B pair"
+
+    obs = GuardStats()
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs_prefix(
+            docs, "doc_id", "text", tn, td, max_bucket=4, observation=obs
+        ).collect()
+    }
+    g = obs.get
+    assert g["guard_dropped_rows"] > 0, "cap must have engaged (hot regime)"
+    assert set(got) == want, (
+        "L2 escalation must recover the cap-suppressed contiguous pair"
+    )
+    assert got[(1, 2)] == 1.0
+
+
+def test_containment_l2_skipped_when_prefixes_healthy(spark):
+    """The escalation probe must short-circuit (no dedup stage, no
+    super-shingle scan) when no doc's hot prefix count reaches
+    min(l, alpha) — the plan stays the L1-only shape."""
+    from usda_food_data_pipeline_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    texts = {i: " ".join(f"u{i}_{j}" for j in range(12)) for i in range(8)}
+    texts[100] = texts[0]  # one exact dup pair keeps the output nonempty
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = containment_pairs_prefix(docs, "doc_id", "text", 3, 5, max_bucket=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "dropDuplicates" not in plan.lower().replace("deduplicate", "dropduplicates")
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(0, 100), (100, 0)}

@@ -112,33 +112,46 @@ class GuardStats:
     ``{guard_dropped_rows, guard_dropped_buckets, guard_max_bucket}``.
     Unlike Observation it can be read BEFORE any action on the guarded
     frame (it recomputes the counts from lineage), and re-reads refresh.
+
+    A multi-level operator guards SEVERAL joins with one stats object
+    (containment L1 index + L2 super-shingles, jaccard cold + hot
+    triples): every attachment ACCUMULATES — ``get`` sums drops across
+    all guarded frames and maxes the bucket high-water mark, so a
+    later guard can never erase an earlier level's engagement (the
+    pre-r09 last-wins behavior silently zeroed L1 telemetry whenever a
+    healthy L2 guard attached after it).
     """
 
     def __init__(self) -> None:
-        self._counts: DataFrame | None = None
-        self._max_rows: int | None = None
+        self._guards: list[tuple[DataFrame, int]] = []
 
     def _attach(self, counts: DataFrame, max_rows: int) -> None:
-        self._counts = counts
-        self._max_rows = max_rows
+        self._guards.append((counts, max_rows))
 
     @property
     def get(self) -> dict[str, int]:
-        if self._counts is None:
+        if not self._guards:
             raise RuntimeError(
                 "GuardStats not attached: pass it as cap_bucket_size(observation=...)"
             )
-        over = F.col("_bkt_n") > self._max_rows
-        row = self._counts.agg(
-            F.coalesce(
-                F.sum(F.when(over, F.col("_bkt_n")).otherwise(F.lit(0))), F.lit(0)
-            ).alias("guard_dropped_rows"),
-            F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0)).alias(
-                "guard_dropped_buckets"
-            ),
-            F.coalesce(F.max("_bkt_n"), F.lit(0)).alias("guard_max_bucket"),
-        ).collect()[0]
-        return row.asDict()
+        total = {"guard_dropped_rows": 0, "guard_dropped_buckets": 0, "guard_max_bucket": 0}
+        for counts, max_rows in self._guards:
+            over = F.col("_bkt_n") > max_rows
+            row = counts.agg(
+                F.coalesce(
+                    F.sum(F.when(over, F.col("_bkt_n")).otherwise(F.lit(0))), F.lit(0)
+                ).alias("guard_dropped_rows"),
+                F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0)).alias(
+                    "guard_dropped_buckets"
+                ),
+                F.coalesce(F.max("_bkt_n"), F.lit(0)).alias("guard_max_bucket"),
+            ).collect()[0]
+            total["guard_dropped_rows"] += row["guard_dropped_rows"]
+            total["guard_dropped_buckets"] += row["guard_dropped_buckets"]
+            total["guard_max_bucket"] = max(
+                total["guard_max_bucket"], row["guard_max_bucket"]
+            )
+        return total
 
 
 def cap_bucket_size(
@@ -1291,6 +1304,8 @@ def containment_pairs_prefix(
     observation=None,
     ext_l: int = 3,
     hash_seed: int = 29,
+    hot_k: int = 8,
+    hot_min_shared: int = 2,
 ) -> DataFrame:
     """Asymmetric set-containment join: all ordered pairs (a, b), a≠b,
     with ``|Sa ∩ Sb| / |Sa| ≥ tn/td`` over n-gram shingle sets — "a is
@@ -1315,11 +1330,34 @@ def containment_pairs_prefix(
     ``c + H_a ≥ min(ℓ, α)`` with H_a = hot codes in a's extended
     prefix.  Over-cap index buckets are dropped by
     :func:`cap_bucket_size` with guard counters (reported via
-    ``observation``, never silent); a pair ALL of whose shared codes
-    are hot generates no collision row at all and is missed — the
-    level-2 escalation jaccard carries is a documented non-goal here
-    (the guard stays at 0 drops through the tested scales).  The size
-    filter ``sz_b·td ≥ sz_a·tn`` (⟺ |Sb| ≥ α) is lossless.
+    ``observation``, never silent).  The size filter
+    ``sz_b·td ≥ sz_a·tn`` (⟺ |Sb| ≥ α) is lossless.
+
+    LEVEL 2 (hot escalation — r08 verdict task 6): a pair ALL of whose
+    first min(ℓ, α) commons are hot generates no level-1 collision row
+    at all; by the lemma such an ``a`` has ``H_a ≥ min(ℓ, α)``, which
+    is exactly the escalation eligibility.  Eligible contained-side
+    docs re-key by (n+2)-gram SUPER-SHINGLES (positional, scan-local)
+    and keep the ``hot_k`` smallest codes (bottom-k by code value —
+    content-keyed and alignment-free, so a quoted span selects the
+    same codes in both documents); the container side filters its own
+    super-shingles against the broadcast of those selected codes
+    INSIDE the scan (broadcast hash join — the b-side exchange carries
+    only matches), and pairs sharing ≥ ``hot_min_shared`` selected
+    codes become candidates.  Super-shingles rarify super-linearly
+    (df of an (n+2)-gram ≤ df of its constituent n-grams), so the
+    keyspace stays data-bounded in the mass-replication regime where
+    every single code is hot by pigeonhole.  The level is
+    heuristic-recall for CONTIGUOUS inclusion (quotation / wrapper /
+    boilerplate — the case the operator exists for); a containment
+    realized only as scattered isolated shingles can still be missed,
+    and super-shingle buckets above the cap (mass duplication whose
+    true pair output is itself quadratic) are dropped and REPORTED via
+    the same guard.  The level is gated on one bounded
+    ``limit(1).count()`` probe of the eligibility set, so corpora with
+    healthy prefixes (guard at 0 through sf0.1) pay nothing beyond the
+    probe; exact verification makes L2 a pure recall add with zero
+    precision risk.
 
     Verification re-attaches both shingle arrays and tests
     ``|∩|·td ≥ tn·|Sa|`` in exact integers.  Output
@@ -1367,9 +1405,11 @@ def containment_pairs_prefix(
     # H_a = hot codes in a's extended prefix (per-doc constant, joined
     # back onto the AGGREGATED pair stream — never through the
     # collision exchange)
+    # persisted: the L2 eligibility probe below actions this frame, and
+    # the L1 count filter reads it again — docs-sized (2 numeric cols)
     astats = prefix.groupBy("doc_id_").agg(
         F.max("sz").alias("sz_a"), F.sum("_hot").alias("_H_a")
-    )
+    ).persist()
     # the container side is the full index, cap-guarded per code
     index = cap_bucket_size(
         exd.select("doc_id_", "sz", "s"), ["s"], max_bucket, observation
@@ -1402,6 +1442,71 @@ def containment_pairs_prefix(
         .filter((lhs >= ext_l) | (lhs * td >= F.col("sz_a") * tn))
         .select("id_a", "id_b")
     )
+
+    # LEVEL 2 (hot escalation — see docstring): only docs whose hot
+    # prefix count reaches min(ℓ, α) can have a qualifying pair fully
+    # suppressed by the index cap.  One bounded limit(1) probe decides
+    # whether the super-shingle branch enters the plan at all — healthy
+    # corpora (guard at 0) pay nothing beyond it.
+    eligible = astats.filter(
+        F.col("_H_a")
+        >= F.least(F.lit(ext_l).cast("long"), F.expr(f"(sz_a * {tn} + {td} - 1) DIV {td}"))
+    ).select("doc_id_")
+    deduped = False
+    if eligible.limit(1).count() > 0:
+        deduped = True
+        sup = spread(df).select(
+            F.col(id_col).alias("doc_id_"),
+            F.array_distinct(
+                F.transform(
+                    word_shingles(tokenize(F.col(text_col)), shingle_n + 2),
+                    lambda x: md5_int(x, hash_seed),
+                )
+            ).alias("ss"),
+        )
+        # bottom-k super-shingle codes per eligible contained-side doc:
+        # the codes are already content hashes, so ordering by value IS
+        # the content-keyed, alignment-free bottom-k sketch
+        wk = Window.partitionBy("doc_id_").orderBy("s")
+        a_sel = (
+            sup.join(eligible, "doc_id_")
+            .select("doc_id_", F.explode("ss").alias("s"))
+            .withColumn("_kr", F.row_number().over(wk))
+            .filter(F.col("_kr") <= hot_k)
+            .select("doc_id_", "s")
+        )
+        # container side: filter super-shingles against the broadcast
+        # of selected codes inside the scan (exchange carries matches
+        # only), then cap genuinely mass-duplicated codes — reported
+        b_sup = cap_bucket_size(
+            sup.select("doc_id_", F.explode("ss").alias("s")).join(
+                F.broadcast(a_sel.select("s").distinct()), "s"
+            ),
+            ["s"],
+            max_bucket,
+            observation,
+        )
+        cand2 = (
+            a_sel.alias("ha")
+            .join(
+                b_sup.alias("hb"),
+                (F.col("ha.s") == F.col("hb.s"))
+                & (F.col("ha.doc_id_") != F.col("hb.doc_id_")),
+            )
+            .select(
+                F.col("ha.doc_id_").alias("id_a"),
+                F.col("hb.doc_id_").alias("id_b"),
+            )
+            .repartition("id_a", "id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_t"))
+            .filter(F.col("_t") >= hot_min_shared)
+            .select("id_a", "id_b")
+        )
+        # cross-level duplicates survive to verification (both branches
+        # are groupBy-distinct); the few verified rows dedupe below
+        cand = cand.unionByName(cand2)
+
     verified = cand.join(
         sh_t.select(
             F.col("doc_id_").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
@@ -1411,9 +1516,9 @@ def containment_pairs_prefix(
         sh_t.select(F.col("doc_id_").alias("id_b"), F.col("sh").alias("sh_b")),
         "id_b",
     )
-    _INTERMEDIATES.rollover([sh_t])
+    _INTERMEDIATES.rollover([sh_t, astats])
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    out = (
         verified.withColumn("_i", inter)
         .filter(F.col("_i") * td >= F.col("sz_a") * tn)
         .select(
@@ -1424,3 +1529,8 @@ def containment_pairs_prefix(
             ),
         )
     )
+    if deduped:
+        # a pair found by both levels verifies twice; the survivors are
+        # output-sized, so the dedup exchange is cheap
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
