@@ -138,8 +138,21 @@ def py_ln_combine(terms: Sequence[tuple[str, int]]) -> float:
 def py_exp(v: float) -> float:
     """Portable exp: range-reduce by LN2 (k = floor(v/LN2 + 0.5)),
     Taylor-Horner on the residual, exact power-of-two scaling.
-    Mirrors :func:`sql_exp_select` op for op."""
+    Mirrors :func:`sql_exp_select` op for op.
+
+    Domain: |v| ≤ 62·ln2 ≈ 42.97 (|k| ≤ 62), the range of the SQL
+    chain's power-of-two lookup table.  Outside it the SQL side's
+    ``pows`` lookup returns NULL, so silently returning a finite float
+    here would be a latent Python/SQL divergence (r08 ADVICE) — raise
+    instead; every in-engine caller feeds logs of < 2^62 integers (or
+    means thereof), which sit inside the bound by construction."""
     k = math.floor((v / LN2) + 0.5)
+    if abs(k) > 62:
+        raise ValueError(
+            f"py_exp input {v!r} needs 2^{k} scaling, outside the chain's "
+            "exact power-of-two table (|k| <= 62; |v| <= ~42.97) — the SQL "
+            "twin would produce NULL here, not a finite value"
+        )
     r = v - (float(k) * LN2)
     poly = 1.0
     for i in range(_EXP_DEPTH, 0, -1):
@@ -277,7 +290,13 @@ def sql_exp_select(
 ) -> str:
     """Emit a SELECT computing the portable exp of a double expression
     (mirrors :func:`py_exp`).  Requires ``pows`` in scope for the
-    exact power-of-two scaling."""
+    exact power-of-two scaling.
+
+    Same |v| ≤ 62·ln2 domain as :func:`py_exp`: beyond it the ``pows``
+    lookup finds no row and the result is NULL.  :func:`py_exp` raises
+    on that domain instead, so a divergence can never ship silently —
+    the Python side (which builds every literal table) fails loudly at
+    plan-build time."""
     keep_sql = ", ".join(keep)
     sep = ", " if keep else ""
     poly = "1.0"

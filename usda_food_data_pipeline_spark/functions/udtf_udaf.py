@@ -68,8 +68,15 @@ def geometric_mean(v: pd.Series) -> float:
     if len(x) == 0:
         return float("nan")
     # ln per DISTINCT value (quantities are small integers), folded by
-    # exact integer multiply-accumulate — vectorized, not per-row Python
-    uniq, counts = np.unique(x.astype("int64").to_numpy(), return_counts=True)
+    # exact integer multiply-accumulate — vectorized, not per-row Python.
+    # Round half-away-from-zero (r08 ADVICE): the oracle's
+    # CAST(... AS BIGINT) rounds in DuckDB (2.5 -> 3), while pandas
+    # astype truncates (2.5 -> 2) — on integer-valued inputs both are
+    # identity, but nothing enforced that precondition.  x > 0 makes
+    # floor(x + 0.5) exactly half-away-from-zero.
+    uniq, counts = np.unique(
+        np.floor(x.to_numpy() + 0.5).astype("int64"), return_counts=True
+    )
     sum_nanos = sum(
         int(c) * py_grid_nanos(py_ln_int(int(u))) for u, c in zip(uniq, counts)
     )

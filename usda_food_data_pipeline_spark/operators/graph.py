@@ -356,8 +356,16 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
         )
         .persist()
     )
+    # DataFrame.unpersist() is a no-op on localCheckpoint blocks (see
+    # the module note at connected-components and the CheckpointJanitor
+    # docstring; r08 ADVICE): the janitor frees each superseded
+    # survivor-set generation's RDD blocks, keeping exactly one
+    # generation alive per round instead of stranding rounds+1 of them
+    # until driver GC.
+    from .dedup import CheckpointJanitor
+
+    janitor = CheckpointJanitor(edges.sparkSession)
     surv = und.select("n").distinct()
-    prev = None
     for _ in range(rounds):
         deg = (
             und.join(surv, "n")
@@ -365,18 +373,12 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        nxt = deg.filter(F.col("deg") >= k).select("n").localCheckpoint(eager=True)
-        if prev is not None:
-            prev.unpersist()
-        prev, surv = nxt, nxt
-    out = (
+        surv = janitor.checkpoint(deg.filter(F.col("deg") >= k).select("n"))
+    out = janitor.checkpoint(
         und.join(surv, "n")
         .join(surv.select(F.col("n").alias("m")), "m")
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-        .localCheckpoint(eager=True)
     )
-    if prev is not None:
-        prev.unpersist()
     und.unpersist()
     return out
