@@ -1,0 +1,113 @@
+"""Unit semantics for the round-9 operators: Gopher rule table, PMI
+phrase mining, product quantization.  The oracle gate pins cross-engine
+exactness at fixture scale; these pin the math on corpora small enough
+to recompute by hand.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_gopher_rules_flags(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import (
+        GOPHER_MIN_WORDS,
+        gopher_rules,
+    )
+
+    good = " ".join(["the quick brown fox jumps over that lazy dog with"] * 6)
+    assert len(good.split()) >= GOPHER_MIN_WORDS
+    short = "tiny doc"
+    symbols = " ".join(["the of and that have with word"] * 8 + ["# # # # # # # # # #"] * 2)
+    bullets = "\n".join(["- item the of"] * 10)
+    ellipsis = "\n".join(["the of and that trailing..."] * 10)
+    nonalpha = " ".join(["the of and that have with"] * 9 + ["123 456 789 000"] * 9)
+    nostops = " ".join(["zork blarg quux flibber gnar"] * 12)
+
+    rows = [
+        (1, good), (2, short), (3, symbols), (4, bullets),
+        (5, ellipsis), (6, nonalpha), (7, nostops),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+
+    assert got[1]["keep"] is True
+    assert got[2]["r_word_count"] is False and got[2]["keep"] is False
+    assert got[3]["r_symbol_ratio"] is False
+    assert got[4]["r_bullet_lines"] is False
+    assert got[5]["r_ellipsis_lines"] is False
+    assert got[6]["r_alpha_words"] is False
+    assert got[7]["r_stopwords"] is False
+    # every failing doc fails overall
+    for d in (2, 3, 4, 5, 6, 7):
+        assert got[d]["keep"] is False, d
+
+
+def test_pmi_ranks_collocation_above_chance(spark):
+    from usda_food_data_pipeline_spark.functions.pmi import pmi_phrases
+
+    # "san francisco" always adjacent (c=10 >= min_count); every other
+    # adjacency is doc-unique (c=1) and falls below the count floor
+    rows = [
+        (i, f"san francisco w{i}a w{i}b san francisco") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_phrases(docs, min_count=5, top_n=10).collect()
+    assert [(r["w1"], r["w2"], r["rank"]) for r in out] == [
+        ("san", "francisco", 1)
+    ]
+    # hand-check the PMI value in integer nanos
+    from usda_food_data_pipeline_spark.functions.portable_ln import (
+        py_grid_nanos,
+        py_ln_int,
+    )
+
+    def n(x):
+        return py_grid_nanos(py_ln_int(x))
+
+    # per doc: 6 tokens -> 5 bigrams; c(san francisco)=10, c(san)=10,
+    # c(francisco)=10, N=30, Nb=25
+    top = out[0]
+    assert top["c_xy"] == 10
+    exp_nanos = ((((n(10) + n(30)) + n(30)) - n(25)) - n(10)) - n(10)
+    from decimal import Decimal
+
+    assert Decimal(top["pmi"]) == Decimal(exp_nanos).scaleb(-9)
+
+
+def test_pq_codes_and_distortion(spark):
+    import numpy as np
+
+    from usda_food_data_pipeline_spark.operators.kmeans import (
+        kmeans_assign,
+        pq_quantize,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in pq_quantize(emb, m=2, k=4, n_iter=2).collect()}
+    assert set(out) == set(range(40))
+    for r in out.values():
+        assert 0 <= r["code_0"] < 4 and 0 <= r["code_1"] < 4
+        assert r["d2"] >= 0
+
+    # PQ distortion decomposes: d2 equals the sum of each subspace's
+    # independent kmeans distortion (same seeds, same rounds)
+    lo = emb.select("vec_id", F.slice("embedding", 1, 4).alias("embedding"))
+    hi = emb.select("vec_id", F.slice("embedding", 5, 4).alias("embedding"))
+    d_lo = {r["vec_id"]: r["d2"] for r in kmeans_assign(lo, k=4, n_iter=2).collect()}
+    d_hi = {r["vec_id"]: r["d2"] for r in kmeans_assign(hi, k=4, n_iter=2).collect()}
+    for i, r in out.items():
+        assert r["d2"] == d_lo[i] + d_hi[i], i
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import pq_quantize
+
+    emb = spark.createDataFrame([(1, [0.1, 0.2, 0.3])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_quantize(emb, m=2, k=2, n_iter=1)

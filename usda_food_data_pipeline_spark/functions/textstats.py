@@ -644,3 +644,95 @@ def doc_repetition(df, id_col: str, text_col: str):
         frac(F.col("top_count"), F.col("n_bigrams")).alias("top_frac"),
         frac(F.col("_dup"), F.col("n_bigrams")).alias("dup_frac"),
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A1.1.1) — the standard web-corpus rule
+# table every large-scale text pipeline ships. Spelled as integer
+# cross-multiplications so both engines compare exact integers, never
+# float ratios.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3      # mean word length in [3, 10]
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_SYMBOL_NUM, GOPHER_SYMBOL_DEN = 1, 10     # (hash+ellipsis)/words <= 0.1
+GOPHER_BULLET_NUM, GOPHER_BULLET_DEN = 9, 10     # bullet lines <= 90%
+GOPHER_ELLIPSIS_NUM, GOPHER_ELLIPSIS_DEN = 3, 10  # ellipsis lines <= 30%
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5        # words w/ alpha >= 80%
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Gopher quality-rule table: one boolean per rule
+    plus the conjunction, all from exact integer counts (word count,
+    alphabetic chars, '#'/'...' symbols, bullet/ellipsis line
+    fractions, alpha-word fraction, distinct-stopword floor).
+
+    Everything is a scan-local Catalyst expression over one projection
+    — no shuffle at all (the operator is a pure map), so it runs at
+    input-scan speed on any corpus size and composes under any
+    partitioning. Ratio rules compare via integer cross-multiplication
+    (``10·bullets ≤ 9·lines``), never float division, so the SQL twin
+    is bit-trivially exact.
+
+    Reference analog: none; extends the §2 text-analysis family per the
+    LLM-pipeline mandate (the quality-filter stage of Gopher/MassiveWeb,
+    also used by RefinedWeb, Dolma, and FineWeb derivatives).
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    lines = F.split(text, "\n")
+    n_words = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, ALPHA_CLASS, ""))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+        )
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        alpha.cast("long").alias("_alpha"),
+        (n_hash + n_ellipsis.cast("long")).cast("long").alias("_sym"),
+        n_lines.cast("long").alias("_nl"),
+        bullet_lines.cast("long").alias("_bl"),
+        ellipsis_lines.cast("long").alias("_el"),
+        alpha_words.cast("long").alias("_aw"),
+        stop_hits.cast("long").alias("_sh"),
+    )
+    nw = F.col("n_words").cast("long")
+    rules = {
+        "r_word_count": (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (F.col("_alpha") >= GOPHER_MIN_MEAN_LEN * nw)
+        & (F.col("_alpha") <= GOPHER_MAX_MEAN_LEN * nw),
+        "r_symbol_ratio": F.col("_sym") * GOPHER_SYMBOL_DEN <= nw * GOPHER_SYMBOL_NUM,
+        "r_bullet_lines": F.col("_bl") * GOPHER_BULLET_DEN
+        <= F.col("_nl") * GOPHER_BULLET_NUM,
+        "r_ellipsis_lines": F.col("_el") * GOPHER_ELLIPSIS_DEN
+        <= F.col("_nl") * GOPHER_ELLIPSIS_NUM,
+        "r_alpha_words": F.col("_aw") * GOPHER_ALPHA_DEN >= nw * GOPHER_ALPHA_NUM,
+        "r_stopwords": F.col("_sh") >= GOPHER_MIN_STOPWORDS,
+    }
+    passed = None
+    for c in rules.values():
+        passed = c if passed is None else passed & c
+    return base.select(
+        id_col,
+        "n_words",
+        *[c.alias(n) for n, c in rules.items()],
+        passed.alias("keep"),
+    )

@@ -141,3 +141,61 @@ def kmeans_assign(
             ]
 
     return _assign(pts, cents, dim).select(id_col, "cluster", "d2")
+
+
+def pq_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each vector into ``m``
+    subspaces, train an exact-integer Lloyd codebook of ``k`` centroids
+    per subspace (:func:`kmeans_assign` — same grid arithmetic, same
+    lowest-id seeding), and emit each vector's code word per subspace
+    plus its total exact squared-grid distortion.
+
+    The PQ code table is what an IVF-PQ index stores instead of raw
+    vectors (m·log2(k) bits per vector vs 4·dim bytes) — the standard
+    memory-bound ANN structure at billion-vector scale.  Everything
+    stays oracle-exact: per-subspace distances and the distortion sum
+    are int64 on the 1/10³ grid, so the SQL twin agrees bit for bit.
+
+    Scale shape: ``m`` independent kmeans runs (each: n_iter+1 jobs of
+    one Arrow-batched assignment + one k-group aggregate whose exchange
+    carries k·(dim/m + 1) rows), then an m-way join on ``id_col`` —
+    AQE plans the joins over co-partitioned assignment outputs; no
+    stage touches more than the vector payload once per run.
+
+    Output: ``(id_col, code_0..code_{m-1} int, d2 bigint)``.
+    """
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_quantize: input has no vectors")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"pq_quantize: dim {dim} not divisible by m={m}")
+    w = dim // m
+
+    out = None
+    d2 = None
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * w + 1, w).alias("sub")
+        )
+        a = kmeans_assign(sub, id_col, "sub", k=k, n_iter=n_iter).select(
+            F.col(id_col),
+            F.col("cluster").alias(f"code_{j}"),
+            F.col("d2").alias(f"_d{j}"),
+        )
+        out = a if out is None else out.join(a, id_col)
+        dj = F.col(f"_d{j}")
+        d2 = dj if d2 is None else d2 + dj
+    return out.select(
+        id_col,
+        *[f"code_{j}" for j in range(m)],
+        d2.cast("bigint").alias("d2"),
+    )

@@ -325,6 +325,13 @@ _ORDER: list[str] = [
     # sf0.01-0.1, cap engages first at sf3)
     "doc_repetition",
     "containment_pairs",
+    # round-9 operators (exact oracles; 3-scale local rows per the
+    # round-end collect): Gopher rule-table filter, PMI collocation
+    # mining on the per-term-snapped portable chain, product
+    # quantization over the exact-integer Lloyd codebooks
+    "gopher_rules",
+    "pmi_phrases",
+    "pq_quantize",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

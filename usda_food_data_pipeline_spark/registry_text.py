@@ -3150,3 +3150,170 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CT_TD,
         observation=guard_observation("containment_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule table (functions/textstats.gopher_rules): the
+# Rae et al. 2021 Appendix-A web-corpus filter, integer-exact
+# ---------------------------------------------------------------------------
+
+def _gopher_oracle() -> str:
+    from .functions.textstats import (
+        GOPHER_ALPHA_DEN,
+        GOPHER_ALPHA_NUM,
+        GOPHER_BULLET_DEN,
+        GOPHER_BULLET_NUM,
+        GOPHER_ELLIPSIS_DEN,
+        GOPHER_ELLIPSIS_NUM,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        GOPHER_SYMBOL_DEN,
+        GOPHER_SYMBOL_NUM,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len({TOKS_SQL}) AS INTEGER) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS _alpha,
+           CAST(length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) // 3
+               AS BIGINT) AS _sym,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS _nl,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))
+               AS BIGINT) AS _bl,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS _el,
+           CAST(len(list_filter({TOKS_SQL}, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS _aw,
+           CAST(len(list_intersect(list_distinct({TOKS_SQL}), [{stops}])) AS BIGINT) AS _sh
+    FROM documents
+)
+SELECT doc_id, n_words,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS r_word_count,
+       _alpha >= {GOPHER_MIN_MEAN_LEN} * n_words
+           AND _alpha <= {GOPHER_MAX_MEAN_LEN} * n_words AS r_mean_word_len,
+       _sym * {GOPHER_SYMBOL_DEN} <= n_words * {GOPHER_SYMBOL_NUM} AS r_symbol_ratio,
+       _bl * {GOPHER_BULLET_DEN} <= _nl * {GOPHER_BULLET_NUM} AS r_bullet_lines,
+       _el * {GOPHER_ELLIPSIS_DEN} <= _nl * {GOPHER_ELLIPSIS_NUM} AS r_ellipsis_lines,
+       _aw * {GOPHER_ALPHA_DEN} >= n_words * {GOPHER_ALPHA_NUM} AS r_alpha_words,
+       _sh >= {GOPHER_MIN_STOPWORDS} AS r_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+       AND (_alpha >= {GOPHER_MIN_MEAN_LEN} * n_words
+            AND _alpha <= {GOPHER_MAX_MEAN_LEN} * n_words)
+       AND (_sym * {GOPHER_SYMBOL_DEN} <= n_words * {GOPHER_SYMBOL_NUM})
+       AND (_bl * {GOPHER_BULLET_DEN} <= _nl * {GOPHER_BULLET_NUM})
+       AND (_el * {GOPHER_ELLIPSIS_DEN} <= _nl * {GOPHER_ELLIPSIS_NUM})
+       AND (_aw * {GOPHER_ALPHA_DEN} >= n_words * {GOPHER_ALPHA_NUM})
+       AND (_sh >= {GOPHER_MIN_STOPWORDS}) AS keep
+FROM base
+"""
+
+
+@register(
+    "gopher_rules",
+    _gopher_oracle(),
+    "Gopher (Rae et al. 2021) web-corpus quality rules per document: "
+    "word count, mean word length, symbol/bullet/ellipsis ratios, "
+    "alpha-word fraction, stopword floor — integer-exact booleans",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import gopher_rules
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return gopher_rules(docs)
+
+
+# ---------------------------------------------------------------------------
+# PMI phrase mining (functions/pmi.py): collocation discovery on the
+# portable per-term-snapped chain
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 100
+
+
+def _pmi_oracle(min_count: int = _PMI_MIN_COUNT, top_n: int = _PMI_TOP) -> str:
+    from .functions.portable_ln import (
+        POWS_CTE,
+        sql_grid_decimal,
+        sql_grid_nanos,
+        sql_ln_select,
+    )
+
+    ln_xy = sql_ln_select(
+        "(SELECT DISTINCT c_xy AS c FROM bg) _dxy",
+        ["c"],
+        {"a": "c"},
+        [("_nxy", sql_grid_nanos("_ln_a"))],
+    )
+    ln_w = sql_ln_select(
+        "(SELECT DISTINCT c FROM uni) _dw",
+        ["c"],
+        {"a": "c"},
+        [("_nw", sql_grid_nanos("_ln_a"))],
+    )
+    ln_n = sql_ln_select(
+        "(SELECT n_total, nb_total FROM tot) _dn",
+        [],
+        {"a": "n_total", "b": "nb_total"},
+        [("_nn", sql_grid_nanos("_ln_a")), ("_nnb", sql_grid_nanos("_ln_b"))],
+    )
+    return f"""
+WITH {POWS_CTE},
+tk AS (SELECT {TOKS_SQL} AS toks FROM documents),
+uni AS (
+    SELECT w, count(*) AS c
+    FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+),
+bg AS (
+    SELECT w1, w2, count(*) AS c_xy FROM (
+        SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM (SELECT toks, unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+              FROM tk)
+    ) GROUP BY w1, w2 HAVING count(*) >= {min_count}
+),
+tot AS (
+    SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS n_total,
+           CAST((SELECT sum(greatest(len(toks)-1, 0)) FROM tk) AS BIGINT) AS nb_total
+),
+lnxy AS ({ln_xy}),
+lnw AS ({ln_w}),
+lnn AS ({ln_n}),
+scored AS (
+    SELECT b.w1, b.w2, CAST(b.c_xy AS INTEGER) AS c_xy,
+           ((((lx._nxy + ln._nn) + ln._nn) - ln._nnb) - lwx._nw) - lwy._nw AS pn
+    FROM bg b
+    JOIN uni ux ON ux.w = b.w1
+    JOIN uni uy ON uy.w = b.w2
+    JOIN lnxy lx ON lx.c = b.c_xy
+    JOIN lnw lwx ON lwx.c = ux.c
+    JOIN lnw lwy ON lwy.c = uy.c
+    CROSS JOIN lnn ln
+)
+SELECT w1, w2, c_xy, {sql_grid_decimal('pn', 18, 9)} AS pmi,
+       CAST(row_number() OVER (ORDER BY pn DESC, w1, w2) AS INTEGER) AS rank
+FROM scored ORDER BY pn DESC, w1, w2 LIMIT {top_n}
+"""
+
+
+@register(
+    "pmi_phrases",
+    _pmi_oracle(),
+    "top-100 adjacent word pairs by PMI (Church & Hanks collocation "
+    "mining), c_xy >= 5; five-term portable-chain combine in exact "
+    "BIGINT nanos",
+)
+def q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.pmi import pmi_phrases
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return pmi_phrases(docs, min_count=_PMI_MIN_COUNT, top_n=_PMI_TOP)

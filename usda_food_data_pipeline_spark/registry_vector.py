@@ -734,3 +734,105 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < _ARE_NQ)
     return ann_recall_eval(emb, centroids, queries, k=_ARE_K)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/kmeans.pq_quantize): per-subspace
+# exact-integer Lloyd codebooks + PQ codes — the memory-bound ANN
+# index structure (Jégou et al. 2011)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_ITER = 4, 16, 2
+
+
+def _pq_oracle(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
+    from .operators.kmeans import GRID, SCALE, SHIFT
+
+    subs = []
+    finals = []
+    for j in range(m):
+        rounds = []
+        for t in range(1, n_iter + 1):
+            rounds.append(f"""
+d{t}_{j} AS (
+    SELECT pl.vec_id, c.cl,
+           CAST(sum((pl.xq * {GRID} - c.cn) * (pl.xq * {GRID} - c.cn)) AS BIGINT) AS dd
+    FROM pl{j} pl JOIN c{t - 1}_{j} c ON c.pos = pl.pos
+    GROUP BY pl.vec_id, c.cl
+),
+a{t}_{j} AS (
+    SELECT vec_id, CAST(min(dd * {k} + cl) % {k} AS INTEGER) AS cluster
+    FROM d{t}_{j} GROUP BY vec_id
+),
+u{t}_{j} AS (
+    SELECT a.cluster AS cl, pl.pos, sum(pl.xq) AS s, count(*) AS n
+    FROM a{t}_{j} a JOIN pl{j} pl ON pl.vec_id = a.vec_id
+    GROUP BY a.cluster, pl.pos
+),
+c{t}_{j} AS (
+    SELECT p.cl, p.pos,
+           CAST(coalesce((2 * u.s * {GRID} + u.n) // (2 * u.n), p.cn) AS BIGINT) AS cn
+    FROM c{t - 1}_{j} p LEFT JOIN u{t}_{j} u ON u.cl = p.cl AND u.pos = p.pos
+)""")
+        subs.append(f"""
+pl{j} AS (
+    SELECT pl.vec_id, pl.pos, pl.xq
+    FROM pl CROSS JOIN dims
+    WHERE pl.pos > ({j} * dims.dim) // {m}
+      AND pl.pos <= ({j + 1} * dims.dim) // {m}
+),
+c0_{j} AS (
+    SELECT s.cl, pl.pos, pl.xq * {GRID} AS cn
+    FROM seedmap s JOIN pl{j} pl ON pl.vec_id = s.vec_id
+),""" + ",".join(rounds) + f""",
+dfin_{j} AS (
+    SELECT pl.vec_id, c.cl,
+           CAST(sum((pl.xq * {GRID} - c.cn) * (pl.xq * {GRID} - c.cn)) AS BIGINT) AS dd
+    FROM pl{j} pl JOIN c{n_iter}_{j} c ON c.pos = pl.pos
+    GROUP BY pl.vec_id, c.cl
+),
+afin_{j} AS (
+    SELECT vec_id,
+           CAST(min(dd * {k} + cl) % {k} AS INTEGER) AS code_{j},
+           CAST(min(dd) AS BIGINT) AS dsub_{j}
+    FROM dfin_{j} GROUP BY vec_id
+)""")
+        finals.append(f"afin_{j}")
+
+    join_chain = finals[0] + " a0"
+    for j in range(1, m):
+        join_chain += f" JOIN {finals[j]} a{j} ON a{j}.vec_id = a0.vec_id"
+    code_cols = ", ".join(f"a{j}.code_{j}" for j in range(m))
+    d2 = " + ".join(f"a{j}.dsub_{j}" for j in range(m))
+    body = ",".join(subs)
+    return f"""
+WITH pl AS (
+    SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+           CAST(floor(CAST(v AS DOUBLE) * {SCALE}) + {SHIFT} AS BIGINT) AS xq
+    FROM (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+),
+dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS dim FROM embeddings),
+seedmap AS (
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),{body}
+SELECT a0.vec_id, {code_cols}, CAST({d2} AS BIGINT) AS d2
+FROM {join_chain}
+"""
+
+
+@register(
+    "pq_quantize",
+    _pq_oracle(),
+    f"product quantization: {_PQ_M} subspaces x {_PQ_K}-centroid "
+    "exact-integer Lloyd codebooks, per-vector PQ codes + total grid "
+    "distortion",
+)
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import pq_quantize
+    from .sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return pq_quantize(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
