@@ -1353,11 +1353,13 @@ def containment_pairs_prefix(
     realized only as scattered isolated shingles can still be missed,
     and super-shingle buckets above the cap (mass duplication whose
     true pair output is itself quadratic) are dropped and REPORTED via
-    the same guard.  The level is gated on one bounded
-    ``limit(1).count()`` probe of the eligibility set, so corpora with
-    healthy prefixes (guard at 0 through sf0.1) pay nothing beyond the
-    probe; exact verification makes L2 a pure recall add with zero
-    precision risk.
+    the same guard.  Escalation is decided at plan-build by a
+    cheapest-first two-stage probe (any-hot-code df aggregate — whose
+    sh_t materialization the main job reuses from cache — then the
+    doc-level eligibility pass only behind it), so corpora with
+    healthy prefixes (guard at 0 through sf0.1) keep the L1-only
+    output plan and pay one aggregate; exact verification makes L2 a
+    pure recall add with zero precision risk.
 
     Verification re-attaches both shingle arrays and tests
     ``|∩|·td ≥ tn·|Sa|`` in exact integers.  Output
@@ -1386,6 +1388,11 @@ def containment_pairs_prefix(
     sh_t = sh_t.persist()
 
     ex = sh_t.select("doc_id_", "sz", F.explode("sh").alias("s"))
+    # NOT persisted: caching this vocab-sized aggregate replaces the
+    # planner's broadcast of it in the prefix join with a cache scan
+    # that measured 2× the whole query (13.2s vs 6.2s at sf0.1) — the
+    # hot-code pre-gate below recomputes it once instead, off the
+    # persisted sh_t
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_n"))
     # ℓ-extended containment prefix: first sz - ceil(t·sz) + ℓ rarest
     # codes (in the FULL index, a code's bucket occupancy IS its df)
@@ -1405,11 +1412,9 @@ def containment_pairs_prefix(
     # H_a = hot codes in a's extended prefix (per-doc constant, joined
     # back onto the AGGREGATED pair stream — never through the
     # collision exchange)
-    # persisted: the L2 eligibility probe below actions this frame, and
-    # the L1 count filter reads it again — docs-sized (2 numeric cols)
     astats = prefix.groupBy("doc_id_").agg(
         F.max("sz").alias("sz_a"), F.sum("_hot").alias("_H_a")
-    ).persist()
+    )
     # the container side is the full index, cap-guarded per code
     index = cap_bucket_size(
         exd.select("doc_id_", "sz", "s"), ["s"], max_bucket, observation
@@ -1443,94 +1448,108 @@ def containment_pairs_prefix(
         .select("id_a", "id_b")
     )
 
+    def verify(cands: DataFrame) -> DataFrame:
+        joined = cands.join(
+            sh_t.select(
+                F.col("doc_id_").alias("id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        ).join(
+            sh_t.select(F.col("doc_id_").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            joined.withColumn("_i", inter)
+            .filter(F.col("_i") * td >= F.col("sz_a") * tn)
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("_i").cast("double") / F.col("sz_a").cast("double")).alias(
+                    "containment"
+                ),
+            )
+        )
+
     # LEVEL 2 (hot escalation — see docstring): only docs whose hot
     # prefix count reaches min(ℓ, α) can have a qualifying pair fully
-    # suppressed by the index cap.  One bounded limit(1) probe decides
-    # whether the super-shingle branch enters the plan at all — healthy
-    # corpora (guard at 0) pay nothing beyond it.
+    # suppressed by the index cap.  Two-stage plan-build probe, ordered
+    # cheapest-first: the NECESSARY condition (any over-cap code at
+    # all) is one df aggregate whose sh_t materialization is CACHED and
+    # reused by the main job, so a healthy corpus pays only the
+    # aggregate itself and keeps the L1-only output plan — persisting
+    # astats or the verified output instead measured 1.3-3× the whole
+    # query (caching pins the subtree's shuffle partitioning and blocks
+    # AQE's runtime broadcast/coalesce re-planning; Spark leaves cached
+    # plans static by default).  Only when hot codes exist does the
+    # doc-level eligibility probe (one prefix-window pass) and then
+    # possibly the L2 branch run.
+    _INTERMEDIATES.rollover([sh_t])
+    any_hot = dfreq.filter(F.col("df_n") > max_bucket).limit(1).count() > 0
+    if not any_hot:
+        return verify(cand)
     eligible = astats.filter(
         F.col("_H_a")
-        >= F.least(F.lit(ext_l).cast("long"), F.expr(f"(sz_a * {tn} + {td} - 1) DIV {td}"))
+        >= F.least(
+            F.lit(ext_l).cast("long"),
+            F.expr(f"(sz_a * {tn} + {td} - 1) DIV {td}"),
+        )
     ).select("doc_id_")
-    deduped = False
-    if eligible.limit(1).count() > 0:
-        deduped = True
-        sup = spread(df).select(
-            F.col(id_col).alias("doc_id_"),
-            F.array_distinct(
-                F.transform(
-                    word_shingles(tokenize(F.col(text_col)), shingle_n + 2),
-                    lambda x: md5_int(x, hash_seed),
-                )
-            ).alias("ss"),
-        )
-        # bottom-k super-shingle codes per eligible contained-side doc:
-        # the codes are already content hashes, so ordering by value IS
-        # the content-keyed, alignment-free bottom-k sketch
-        wk = Window.partitionBy("doc_id_").orderBy("s")
-        a_sel = (
-            sup.join(eligible, "doc_id_")
-            .select("doc_id_", F.explode("ss").alias("s"))
-            .withColumn("_kr", F.row_number().over(wk))
-            .filter(F.col("_kr") <= hot_k)
-            .select("doc_id_", "s")
-        )
-        # container side: filter super-shingles against the broadcast
-        # of selected codes inside the scan (exchange carries matches
-        # only), then cap genuinely mass-duplicated codes — reported
-        b_sup = cap_bucket_size(
-            sup.select("doc_id_", F.explode("ss").alias("s")).join(
-                F.broadcast(a_sel.select("s").distinct()), "s"
-            ),
-            ["s"],
-            max_bucket,
-            observation,
-        )
-        cand2 = (
-            a_sel.alias("ha")
-            .join(
-                b_sup.alias("hb"),
-                (F.col("ha.s") == F.col("hb.s"))
-                & (F.col("ha.doc_id_") != F.col("hb.doc_id_")),
-            )
-            .select(
-                F.col("ha.doc_id_").alias("id_a"),
-                F.col("hb.doc_id_").alias("id_b"),
-            )
-            .repartition("id_a", "id_b")
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("_t"))
-            .filter(F.col("_t") >= hot_min_shared)
-            .select("id_a", "id_b")
-        )
-        # cross-level duplicates survive to verification (both branches
-        # are groupBy-distinct); the few verified rows dedupe below
-        cand = cand.unionByName(cand2)
+    if eligible.limit(1).count() == 0:
+        return verify(cand)
 
-    verified = cand.join(
-        sh_t.select(
-            F.col("doc_id_").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
+    sup = spread(df).select(
+        F.col(id_col).alias("doc_id_"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(tokenize(F.col(text_col)), shingle_n + 2),
+                lambda x: md5_int(x, hash_seed),
+            )
+        ).alias("ss"),
+    )
+    # bottom-k super-shingle codes per eligible contained-side doc:
+    # the codes are already content hashes, so ordering by value IS
+    # the content-keyed, alignment-free bottom-k sketch
+    wk = Window.partitionBy("doc_id_").orderBy("s")
+    a_sel = (
+        sup.join(eligible, "doc_id_")
+        .select("doc_id_", F.explode("ss").alias("s"))
+        .withColumn("_kr", F.row_number().over(wk))
+        .filter(F.col("_kr") <= hot_k)
+        .select("doc_id_", "s")
+    )
+    # container side: filter super-shingles against the broadcast
+    # of selected codes inside the scan (exchange carries matches
+    # only), then cap genuinely mass-duplicated codes — reported
+    b_sup = cap_bucket_size(
+        sup.select("doc_id_", F.explode("ss").alias("s")).join(
+            F.broadcast(a_sel.select("s").distinct()), "s"
         ),
-        "id_a",
-    ).join(
-        sh_t.select(F.col("doc_id_").alias("id_b"), F.col("sh").alias("sh_b")),
-        "id_b",
+        ["s"],
+        max_bucket,
+        observation,
     )
-    _INTERMEDIATES.rollover([sh_t, astats])
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    out = (
-        verified.withColumn("_i", inter)
-        .filter(F.col("_i") * td >= F.col("sz_a") * tn)
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("_i").cast("double") / F.col("sz_a").cast("double")).alias(
-                "containment"
-            ),
+    cand2 = (
+        a_sel.alias("ha")
+        .join(
+            b_sup.alias("hb"),
+            (F.col("ha.s") == F.col("hb.s"))
+            & (F.col("ha.doc_id_") != F.col("hb.doc_id_")),
         )
+        .select(
+            F.col("ha.doc_id_").alias("id_a"),
+            F.col("hb.doc_id_").alias("id_b"),
+        )
+        .repartition("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .filter(F.col("_t") >= hot_min_shared)
+        .select("id_a", "id_b")
     )
-    if deduped:
-        # a pair found by both levels verifies twice; the survivors are
-        # output-sized, so the dedup exchange is cheap
-        out = out.dropDuplicates(["id_a", "id_b"])
-    return out
+    # a pair found by both levels verifies twice; survivors are
+    # output-sized, so the final dedup exchange is cheap
+    return (
+        verify(cand.unionByName(cand2)).dropDuplicates(["id_a", "id_b"])
+    )

@@ -3140,8 +3140,12 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.dedup import containment_pairs_prefix
     from .registry import guard_observation
+    from .sources.tables import spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the CPU-heavy shingle/hash projection (and the plan-build
+    # hot-code probe that shares its cache) must not serialize on a
+    # single-row-group scan
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return containment_pairs_prefix(
         docs,
         "doc_id",
