@@ -180,17 +180,28 @@ def pq_quantize(
         raise ValueError(f"pq_quantize: dim {dim} not divisible by m={m}")
     w = dim // m
 
-    out = None
-    d2 = None
-    for j in range(m):
+    # the m codebook trainings are independent job chains (each round:
+    # one assignment + one k-group aggregate collect) — run them
+    # concurrently so Spark schedules the per-round jobs in parallel
+    # (the lm/dsir model-build discipline); each chain's driver work is
+    # a k×(dim/m + 1)-row collect, trivially thread-safe
+    from concurrent.futures import ThreadPoolExecutor
+
+    def train(j: int):
         sub = emb.select(
             F.col(id_col), F.slice(F.col(vec_col), j * w + 1, w).alias("sub")
         )
-        a = kmeans_assign(sub, id_col, "sub", k=k, n_iter=n_iter).select(
+        return kmeans_assign(sub, id_col, "sub", k=k, n_iter=n_iter).select(
             F.col(id_col),
             F.col("cluster").alias(f"code_{j}"),
             F.col("d2").alias(f"_d{j}"),
         )
+
+    with ThreadPoolExecutor(m) as pool:
+        assigns = list(pool.map(train, range(m)))
+    out = None
+    d2 = None
+    for j, a in enumerate(assigns):
         out = a if out is None else out.join(a, id_col)
         dj = F.col(f"_d{j}")
         d2 = dj if d2 is None else d2 + dj
