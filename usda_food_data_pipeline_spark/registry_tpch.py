@@ -1,0 +1,475 @@
+"""TPC-H sweep completion: the seven query shapes (Q2, Q9, Q11, Q12,
+Q16, Q20, Q21) not yet represented in the registry.
+
+The synthetic star schema has no ``partsupp`` table and no
+commit/receipt dates on ``lineitem``, so — like the existing
+``tpch_q7_nation_volume`` / ``tpch_q8_market_share`` adaptations —
+each query keeps the ORIGINAL's plan shape (correlated argmin,
+multi-way profit join, group-HAVING against a global scalar,
+conditional class counts, NOT-IN distinct counts, nested-aggregate
+semi join, exists/not-exists self joins) against the columns that do
+exist:
+
+- the part-supplier "catalog" is derived from ``lineitem``
+  (unit price = ``l_extendedprice / l_quantity`` — a single IEEE-754
+  division, bit-identical across engines);
+- "late" substitutes for ``l_receiptdate > l_commitdate``:
+  ``l_shipdate > o_orderdate + 90 days`` (exact timestamp integer
+  arithmetic on both engines).
+
+Cross-engine exactness follows the house rules (registry.py header):
+money aggregates go through DECIMAL casts before summing, fractions
+compare by exact-decimal cross-multiplication (never a float
+quotient on the predicate path), and quantities — integral by data
+contract, 1..50 — cast to BIGINT before summing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.tables import load_table
+
+_LATE_DAYS = 90
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def _eu_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in EUROPE with their nation name (tiny: broadcast side)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = load_table(spark, sf_dir, "supplier")
+    nk = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return supp.join(F.broadcast(nk), supp.s_nationkey == nk.n_nationkey)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: min-cost supplier per part (correlated argmin subquery)
+# ---------------------------------------------------------------------------
+
+TPCH_Q2_ORACLE = """
+WITH eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+),
+ps AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           min(l_extendedprice / l_quantity) AS cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+    SELECT ps.partkey, ps.suppkey, ps.cost,
+           row_number() OVER (PARTITION BY ps.partkey
+                              ORDER BY ps.cost, ps.suppkey) AS rn
+    FROM ps JOIN eu ON eu.s_suppkey = ps.suppkey
+)
+SELECT p_partkey AS part_key, p_brand AS brand, s_name AS supplier_name,
+       n_name AS nation_name, s_acctbal AS acct_bal, cost
+FROM ranked
+JOIN part ON p_partkey = ranked.partkey
+JOIN eu ON eu.s_suppkey = ranked.suppkey
+WHERE rn = 1 AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30
+"""
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    TPCH_Q2_ORACLE,
+    "cheapest regional supplier per part: correlated-min subquery as a "
+    "window argmin (TPC-H Q2 shape, partsupp derived from lineitem)",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated ``ps_supplycost = (SELECT min ...)`` becomes one
+    window argmin over the region-filtered catalog — no second scan and
+    no self join. The catalog aggregate shuffles lineitem once on
+    (partkey, suppkey); the argmin window reuses the partkey-prefixed
+    partitioning (AQE coalesces); supplier/nation/region and the
+    filtered part dim broadcast. Unit price is a single IEEE division,
+    so min/tie-order are bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 30)
+    )
+    eu = _eu_suppliers(spark, sf_dir).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    ranked = ps.join(F.broadcast(eu), ps.suppkey == eu.s_suppkey, "left_semi").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("partkey").orderBy(F.col("cost"), F.col("suppkey"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(F.broadcast(part), ranked.partkey == part.p_partkey)
+        .join(F.broadcast(eu), ranked.suppkey == eu.s_suppkey)
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("s_acctbal").alias("acct_bal"),
+            "cost",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+TPCH_Q9_ORACLE = """
+SELECT nation, o_year,
+       CAST(sum(amount) AS DOUBLE) AS sum_profit, count(*) AS n_rows
+FROM (
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+             - CAST(l_quantity * p_retailprice AS DECIMAL(30,6)) AS amount
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+) GROUP BY nation, o_year
+"""
+
+
+@register(
+    "tpch_q9_profit",
+    TPCH_Q9_ORACLE,
+    "product-line profit by supplier nation and order year "
+    "(TPC-H Q9 shape; cost = retail price x quantity in lieu of partsupp)",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-dim star join where the LIKE-filtered part dim broadcasts
+    and prunes lineitem FIRST (the selective edge), then orders joins
+    on the surviving keys. Revenue and cost each go through one
+    double multiply (bit-deterministic) into DECIMAL(30,6); their
+    difference and the group sum are exact decimal, cast to double
+    once at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    cost = (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(30,6)")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+    )
+    return (
+        j.select("nation", F.year("o_orderdate").cast("int").alias("o_year"),
+                 (rev - cost).alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("amount").cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: important parts by regional inventory value
+# ---------------------------------------------------------------------------
+
+TPCH_Q11_ORACLE = """
+WITH eu_lines AS (
+    SELECT l_partkey,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS amount
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE')
+),
+per_part AS (
+    SELECT l_partkey AS part_key, sum(amount) AS val FROM eu_lines GROUP BY l_partkey
+),
+total AS (SELECT sum(val) AS tot FROM per_part)
+SELECT part_key, CAST(val AS DOUBLE) AS value
+FROM per_part, total
+WHERE CAST(val AS DECIMAL(28,6)) * CAST(1000 AS DECIMAL(4,0)) > tot
+"""
+
+
+@register(
+    "tpch_q11_important_parts",
+    TPCH_Q11_ORACLE,
+    "parts whose regional trade value exceeds 1/1000 of the total: "
+    "group-HAVING against a global scalar aggregate (TPC-H Q11 shape)",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING-vs-global-fraction predicate cross-multiplies in
+    exact decimal (``val * 1000 > tot``) — the float quotient form
+    would put boundary parts at ULP risk (the attested Q22 pattern).
+    The global total re-aggregates the tiny per-part table (no second
+    lineitem scan) and broadcasts as a 1-row join. Per-part sums are
+    cast DECIMAL(28,6) before the multiply so the product stays inside
+    precision 38 on both engines (value micros fit 1e28 well past the
+    100 TB point; the total keeps the full 38)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    eu = _eu_suppliers(spark, sf_dir).select("s_suppkey")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    per_part = (
+        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.sum(amount).alias("val"))
+    )
+    total = per_part.agg(F.sum("val").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val").cast("decimal(28,6)") * F.lit(1000).cast("decimal(4,0)")
+            > F.col("tot")
+        )
+        .select("part_key", F.col("val").cast("double").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: priority class counts over late shipments
+# ---------------------------------------------------------------------------
+
+TPCH_Q12_ORACLE = f"""
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN NULL ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+GROUP BY year(l_shipdate)
+"""
+
+
+@register(
+    "tpch_q12_late_priority",
+    TPCH_Q12_ORACLE,
+    "urgent-vs-other order counts among late-shipped lines by year "
+    "(TPC-H Q12 shape; lateness stands in for the ship-mode column)",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-integer conditional aggregation — conditional COUNTs (not
+    SUM of CASE ints: DuckDB widens integer SUM to HUGEINT, COUNT stays
+    BIGINT on both engines). The late predicate is timestamp integer arithmetic
+    (no float date math) and runs as a post-join filter since it needs
+    both sides; the join itself is the plain orderkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*_HIGH_PRIORITIES)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct supplier counts per part attribute group
+# ---------------------------------------------------------------------------
+
+_Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+
+TPCH_Q16_ORACLE = f"""
+SELECT p_brand AS brand, p_type AS type, p_size AS size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN ({", ".join(str(s) for s in _Q16_SIZES)})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    TPCH_Q16_ORACLE,
+    "distinct suppliers per part attribute group, excluding flagged "
+    "suppliers via NOT IN (TPC-H Q16 shape; lineitem as the part-supplier link)",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT-IN subquery is a broadcast anti join (supplier keys are
+    non-null by schema, so anti == NOT IN); the filtered part dim
+    broadcasts and prunes before the distinct-count shuffle. COUNT
+    DISTINCT is exact — Spark expands it map-side, so the shuffle
+    carries (group, suppkey) pairs, not raw lines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(*_Q16_SIZES)
+    )
+    flagged = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(flagged), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers with excess recent volume (nested semi join)
+# ---------------------------------------------------------------------------
+
+TPCH_Q20_ORACLE = """
+WITH cold AS (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%'),
+vol AS (
+    SELECT l_suppkey,
+           sum(CASE WHEN year(l_shipdate) = 1997
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q97,
+           sum(CAST(l_quantity AS BIGINT)) AS qtot
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM cold)
+    GROUP BY l_suppkey
+)
+SELECT s_name AS supplier_name, n_name AS nation_name
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM vol WHERE 7 * q97 > qtot)
+"""
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    TPCH_Q20_ORACLE,
+    "suppliers whose 1997 'cold'-part volume exceeds 1/7 of their all-time "
+    "volume: semi join against a nested aggregate (TPC-H Q20 shape)",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's ``availqty > 0.5 * sum(qty)`` becomes the exact integer
+    cross-multiply ``7 * q97 > qtot`` (the ship range spans ~7 years,
+    so the bar is "an above-uniform 1997 share") — quantities are
+    integral by the data contract (1..50), so the BIGINT cast is
+    lossless on both engines (DuckDB rounds, Spark truncates;
+    identical on integers).
+    Both period sums come from ONE scan via conditional aggregation
+    instead of two subqueries; the qualifying-supplier set semi-joins
+    the tiny supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cold = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("cold")
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    qty = F.col("l_quantity").cast("bigint")
+    vol = (
+        li.join(F.broadcast(cold), "l_partkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.year("l_shipdate") == 1997, qty).otherwise(F.lit(0))).alias("q97"),
+            F.sum(qty).alias("qtot"),
+        )
+        .filter(7 * F.col("q97") > F.col("qtot"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(vol, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting
+# ---------------------------------------------------------------------------
+
+TPCH_Q21_ORACLE = f"""
+WITH j AS (
+    SELECT l_orderkey, l_suppkey, l_linenumber, o_orderstatus,
+           l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY AS late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT s_name AS supplier_name, count(*) AS numwait
+FROM j l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late AND l1.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM j l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM j l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+"""
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    TPCH_Q21_ORACLE,
+    "sole-late supplier per finished multi-supplier order, counted per "
+    "supplier: EXISTS + NOT EXISTS self joins (TPC-H Q21 shape)",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two correlated self joins run as one semi and one anti join
+    on the orderkey equi-key with the supplier inequality as the
+    residual condition — Spark keeps them in the hash/sort-merge family
+    (verified: SMJ LeftSemi/LeftAnti, no NLJ). The lineitem-orders view
+    feeding l1/l2/l3 is recomputed per probe as a column-pruned scan
+    rather than persisted: the probes shuffle only (orderkey, suppkey)
+    pairs, and caching would pin the subtree's partitioning against AQE
+    (the round-9 containment A/B lesson). Lateness is the same exact
+    timestamp predicate as tpch_q12_late_priority."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        "o_orderstatus",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    l1 = j.filter(F.col("late") & (F.col("o_orderstatus") == "F")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = j.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = j.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi")
+        .join(l3, (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")), "left_anti")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        waiting.join(F.broadcast(supp), "l_suppkey")
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
