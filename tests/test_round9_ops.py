@@ -111,3 +111,47 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = spark.createDataFrame([(1, [0.1, 0.2, 0.3])], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="not divisible"):
         pq_quantize(emb, m=2, k=2, n_iter=1)
+
+
+def test_line_dedup_global_keep_first_across_docs(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import dedup_lines_global
+
+    # k=2 chunks: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d][a b][z]
+    rows = [
+        (1, "a b c d"),
+        (2, "a b x y"),
+        (3, "c d a b z"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_lines_global(docs, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    # doc 1 is the (doc, pos)-first owner of both chunks
+    assert got[1] == {"doc_id": 1, "clean_text": "a b c d", "n_chunks": 2, "n_removed": 0}
+    # doc 2 loses "a b" (first seen in doc 1) but keeps its own tail
+    assert got[2] == {"doc_id": 2, "clean_text": "x y", "n_chunks": 2, "n_removed": 1}
+    # doc 3 loses both shared chunks, keeps the odd-length tail chunk "z"
+    assert got[3] == {"doc_id": 3, "clean_text": "z", "n_chunks": 3, "n_removed": 2}
+    # empty doc passes through
+    assert got[4] == {"doc_id": 4, "clean_text": "", "n_chunks": 0, "n_removed": 0}
+
+
+def test_line_dedup_global_position_order_within_doc(spark):
+    from usda_food_data_pipeline_spark.functions.textstats import dedup_lines_global
+
+    # the same chunk repeated inside ONE doc keeps only the first position,
+    # and reassembly preserves original order of survivors
+    docs = spark.createDataFrame([(7, "p q r s p q t u")], ["doc_id", "text"])
+    row = dedup_lines_global(docs, "doc_id", "text", chunk_tokens=2).collect()[0]
+    assert row["clean_text"] == "p q r s t u"
+    assert row["n_chunks"] == 4 and row["n_removed"] == 1
+
+
+def test_tpch_q20_bigint_cast_is_lossless_on_integral_quantities():
+    # the oracle casts DOUBLE->BIGINT (rounds in DuckDB) and Spark truncates;
+    # both are exact on the integral data contract this query documents
+    import duckdb
+
+    assert duckdb.sql("SELECT CAST(37.0 AS BIGINT)").fetchone()[0] == 37

@@ -736,3 +736,76 @@ def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text"):
         *[c.alias(n) for n, c in rules.items()],
         passed.alias("keep"),
     )
+
+
+def dedup_lines_global(df, id_col: str, text_col: str, chunk_tokens: int = 2):
+    """Corpus-level exact line dedup (C4 §2.1 / RefinedWeb line-dedup
+    semantics): split every document into non-overlapping
+    ``chunk_tokens``-token chunks, keep exactly ONE occurrence of each
+    distinct chunk across the WHOLE corpus — the first in (doc, position)
+    order — and reassemble documents from their surviving chunks.
+    Complements :func:`dedup_intra_doc` (within-doc) and
+    ``boilerplate_scrub`` (frequency-thresholded): this is the exact
+    keep-first variant C4 applies to three-sentence spans.
+
+    Plan shape (the 100 TB contract): one posexplode → one exchange
+    keyed by the chunk string → per-chunk keep-first → one exchange
+    back on the doc id for ordered reassembly. The keep-first is a
+    rank-1 window, which Spark executes as WindowGroupLimit with a
+    map-side partial pass, so the chunk exchange carries at most one
+    surviving candidate per (partition, chunk) — near the distinct-
+    chunk count, not the corpus chunk count. Chunks group by their
+    exact text (short — k tokens), not a hash: collision-free by
+    construction, no verify pass needed. Documents with zero tokens
+    pass through with empty clean_text.
+
+    Returns (id, clean_text, n_chunks, n_removed).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokenize
+
+    k = int(chunk_tokens)
+    if k <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {k}")
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    chunks = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), ((n + F.lit(k - 1)) / F.lit(k)).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        )
+    )
+    base = df.select(F.col(id_col), chunks.alias("_chunks"))
+    exploded = base.select(
+        id_col, F.posexplode("_chunks").alias("_pos", "_chunk")
+    )
+    w = Window.partitionBy("_chunk").orderBy(F.col(id_col), F.col("_pos"))
+    kept = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_chunk"))),
+                    lambda s: s["_chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    totals = base.select(
+        id_col, F.size("_chunks").cast("long").alias("n_chunks")
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )

@@ -3321,3 +3321,51 @@ def q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return pmi_phrases(docs, min_count=_PMI_MIN_COUNT, top_n=_PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level exact line dedup (functions/textstats.dedup_lines_global)
+# ---------------------------------------------------------------------------
+
+_LINE_K = 2  # same chunk granularity as intra_doc_dedup (corpus repeats at bigrams)
+
+LINE_DEDUP_GLOBAL_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+ch AS (
+    SELECT doc_id,
+           unnest(range(0, CAST((len(t) + {_LINE_K - 1}) // {_LINE_K} AS BIGINT))) AS pos,
+           unnest(list_transform(range(0, CAST((len(t) + {_LINE_K - 1}) // {_LINE_K} AS BIGINT)),
+                                 i -> array_to_string(t[i*{_LINE_K}+1 : i*{_LINE_K}+{_LINE_K}], ' '))) AS chunk
+    FROM toks
+),
+kept AS (
+    SELECT doc_id, pos, chunk FROM (
+        SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ch
+    ) WHERE rn = 1
+),
+agg AS (
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text, count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(t.n_chunks, 0) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "line_dedup_global",
+    LINE_DEDUP_GLOBAL_ORACLE,
+    "corpus-level exact chunk dedup, keep first (doc, pos) occurrence "
+    "and reassemble documents (C4 three-sentence-span dedup semantics)",
+)
+def q_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import dedup_lines_global
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return dedup_lines_global(docs, "doc_id", "text", chunk_tokens=_LINE_K)
