@@ -155,3 +155,29 @@ def test_tpch_q20_bigint_cast_is_lossless_on_integral_quantities():
     import duckdb
 
     assert duckdb.sql("SELECT CAST(37.0 AS BIGINT)").fetchone()[0] == 37
+
+
+def test_pq_adc_topk_ranks_exact_duplicate_first(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import pq_adc_topk
+
+    # 8-dim vectors, m=2 subspaces; vec 5 duplicates query 0 exactly,
+    # so its ADC distance equals the query's own quantization distortion
+    # -> strictly minimal -> rank 1.
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(24):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(8)]))
+    rows[5] = (5, list(rows[0][1]))
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pq_adc_topk(docs, n_queries=2, top_k=3, m=2, k=4, n_iter=1)
+    out = {(r["query_id"], r["rank"]): r for r in got.collect()}
+    assert len(out) == 6  # 2 queries x top-3
+    assert out[(0, 1)]["neighbor_id"] == 5
+    # ADC distances are non-decreasing in rank per query
+    for q in (0, 1):
+        d = [out[(q, r)]["adc_d2"] for r in (1, 2, 3)]
+        assert d == sorted(d)
+        # self is excluded
+        assert all(out[(q, r)]["neighbor_id"] != q for r in (1, 2, 3))

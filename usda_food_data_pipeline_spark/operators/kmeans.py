@@ -111,12 +111,22 @@ def kmeans_assign(
     crashed on the numpy shape mismatch in the next assignment).
     """
     pts = _quantized(emb, id_col, vec_col)
+    cents, dim = _train_cents(pts, id_col, k, n_iter)
+    return _assign(pts, cents, dim).select(id_col, "cluster", "d2")
 
+
+def _train_cents(
+    pts: DataFrame, id_col: str, k: int, n_iter: int
+) -> tuple[list[list[int]], int]:
+    """``n_iter`` Lloyd rounds over a quantized point set (``xq``
+    column); returns the final grid-integer centroids and the width.
+    Seeds are the ``k`` lowest-id points; empty clusters keep their
+    previous centroid."""
     seeds = sorted(
         pts.orderBy(id_col).limit(k).collect(), key=lambda r: r[id_col]
     )
     if not seeds:
-        raise ValueError("kmeans_assign: input has no vectors")
+        raise ValueError("kmeans: input has no vectors")
     dim = len(seeds[0]["xq"])
     cents = [[int(v) * GRID for v in r["xq"]] for r in seeds]
 
@@ -139,8 +149,7 @@ def kmeans_assign(
             cents[ci] = [
                 (2 * int(r[f"_s{d}"]) * GRID + n) // (2 * n) for d in range(dim)
             ]
-
-    return _assign(pts, cents, dim).select(id_col, "cluster", "d2")
+    return cents, dim
 
 
 def pq_quantize(
@@ -209,4 +218,114 @@ def pq_quantize(
         id_col,
         *[f"code_{j}" for j in range(m)],
         d2.cast("bigint").alias("d2"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 16,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (Jégou et al. 2011 §IV.A "ADC"):
+    score every corpus vector against each query using only its PQ
+    code — per query, an m×k lookup table of exact squared grid
+    distances from the query subvector to each codebook centroid; a
+    vector's distance is the sum of m table lookups — then take the
+    ``top_k`` nearest per query (ties to the lower id).  This is the
+    scoring path a billion-vector index runs over compressed codes
+    instead of raw floats; at production scale an IVF probe filter
+    (operators/similarity.ivf_topk) prunes the scored partition first.
+
+    Everything is oracle-exact: codebooks come from the same
+    exact-integer Lloyd as :func:`pq_quantize`, the LUTs are integer
+    sums over the SAME quantized values the corpus side used (the
+    query rows are corpus rows — their ``xq`` is collected, never
+    re-derived from floats), and the ADC score is an int64 sum of m
+    lookups.
+
+    Scale shape: m codebook trainings (concurrent, per
+    :func:`pq_quantize`), one Arrow-batched assignment per subspace
+    joined on ``id_col``, then ONE scan of the m-code table against a
+    broadcast of n_queries LUT rows (n_queries·m·k ints); the per-query
+    rank is a WindowGroupLimit top-k, so the exchange carries at most
+    (partitions × top_k) candidate rows per query — never the corpus.
+
+    Output: ``(query_id, neighbor_id, adc_d2 bigint, rank int)``.
+    """
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_adc_topk: input has no vectors")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"pq_adc_topk: dim {dim} not divisible by m={m}")
+    w = dim // m
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def train(j: int):
+        sub = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * w + 1, w).alias("sub")
+        )
+        pts = _quantized(sub, id_col, "sub")
+        cents, _ = _train_cents(pts, id_col, k, n_iter)
+        codes = _assign(pts, cents, dim=w).select(
+            F.col(id_col), F.col("cluster").alias(f"code_{j}")
+        )
+        # query LUT rows: the query subvectors ARE corpus rows; collect
+        # their exact xq (n_queries × w ints) and fold the m×k distance
+        # table in Python integer arithmetic
+        qrows = pts.filter(F.col(id_col) < n_queries).collect()
+        lut = {
+            int(r[id_col]): [
+                sum(
+                    (int(x) * GRID - c) ** 2
+                    for x, c in zip(r["xq"], cents[cl], strict=True)
+                )
+                for cl in range(k)
+            ]
+            for r in qrows
+        }
+        return codes, lut
+
+    with ThreadPoolExecutor(m) as pool:
+        trained = list(pool.map(train, range(m)))
+
+    codes = None
+    for j, (cj, _) in enumerate(trained):
+        codes = cj if codes is None else codes.join(cj, id_col)
+
+    spark = emb.sparkSession
+    qids = sorted(trained[0][1])
+    lut_rows = [
+        tuple([qid] + [trained[j][1][qid] for j in range(m)]) for qid in qids
+    ]
+    lut_schema = ", ".join(
+        ["query_id long"] + [f"_lut{j} array<long>" for j in range(m)]
+    )
+    luts = F.broadcast(spark.createDataFrame(lut_rows, lut_schema))
+
+    adc = None
+    for j in range(m):
+        term = F.element_at(f"_lut{j}", F.col(f"code_{j}") + 1)
+        adc = term if adc is None else adc + term
+
+    from pyspark.sql import Window
+
+    scored = (
+        codes.crossJoin(luts)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), adc.cast("bigint").alias("adc_d2"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "adc_d2", F.col("rank").cast("int").alias("rank"))
     )

@@ -745,7 +745,12 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_ITER = 4, 16, 2
 
 
-def _pq_oracle(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
+def _pq_ctes(m: int, k: int, n_iter: int) -> tuple[str, str]:
+    """Shared CTE body for the PQ family: quantized positions, seed
+    map, per-subspace Lloyd rounds, final codebooks (c{n_iter}_{j}),
+    per-(vector, centroid) exact distances (dfin_{j} — the ADC lookup
+    table restricted to min is the code), and per-vector codes
+    (afin_{j}).  Returns (with_body, afin_join_chain)."""
     from .operators.kmeans import GRID, SCALE, SHIFT
 
     subs = []
@@ -802,10 +807,8 @@ afin_{j} AS (
     join_chain = finals[0] + " a0"
     for j in range(1, m):
         join_chain += f" JOIN {finals[j]} a{j} ON a{j}.vec_id = a0.vec_id"
-    code_cols = ", ".join(f"a{j}.code_{j}" for j in range(m))
-    d2 = " + ".join(f"a{j}.dsub_{j}" for j in range(m))
     body = ",".join(subs)
-    return f"""
+    with_body = f"""
 WITH pl AS (
     SELECT vec_id, CAST(pos AS INTEGER) AS pos,
            CAST(floor(CAST(v AS DOUBLE) * {SCALE}) + {SHIFT} AS BIGINT) AS xq
@@ -817,7 +820,15 @@ dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS dim FROM embeddings),
 seedmap AS (
     SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl
     FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
-),{body}
+),{body}"""
+    return with_body, join_chain
+
+
+def _pq_oracle(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
+    with_body, join_chain = _pq_ctes(m, k, n_iter)
+    code_cols = ", ".join(f"a{j}.code_{j}" for j in range(m))
+    d2 = " + ".join(f"a{j}.dsub_{j}" for j in range(m))
+    return f"""{with_body}
 SELECT a0.vec_id, {code_cols}, CAST({d2} AS BIGINT) AS d2
 FROM {join_chain}
 """
@@ -836,3 +847,64 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return pq_quantize(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (operators/kmeans.pq_adc_topk): top-k by
+# sum of per-subspace LUT lookups over PQ codes — the compressed-domain
+# scoring path of an IVF-PQ index (Jégou et al. 2011 §IV.A)
+# ---------------------------------------------------------------------------
+
+_ADC_NQ, _ADC_TOPK = 16, 10
+
+
+def _pq_adc_oracle(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    nq: int = _ADC_NQ,
+    top_k: int = _ADC_TOPK,
+) -> str:
+    # dfin_{j}(vec_id, cl, dd) holds the exact distance from EVERY
+    # vector's subspace-j slice to EVERY codebook centroid — restricted
+    # to vec_id < nq it IS the query lookup table, so the ADC score is
+    # a pure re-join of the shared CTEs: LUT row at the corpus code.
+    with_body, join_chain = _pq_ctes(m, k, n_iter)
+    lut_joins = f"JOIN dfin_0 l0 ON l0.vec_id < {nq} AND l0.cl = a0.code_0"
+    for j in range(1, m):
+        lut_joins += (
+            f"\n    JOIN dfin_{j} l{j} ON l{j}.vec_id = l0.vec_id"
+            f" AND l{j}.cl = a{j}.code_{j}"
+        )
+    adc = " + ".join(f"l{j}.dd" for j in range(m))
+    return f"""{with_body},
+scores AS (
+    SELECT l0.vec_id AS query_id, a0.vec_id AS neighbor_id,
+           CAST({adc} AS BIGINT) AS adc_d2
+    FROM {join_chain}
+    {lut_joins}
+    WHERE a0.vec_id != l0.vec_id
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+    FROM scores
+) WHERE rank <= {top_k}
+"""
+
+
+@register(
+    "pq_adc_topk",
+    _pq_adc_oracle(),
+    f"asymmetric-distance PQ search: top-{_ADC_TOPK} per query by exact "
+    f"integer LUT sums over {_PQ_M}-subspace PQ codes (compressed-domain "
+    "ANN scoring)",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import pq_adc_topk
+    from .sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return pq_adc_topk(
+        emb, n_queries=_ADC_NQ, top_k=_ADC_TOPK, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER
+    )
