@@ -1487,17 +1487,25 @@ def containment_pairs_prefix(
     # doc-level eligibility probe (one prefix-window pass) and then
     # possibly the L2 branch run.
     _INTERMEDIATES.rollover([sh_t])
-    any_hot = dfreq.filter(F.col("df_n") > max_bucket).limit(1).count() > 0
+    # single-pass existence aggregates, not filter().limit(1).count():
+    # CollectLimit executes incrementally (1 → 4 → 16 … partitions,
+    # spark.sql.limit.scaleUpFactor) and on the EMPTY result — the
+    # healthy-corpus common case — re-runs the upstream aggregation
+    # ~log₄(partitions) times, which showed up as multi-second
+    # plan-build jitter in same-session bench repeats
+    max_df_row = dfreq.agg(F.max("df_n").alias("m")).first()
+    any_hot = max_df_row is not None and (max_df_row["m"] or 0) > max_bucket
     if not any_hot:
         return verify(cand)
-    eligible = astats.filter(
-        F.col("_H_a")
-        >= F.least(
-            F.lit(ext_l).cast("long"),
-            F.expr(f"(sz_a * {tn} + {td} - 1) DIV {td}"),
-        )
-    ).select("doc_id_")
-    if eligible.limit(1).count() == 0:
+    _elig_cond = F.col("_H_a") >= F.least(
+        F.lit(ext_l).cast("long"),
+        F.expr(f"(sz_a * {tn} + {td} - 1) DIV {td}"),
+    )
+    eligible = astats.filter(_elig_cond).select("doc_id_")
+    n_elig_row = astats.agg(
+        F.max(F.when(_elig_cond, 1).otherwise(0)).alias("m")
+    ).first()
+    if n_elig_row is None or (n_elig_row["m"] or 0) == 0:
         return verify(cand)
 
     sup = spread(df).select(
