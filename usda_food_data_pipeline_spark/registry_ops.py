@@ -890,3 +890,57 @@ def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li, min_pair_count=2).select("src", "dst")
     return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: the privacy gate a corpus passes before release
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+KANON_ORACLE = f"""
+WITH q AS (
+    SELECT event_type,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,
+           CAST(CASE WHEN value < 10 THEN 0 WHEN value < 100 THEN 1 ELSE 2 END
+                AS INTEGER) AS value_band,
+           user_id
+    FROM events
+)
+SELECT event_type, hour_of_day, value_band,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       count(*) < {_KANON_K} AS below_k
+FROM q GROUP BY event_type, hour_of_day, value_band
+"""
+
+
+@register(
+    "k_anonymity",
+    KANON_ORACLE,
+    f"k-anonymity audit (k={_KANON_K}): equivalence-class sizes over the "
+    "quasi-identifier tuple (type, hour, value band) with below-k flags",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweeney's k-anonymity check as one grouped aggregate over the
+    quasi-identifier projection — the audit a training corpus passes
+    before release (every equivalence class must hold >= k records or
+    be generalized/suppressed). One map-side-combined exchange keyed by
+    the QI tuple; COUNT DISTINCT expands map-side; the value band is an
+    integer CASE, not a float bucketer, so classes are engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    q = events.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.when(F.col("value") < 10, 0)
+        .when(F.col("value") < 100, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("value_band"),
+        "user_id",
+    )
+    return q.groupBy("event_type", "hour_of_day", "value_band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.count(F.lit(1)) < _KANON_K).alias("below_k"),
+    )
