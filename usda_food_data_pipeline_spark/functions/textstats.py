@@ -770,12 +770,25 @@ def dedup_lines_global(df, id_col: str, text_col: str, chunk_tokens: int = 2):
     if k <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {k}")
     toks = tokenize(F.col(text_col))
-    n = F.size(toks)
-    chunks = F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), ((n + F.lit(k - 1)) / F.lit(k)).cast("int") - 1),
-            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-        )
+    # Build the chunk array by zipping k shifted slices of the token
+    # array (the word_shingles technique), NOT by a transform over an
+    # index sequence whose lambda re-slices ``toks``: a per-element
+    # lambda referencing ``toks`` re-evaluates the whole tokenize chain
+    # per chunk (O(n²/k) per doc), and Generate's non-empty pruning
+    # filter then duplicates that expression again — measured 40s vs
+    # ~4s at sf1 for this operator. Here ``toks`` evaluates k times per
+    # row, each zipped element is O(1), and the short-tail chunk falls
+    # out of concat_ws skipping the null-padded fields.
+    # slice length = size(toks) (floored at 1: slice requires a positive
+    # length), NOT a 2^31-1 constant — start + length overflows int32
+    # inside the zipped slice and silently empties the shifted arrays
+    _len = F.greatest(F.size(toks), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, _len).alias(f"c{j}") for j in range(k)]
+    )
+    starts = F.filter(zipped, lambda _, i: i % k == 0)
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", *[s[f"c{j}"] for j in range(k)])
     )
     base = df.select(F.col(id_col), chunks.alias("_chunks"))
     exploded = base.select(
