@@ -420,14 +420,7 @@ def boilerplate_scrub(
     if k <= 0 or int(min_count) < 2:
         raise ValueError(f"need chunk_tokens > 0 and min_count >= 2, got {k}, {min_count}")
     df = spread(df)
-    toks = tokenize(F.col(text_col))
-    n = F.size(toks)
-    chunks_expr = F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), ((n + F.lit(k - 1)) / F.lit(k)).cast("int") - 1),
-            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-        )
-    )
+    chunks_expr = chunk_array(tokenize(F.col(text_col)), k)
     # the chunk arrays feed both the boilerplate aggregate and the
     # rebuild pass; persist so tokenize+chunk runs once (the tf-idf
     # posting-list pattern — at warehouse scale this is a written
@@ -499,6 +492,32 @@ def boilerplate_scrub(
     return rebuilt.unionByName(empties)
 
 
+def chunk_array(toks, k: int):
+    """Non-overlapping ``k``-token chunk strings from a token-array
+    expression, built by zipping ``k`` shifted slices and keeping every
+    k-th start (concat_ws skips the null padding on the short tail).
+
+    This is the ONLY sanctioned chunk builder: the obvious
+    transform-over-index-sequence re-evaluates the full token
+    expression inside its per-element lambda — O(n²/k) per document
+    (measured 40s→4s at sf1 on line_dedup_global), and fatal on real
+    corpora with 10k-token pages. Here ``toks`` evaluates 2k times per
+    row and each element is O(k). Slice lengths are size-based: a
+    2^31-1 length constant overflows start+length inside the zip and
+    silently empties the shifted arrays.
+    """
+    from pyspark.sql import functions as F
+
+    _len = F.greatest(F.size(toks), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, _len).alias(f"c{j}") for j in range(k)]
+    )
+    starts = F.filter(zipped, lambda _, i: i % k == 0)
+    return F.transform(
+        starts, lambda s: F.concat_ws(" ", *[s[f"c{j}"] for j in range(k)])
+    )
+
+
 def dedup_intra_doc(df, id_col: str, text_col: str, chunk_tokens: int = 6):
     """Intra-document dedup: delete repeated non-overlapping
     ``chunk_tokens``-token chunks WITHIN each document (keep the first
@@ -519,14 +538,7 @@ def dedup_intra_doc(df, id_col: str, text_col: str, chunk_tokens: int = 6):
     k = int(chunk_tokens)
     if k <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {k}")
-    toks = tokenize(F.col(text_col))
-    n = F.size(toks)
-    chunks = F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), ((n + F.lit(k - 1)) / F.lit(k)).cast("int") - 1),
-            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-        )
-    )
+    chunks = chunk_array(tokenize(F.col(text_col)), k)
     step = df.select(F.col(id_col), chunks.alias("_chunks"))
     kept = F.filter("_chunks", lambda c, i: F.array_position("_chunks", c) == i + 1)
     return (
@@ -769,28 +781,9 @@ def dedup_lines_global(df, id_col: str, text_col: str, chunk_tokens: int = 2):
     k = int(chunk_tokens)
     if k <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {k}")
-    toks = tokenize(F.col(text_col))
-    # Build the chunk array by zipping k shifted slices of the token
-    # array (the word_shingles technique), NOT by a transform over an
-    # index sequence whose lambda re-slices ``toks``: a per-element
-    # lambda referencing ``toks`` re-evaluates the whole tokenize chain
-    # per chunk (O(n²/k) per doc), and Generate's non-empty pruning
-    # filter then duplicates that expression again — measured 40s vs
-    # ~4s at sf1 for this operator. Here ``toks`` evaluates k times per
-    # row, each zipped element is O(1), and the short-tail chunk falls
-    # out of concat_ws skipping the null-padded fields.
-    # slice length = size(toks) (floored at 1: slice requires a positive
-    # length), NOT a 2^31-1 constant — start + length overflows int32
-    # inside the zipped slice and silently empties the shifted arrays
-    _len = F.greatest(F.size(toks), F.lit(1))
-    zipped = F.arrays_zip(
-        *[F.slice(toks, j + 1, _len).alias(f"c{j}") for j in range(k)]
+    base = df.select(
+        F.col(id_col), chunk_array(tokenize(F.col(text_col)), k).alias("_chunks")
     )
-    starts = F.filter(zipped, lambda _, i: i % k == 0)
-    chunks = F.transform(
-        starts, lambda s: F.concat_ws(" ", *[s[f"c{j}"] for j in range(k)])
-    )
-    base = df.select(F.col(id_col), chunks.alias("_chunks"))
     exploded = base.select(
         id_col, F.posexplode("_chunks").alias("_pos", "_chunk")
     )
