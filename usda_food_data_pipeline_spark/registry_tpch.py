@@ -230,6 +230,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey, "left_semi")
         .groupBy(F.col("l_partkey").alias("part_key"))
         .agg(F.sum(amount).alias("val"))
+        # persisted: the global total and the HAVING filter both consume
+        # this part-cardinality aggregate — without the cache Spark has
+        # no CTE materialization and the total's subtree RE-SCANS the
+        # lineitem fact (two full fact scans at 100 TB, seen in the
+        # executed plan)
+        .persist()
     )
     total = per_part.agg(F.sum("val").alias("tot"))
     return (
