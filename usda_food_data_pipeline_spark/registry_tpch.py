@@ -440,11 +440,14 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two correlated self joins run as one semi and one anti join
     on the orderkey equi-key with the supplier inequality as the
     residual condition — Spark keeps them in the hash/sort-merge family
-    (verified: SMJ LeftSemi/LeftAnti, no NLJ). The lineitem-orders view
-    feeding l1/l2/l3 is recomputed per probe as a column-pruned scan
-    rather than persisted: the probes shuffle only (orderkey, suppkey)
-    pairs, and caching would pin the subtree's partitioning against AQE
-    (the round-9 containment A/B lesson). Lateness is the same exact
+    (verified: SMJ LeftSemi/LeftAnti, no NLJ). The EXISTS probe (l2)
+    reads raw lineitem — "another supplier on the order" needs no
+    orders columns — so only the l1/l3 sides pay the orders join, and
+    both are pre-filtered to the late fraction. The late view is
+    recomputed per consumer as a column-pruned scan rather than
+    persisted: the probes shuffle only (orderkey, suppkey) pairs, and
+    caching would pin the subtree's partitioning against AQE (the
+    round-9 containment A/B lesson). Lateness is the same exact
     timestamp predicate as tpch_q12_late_priority."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -452,19 +455,23 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderstatus"
     )
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        "o_orderstatus",
-        (
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
-        ).alias("late"),
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_LATE_DAYS} DAYS"
     )
-    l1 = j.filter(F.col("late") & (F.col("o_orderstatus") == "F")).select(
+    # late lines only — the post-join filter keeps the l1/l3 inputs at
+    # the late fraction of the fact, and the EXISTS probe (l2) never
+    # needs orders at all: "another supplier on the order" is a raw
+    # lineitem fact, so that side skips the orders join entirely
+    late_lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderstatus")
+    )
+    l1 = late_lines.filter(F.col("o_orderstatus") == "F").select(
         "l_orderkey", "l_suppkey"
     )
-    l2 = j.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
-    l3 = j.filter(F.col("late")).select(
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = late_lines.select(
         F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
     )
     waiting = (
