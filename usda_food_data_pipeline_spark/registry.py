@@ -83,11 +83,21 @@ _ORDER: list[str] = [
     "flagship",
     "dedup_latest_order",
     "semi_join_orders",
+    # round-10 rotation (r09 verdict task 2, rotation backlog):
+    # doc_repetition takes mix_sampling's slot. mix_sampling holds
+    # driver-green rows r02-r09 (eight consecutive rounds); the
+    # deterministic-sampling family stays in-window via seeded_sample,
+    # the anti-join shape via semi_join_orders' complement +
+    # anti_join_customers' local+CI row, and mix_sampling keeps its
+    # local+CI row. Gopher-style per-doc repetition ratios (dup-line /
+    # dup-paragraph / top-ngram mass) are the curation-signal family's
+    # repetition axis and had no driver row.
+    # (former slot note, retained for the audit trail)
     # mix_sampling takes the complement-join slot: left_anti is the shape
     # complement of the in-window semi-join (anti keeps local+CI rows);
     # training-mix sampling is a distinct operator family that needs a
     # driver row (r02 verdict: new ops locally-attested-only is the gap)
-    "mix_sampling",
+    "doc_repetition",
     "project_rename_normalize",
     "filter_not_contains",
     "group_mean",
@@ -98,10 +108,24 @@ _ORDER: list[str] = [
     "scalar_functions",
     "metadata_documents",
     "tpch_q1",
-    "grouping_sets",
+    # round-10 rotation (r09 verdict task 1, first commit of the round):
+    # lm_doc_scores re-enters in grouping_sets' slot. Every link now has
+    # driver-side proof: portable_chain_probe is GREEN in
+    # CORRECTNESS_r09.json (the portable ln chain, its grid snaps, AND
+    # the lm/dsir-shaped combines are bit-exact in the driver's DuckDB),
+    # and functions/lm.py's arithmetic now rests ONLY on what the probe
+    # measures (per-term BIGINT snapping; the version-dependent
+    # BIGINT×DECIMAL promotion is gone). grouping_sets is the registry's
+    # most-attested row (driver-green r01-r09, nine consecutive rounds);
+    # its agg family stays in-window via flagship/group_mean/tpch_q1 and
+    # the Expand plan family rests on that nine-round history plus its
+    # local+CI row (distinct_agg and unpivot_orders share the Expand
+    # shape and keep theirs too)
+    "lm_doc_scores",
     # pagerank_parts takes distinct_agg's slot: the Expand-based
-    # distinct-aggregate shape stays attested by grouping_sets (same
-    # Expand plan family; distinct_agg keeps its local+CI row); the
+    # distinct-aggregate shape stays attested by grouping_sets' 9-round
+    # driver-green history + local+CI row (grouping_sets displaced r10,
+    # see above; distinct_agg keeps its local+CI row); the
     # iterative graph operator is a new family that needs a driver row
     "pagerank_parts",
     "cosine_topk",
@@ -148,13 +172,24 @@ _ORDER: list[str] = [
     # text_signals = text_langid + text_quality merged (round 4): one
     # per-doc row attests both formulas, freeing a slot for bm25_retrieval
     "text_signals",
+    # round-10 rotation (r09 verdict task 2, rotation backlog):
+    # containment_pairs takes rolling_anomaly's slot. rolling_anomaly
+    # holds driver-green rows r05-r09; the analytic-window family stays
+    # in-window via sessionize_gaps (lag + cumulative sum) and
+    # dedup_latest_order (row_number), and rolling_anomaly keeps its
+    # local+CI row. The asymmetric set-containment join carries the L2
+    # super-shingle escalation since r09; ELIGIBILITY NOTE (standing):
+    # its oracle twin models the L1 path only, so the window requires
+    # guard-drops=0 at the driver's sf — verified this round at sf0.01
+    # (and holding through sf0.1); the cap first engages at sf3.
+    # (former slot note, retained for the audit trail)
     # rolling_anomaly takes text_fingerprint's slot (round 5 rotation):
     # the md5-derived per-doc integer-fold family stays attested by
     # dedup_simhash (token-hash array + bit folds) and text_embed
     # (hashing featurizer); fingerprint keeps its local+CI row. The
     # rows-between rolling mean/std z-score screen is the time-series
     # quality-gate family with no in-window twin
-    "rolling_anomaly",
+    "containment_pairs",
     # round-4 operator families: lexical retrieval + binary-sketch ANN
     "bm25_retrieval",
     # fuzzy_name_join takes hamming_topk's slot (round 6): the ANN
@@ -235,10 +270,18 @@ _ORDER: list[str] = [
     # round-6 rotation (r05 verdict task 7): the four round-5 operators
     # with exact oracles move into the window; each displaced query's
     # family keeps an in-window twin and its own local+CI row.
+    # round-10 rotation (r09 verdict task 1): dsir_select re-enters in
+    # snapshot_read's slot — same probe-backed re-entry case as
+    # lm_doc_scores above (functions/dsir.py: per-term BIGINT snapping,
+    # exact integer cnt·lr product end-to-end). snapshot_read holds
+    # driver-green rows r06-r09; the warehouse read/maintenance family
+    # stays in-window via merge_upsert + scd2_history and snapshot_read
+    # keeps its local+CI row.
+    # (former slot note, retained for the audit trail)
     # snapshot_read takes chunk_documents' slot (Generate/explode+slice
     # stays attested by decontaminate's n-gram explode): manifest
     # time-travel is the warehouse read path with no in-window twin
-    "snapshot_read",
+    "dsir_select",
     # ann_recall_eval takes table_diff's slot (round 8, r07 verdict
     # task 4): table_diff got its driver-green row in rounds 6-7 and
     # its full-outer reconciliation shape stays attested by
@@ -305,26 +348,22 @@ _ORDER: list[str] = [
     "dedup_stats",
     "doc_novelty",
     "table_diff",
-    # displaced round 9 (r08 verdict task 1): three consecutive driver
-    # hash-mismatches, exact against local DuckDB at all three scales —
-    # the divergence is driver-environment-resident. Both keep local+CI
-    # rows; re-entry is gated on a green portable_chain_probe driver row
-    # plus the per-term BIGINT snapping restructure (r08 task 3)
-    "lm_doc_scores",
-    "dsir_select",
+    # (round-9 note, retained for the audit trail) lm_doc_scores and
+    # dsir_select sat here rounds 9 only: three consecutive driver
+    # hash-mismatches, exact against local DuckDB at all three scales.
+    # Round 10 re-rotated both in-window after the portable_chain_probe
+    # driver row came back GREEN and the per-term BIGINT restructure
+    # removed the implicated DECIMAL promotion (see the in-window notes).
     # displaced round 9 to free a slot for portable_chain_probe;
     # driver-green in r08, family attested by bm25_retrieval
     "bm25_batch",
-    # round-8 operators (exact oracles + 3-scale local rows; rotate
-    # in-window as slots open per the standard rotation protocol).
-    # containment_pairs carries the L2 super-shingle escalation since
-    # round 9 (r08 verdict task 6): the all-hot-prefix suppression case
-    # is recovered for contiguous inclusion, guard-reported otherwise;
-    # its oracle twin models L1 only, so window eligibility still
-    # requires guard-drops=0 at the driver's sf (holds: 0 drops at
-    # sf0.01-0.1, cap engages first at sf3)
-    "doc_repetition",
-    "containment_pairs",
+    # displaced round 10 (r09 verdict tasks 1-2 rotation — see the
+    # in-window slot notes): all four hold multi-round driver-green
+    # histories and in-window family twins
+    "grouping_sets",
+    "snapshot_read",
+    "mix_sampling",
+    "rolling_anomaly",
     # round-9 operators (exact oracles; 3-scale local rows per the
     # round-end collect): Gopher rule-table filter, PMI collocation
     # mining on the per-term-snapped portable chain, product
