@@ -781,9 +781,13 @@ def dedup_lines_global(df, id_col: str, text_col: str, chunk_tokens: int = 2):
     k = int(chunk_tokens)
     if k <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {k}")
+    # persist: both the posexplode side and the per-doc totals consume
+    # this tokenize+chunk projection; without it the whole-corpus
+    # tokenize chain evaluates twice (released by the session's
+    # clear_engine_caches between queries, as boilerplate_scrub does)
     base = df.select(
         F.col(id_col), chunk_array(tokenize(F.col(text_col)), k).alias("_chunks")
-    )
+    ).persist()
     exploded = base.select(
         id_col, F.posexplode("_chunks").alias("_pos", "_chunk")
     )

@@ -201,28 +201,37 @@ WITH eu_lines AS (
 per_part AS (
     SELECT l_partkey AS part_key, sum(amount) AS val FROM eu_lines GROUP BY l_partkey
 ),
-total AS (SELECT sum(val) AS tot FROM per_part)
+total AS (SELECT sum(val) AS tot, count(*) AS npart FROM per_part)
 SELECT part_key, CAST(val AS DOUBLE) AS value
 FROM per_part, total
-WHERE CAST(val AS DECIMAL(28,6)) * CAST(1000 AS DECIMAL(4,0)) > tot
+WHERE CAST(val AS DECIMAL(26,6)) * CAST(2 * npart AS DECIMAL(11,0))
+    > CAST(tot AS DECIMAL(36,6)) * CAST(3 AS DECIMAL(1,0))
 """
 
 
 @register(
     "tpch_q11_important_parts",
     TPCH_Q11_ORACLE,
-    "parts whose regional trade value exceeds 1/1000 of the total: "
+    "parts whose regional trade value exceeds 1.5x the mean part value: "
     "group-HAVING against a global scalar aggregate (TPC-H Q11 shape)",
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HAVING-vs-global-fraction predicate cross-multiplies in
-    exact decimal (``val * 1000 > tot``) — the float quotient form
-    would put boundary parts at ULP risk (the attested Q22 pattern).
-    The global total re-aggregates the tiny per-part table (no second
-    lineitem scan) and broadcasts as a 1-row join. Per-part sums are
-    cast DECIMAL(28,6) before the multiply so the product stays inside
-    precision 38 on both engines (value micros fit 1e28 well past the
-    100 TB point; the total keeps the full 38)."""
+    """The HAVING-vs-global-scalar predicate cross-multiplies in exact
+    decimal — the float quotient form would put boundary parts at ULP
+    risk (the attested Q22 pattern). Official Q11 fixes the fraction at
+    0.0001/SF precisely because a constant fraction goes vacuous as
+    part cardinality grows (the r09 finding: 1/1000 returned 0 rows at
+    sf>=0.1); this shape folds the same scaling in data-adaptively by
+    comparing each part against the MEAN part value
+    (``val > 1.5 * tot / npart``  <=>  ``2*val*npart > 3*tot``) — a
+    scale-invariant threshold that keeps real boundary rows at every
+    tested sf (14 / 94 / 535+ rows at sf0.001/0.01/0.1). Every operand
+    is cast so both products land exactly at precision <= 38 on both
+    engines: val DECIMAL(26,6) x DECIMAL(11,0) and tot DECIMAL(36,6) x
+    DECIMAL(1,0) (no version-dependent BIGINT x DECIMAL promotion —
+    the lm/dsir lesson). The global total re-aggregates the tiny
+    per-part table (no second lineitem scan) and broadcasts as a
+    1-row join."""
     li = load_table(spark, sf_dir, "lineitem")
     eu = _eu_suppliers(spark, sf_dir).select("s_suppkey")
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
@@ -237,12 +246,15 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         # executed plan)
         .persist()
     )
-    total = per_part.agg(F.sum("val").alias("tot"))
+    total = per_part.agg(
+        F.sum("val").alias("tot"), F.count(F.lit(1)).alias("npart")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
-            F.col("val").cast("decimal(28,6)") * F.lit(1000).cast("decimal(4,0)")
-            > F.col("tot")
+            F.col("val").cast("decimal(26,6)")
+            * (F.lit(2) * F.col("npart")).cast("decimal(11,0)")
+            > F.col("tot").cast("decimal(36,6)") * F.lit(3).cast("decimal(1,0)")
         )
         .select("part_key", F.col("val").cast("double").alias("value"))
     )
@@ -280,7 +292,12 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    high = F.col("o_orderpriority").isin(*_HIGH_PRIORITIES)
+    # coalesce: a NULL o_orderpriority must count as LOW (the oracle's
+    # CASE ... ELSE 1 counts NULL-priority rows as low; bare ~high is
+    # NULL there and F.count would silently drop the row)
+    high = F.coalesce(
+        F.col("o_orderpriority").isin(*_HIGH_PRIORITIES), F.lit(False)
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS"))
@@ -437,18 +454,33 @@ GROUP BY s_name
     "supplier: EXISTS + NOT EXISTS self joins (TPC-H Q21 shape)",
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two correlated self joins run as one semi and one anti join
-    on the orderkey equi-key with the supplier inequality as the
-    residual condition — Spark keeps them in the hash/sort-merge family
-    (verified: SMJ LeftSemi/LeftAnti, no NLJ). The EXISTS probe (l2)
+    """Both correlated probes reduce to per-order aggregates (r09
+    verdict task 4 — the former fact-fact SMJ LeftSemi/LeftAnti with
+    the supplier inequality as residual was correct but superlinear,
+    6x at 10x data, because semi/anti fan-in on orderkey grows with
+    the square of lines-per-order):
+
+    - EXISTS "another supplier on the order"  <=>  the order has >= 2
+      distinct suppliers — one groupBy(orderkey) countDistinct over
+      raw lineitem;
+    - NOT EXISTS "another LATE supplier"  <=>  the order's distinct
+      late-supplier count is exactly 1 (l1 itself is late, so the sole
+      late supplier is necessarily l1's) — one groupBy(orderkey)
+      countDistinct over the late lines.
+
+    Each probe becomes a fact->aggregate equi semi-join whose build
+    side is one row per qualifying order, so the join fan-in is linear
+    in orders regardless of lines-per-order. The EXISTS aggregate
     reads raw lineitem — "another supplier on the order" needs no
-    orders columns — so only the l1/l3 sides pay the orders join, and
-    both are pre-filtered to the late fraction. The late view is
+    orders columns. REFERENTIAL-INTEGRITY CONTRACT (ADVICE r09): this
+    agrees with the oracle (which probes the lineitem-orders join)
+    only because every l_orderkey has a matching orders row — the
+    TPC-H FK the generator guarantees; an orphan lineitem row would
+    satisfy the Spark probe but not the oracle's. The late view is
     recomputed per consumer as a column-pruned scan rather than
-    persisted: the probes shuffle only (orderkey, suppkey) pairs, and
-    caching would pin the subtree's partitioning against AQE (the
-    round-9 containment A/B lesson). Lateness is the same exact
-    timestamp predicate as tpch_q12_late_priority."""
+    persisted (caching would pin the subtree's partitioning against
+    AQE — the round-9 containment A/B lesson). Lateness is the same
+    exact timestamp predicate as tpch_q12_late_priority."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -458,10 +490,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {_LATE_DAYS} DAYS"
     )
-    # late lines only — the post-join filter keeps the l1/l3 inputs at
-    # the late fraction of the fact, and the EXISTS probe (l2) never
-    # needs orders at all: "another supplier on the order" is a raw
-    # lineitem fact, so that side skips the orders join entirely
+    # late lines only — the post-join filter keeps the l1/sole-late
+    # inputs at the late fraction of the fact
     late_lines = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(late)
@@ -470,13 +500,21 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = late_lines.filter(F.col("o_orderstatus") == "F").select(
         "l_orderkey", "l_suppkey"
     )
-    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
-    l3 = late_lines.select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    multi_supplier = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_ns"))
+        .filter(F.col("_ns") >= 2)
+        .select(F.col("l_orderkey").alias("o2"))
+    )
+    sole_late = (
+        late_lines.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_nl"))
+        .filter(F.col("_nl") == 1)
+        .select(F.col("l_orderkey").alias("o3"))
     )
     waiting = (
-        l1.join(l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi")
-        .join(l3, (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")), "left_anti")
+        l1.join(multi_supplier, l1.l_orderkey == F.col("o2"), "left_semi")
+        .join(sole_late, l1.l_orderkey == F.col("o3"), "left_semi")
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
