@@ -181,3 +181,64 @@ def test_pq_adc_topk_ranks_exact_duplicate_first(spark):
         assert d == sorted(d)
         # self is excluded
         assert all(out[(q, r)]["neighbor_id"] != q for r in (1, 2, 3))
+
+
+def test_ivf_adc_topk_prunes_to_the_query_cell(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import (
+        _assign_books,
+        _fixed_width,
+        _quantized,
+        _train_pq,
+        ivf_adc_topk,
+    )
+    import numpy as np
+    import random
+
+    from pyspark.sql import functions as F
+
+    # two well-separated blobs (all-positive vs all-negative) so the
+    # kc=2 coarse quantizer splits them; queries 0/1 sit one per blob
+    rnd = random.Random(11)
+    rows = []
+    for i in range(30):
+        base = 0.8 if i % 2 == 0 else -0.8
+        rows.append((i, [base + rnd.uniform(-0.05, 0.05) for _ in range(8)]))
+    rows[6] = (6, list(rows[0][1]))  # exact duplicate of query 0
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_adc_topk(docs, n_queries=2, top_k=5, kc=2, m=2, k=4, n_iter=2)
+    out = got.collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+
+    # recompute each vector's coarse cell with the operator's own
+    # helpers and assert every returned neighbor shares its query's cell
+    pts = _quantized(docs, "vec_id", "embedding")
+    coarse = _train_pq(pts, "vec_id", 1, 2, 2, _fixed_width(docs, "embedding", "t"))
+    cells = {
+        r["vec_id"]: int(r["c"])
+        for r in _assign_books(pts, [(0, np.asarray(coarse[0]))])
+        .select("vec_id", (F.element_at("_keys", 1) % len(coarse[0])).alias("c"))
+        .collect()
+    }
+    for r in out:
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
+    # the exact duplicate of query 0 attains the minimal ADC distance
+    # (ties with same-code near-dups go to the lower id, so it need not
+    # hold rank 1 — but nothing in the cell can beat its LUT value)
+    q0 = [r for r in out if r["query_id"] == 0]
+    dup = [r for r in q0 if r["neighbor_id"] == 6]
+    assert dup and dup[0]["adc_d2"] == min(r["adc_d2"] for r in q0)
+    # parity blobs never mix: query 0's neighbors are all even ids
+    assert all(r["neighbor_id"] % 2 == 0 for r in q0)
+
+
+def test_ivf_adc_topk_raises_on_id_gap(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import ivf_adc_topk
+
+    docs = spark.createDataFrame(
+        [(i + 100, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query ids"):
+        ivf_adc_topk(docs, n_queries=2, top_k=2, kc=2, m=1, k=2, n_iter=1)

@@ -447,3 +447,159 @@ def pq_adc_topk(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "adc_d2", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def _assign_books(pts: DataFrame, books: list[tuple[int, "np.ndarray"]]) -> DataFrame:
+    """Heterogeneous multi-codebook assignment in ONE Arrow-batched
+    projection: ``books`` is a list of (dim offset, (k_i, w_i) grid
+    codebook) pairs — e.g. one coarse full-width quantizer plus m PQ
+    subspace codebooks — and the output column ``_keys[i]`` carries the
+    winnowing-encoded argmin ``d2_i * k_i + cluster_i`` for book i.
+    Generalizes :func:`_assign_multi` (uniform subspaces) so an IVF-PQ
+    index derives its coarse cell AND its fine codes from one scan of
+    the vector payload instead of an id-keyed join of two projections."""
+    from pyspark.sql.functions import pandas_udf
+
+    metas = [(off, np.asarray(cb, dtype=np.int64)) for off, cb in books]
+
+    @pandas_udf("array<long>")
+    def keys(xq: pd.Series) -> pd.Series:
+        x = np.stack(xq.to_numpy()).astype(np.int64) * GRID
+        cols = []
+        for off, cb in metas:
+            kk, ww = cb.shape
+            sub = x[:, off : off + ww]
+            dd = ((sub[:, None, :] - cb[None]) ** 2).sum(axis=2)
+            cols.append(
+                (dd * kk + np.arange(kk, dtype=np.int64)[None, :]).min(axis=1)
+            )
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return pts.withColumn("_keys", keys("xq"))
+
+
+def ivf_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 16,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kc: int = 8,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF-ADC search (Jégou et al. 2011 §V, "IVFADC"): the standard
+    billion-vector index READ path — a coarse quantizer of ``kc``
+    full-width centroids prunes the corpus to the query's cell
+    (nprobe=1, the same probe discipline as
+    :func:`..operators.similarity.ivf_topk`), then the survivors are
+    scored in the compressed domain by the asymmetric-distance LUT sum
+    over their PQ codes (:func:`pq_adc_topk`).  At production scale the
+    code table is partitioned by cell, so the probe is a
+    partition-pruned scan of ~1/kc of the codes and the score never
+    touches raw vectors.
+
+    Everything is oracle-exact: both quantizers are the exact-integer
+    Lloyd (:func:`_train_pq` — the coarse book is the m=1 special
+    case), cells and codes come from ONE heterogeneous assignment
+    projection (:func:`_assign_books` — no id-keyed join between the
+    coarse and fine assignments), the per-query cell is derived in
+    Python from the SAME collected ``xq`` ints that built the LUTs,
+    and the ADC score is an int64 sum of m lookups.
+
+    Output: ``(query_id, neighbor_id, adc_d2 bigint, rank int)`` —
+    ranks are within the query's coarse cell (ANN semantics: a true
+    neighbor in another cell is missed, exactly the recall the
+    ann_recall_eval harness measures for IVF pruning).
+    """
+    dim = _fixed_width(emb, vec_col, "ivf_adc_topk")
+    if dim % m != 0:
+        raise ValueError(f"ivf_adc_topk: dim {dim} not divisible by m={m}")
+    w = dim // m
+
+    pts = _quantized(emb, id_col, vec_col)
+    coarse = _train_pq(pts, id_col, 1, kc, n_iter, dim)
+    fine = _train_pq(pts, id_col, m, k, n_iter, w)
+    kc_eff = len(coarse[0])
+    k_eff = len(fine[0])
+
+    books = [(0, np.asarray(coarse[0], dtype=np.int64))] + [
+        (j * w, np.asarray(fine[j], dtype=np.int64)) for j in range(m)
+    ]
+    assigned = _assign_books(pts, books)
+    codes = assigned.select(
+        F.col(id_col),
+        (F.element_at("_keys", 1) % kc_eff).cast("int").alias("_cell"),
+        *[
+            (F.element_at("_keys", j + 2) % k_eff).cast("int").alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
+
+    qrows = pts.filter(F.col(id_col) < n_queries).collect()
+    if len(qrows) < n_queries:
+        raise ValueError(
+            f"ivf_adc_topk: only {len(qrows)} rows with {id_col} < "
+            f"{n_queries}; query ids 0..n_queries-1 must all exist"
+        )
+    c_arr = np.asarray(coarse[0], dtype=np.int64)
+
+    def _qcell(xq) -> int:
+        x = np.asarray(xq, dtype=np.int64) * GRID
+        dd = ((x[None, :] - c_arr) ** 2).sum(axis=1)
+        # same winnowing-encoded argmin as the executors: ties to the
+        # lowest cell id via min over dd*kc + cell
+        return int((dd * kc_eff + np.arange(kc_eff, dtype=np.int64)).min() % kc_eff)
+
+    lut_rows = []
+    for r in sorted(qrows, key=lambda r: int(r[id_col])):
+        xq = r["xq"]
+        luts = [
+            [
+                sum(
+                    (int(x) * GRID - c) ** 2
+                    for x, c in zip(
+                        xq[j * w : (j + 1) * w], fine[j][cl], strict=True
+                    )
+                )
+                for cl in range(k_eff)
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append(tuple([int(r[id_col]), _qcell(xq)] + luts))
+    lut_schema = ", ".join(
+        ["query_id long", "_qcell int"]
+        + [f"_lut{j} array<long>" for j in range(m)]
+    )
+    luts = F.broadcast(emb.sparkSession.createDataFrame(lut_rows, lut_schema))
+
+    adc = None
+    for j in range(m):
+        term = F.element_at(f"_lut{j}", F.col(f"code_{j}") + 1)
+        adc = term if adc is None else adc + term
+
+    from pyspark.sql import Window
+
+    scored = (
+        codes.crossJoin(luts)
+        .filter((F.col("_cell") == F.col("_qcell")) & (F.col(id_col) != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc.cast("bigint").alias("adc_d2"),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

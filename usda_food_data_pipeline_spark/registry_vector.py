@@ -745,13 +745,19 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_ITER = 4, 16, 2
 
 
-def _pq_ctes(m: int, k: int, n_iter: int) -> tuple[str, str]:
+def _pq_ctes(m: int, k: int, n_iter: int, prefix: str = "") -> tuple[str, str]:
     """Shared CTE body for the PQ family: quantized positions, seed
     map, per-subspace Lloyd rounds, final codebooks (c{n_iter}_{j}),
     per-(vector, centroid) exact distances (dfin_{j} — the ADC lookup
     table restricted to min is the code), and per-vector codes
-    (afin_{j}).  Returns (with_body, afin_join_chain)."""
+    (afin_{j}).  Returns (with_body, afin_join_chain).  ``prefix``
+    namespaces every CTE so two chains (e.g. ivf_adc's coarse m=1
+    quantizer and its fine PQ books) can share one WITH clause; the
+    emitted column names (code_{j}, dsub_{j}) are unprefixed — they
+    are scoped per CTE."""
     from .operators.kmeans import GRID, SCALE, SHIFT
+
+    P = prefix
 
     subs = []
     finals = []
@@ -759,65 +765,65 @@ def _pq_ctes(m: int, k: int, n_iter: int) -> tuple[str, str]:
         rounds = []
         for t in range(1, n_iter + 1):
             rounds.append(f"""
-d{t}_{j} AS (
+{P}d{t}_{j} AS (
     SELECT pl.vec_id, c.cl,
            CAST(sum((pl.xq * {GRID} - c.cn) * (pl.xq * {GRID} - c.cn)) AS BIGINT) AS dd
-    FROM pl{j} pl JOIN c{t - 1}_{j} c ON c.pos = pl.pos
+    FROM {P}pl{j} pl JOIN {P}c{t - 1}_{j} c ON c.pos = pl.pos
     GROUP BY pl.vec_id, c.cl
 ),
-a{t}_{j} AS (
+{P}a{t}_{j} AS (
     SELECT vec_id, CAST(min(dd * {k} + cl) % {k} AS INTEGER) AS cluster
-    FROM d{t}_{j} GROUP BY vec_id
+    FROM {P}d{t}_{j} GROUP BY vec_id
 ),
-u{t}_{j} AS (
+{P}u{t}_{j} AS (
     SELECT a.cluster AS cl, pl.pos, sum(pl.xq) AS s, count(*) AS n
-    FROM a{t}_{j} a JOIN pl{j} pl ON pl.vec_id = a.vec_id
+    FROM {P}a{t}_{j} a JOIN {P}pl{j} pl ON pl.vec_id = a.vec_id
     GROUP BY a.cluster, pl.pos
 ),
-c{t}_{j} AS (
+{P}c{t}_{j} AS (
     SELECT p.cl, p.pos,
            CAST(coalesce((2 * u.s * {GRID} + u.n) // (2 * u.n), p.cn) AS BIGINT) AS cn
-    FROM c{t - 1}_{j} p LEFT JOIN u{t}_{j} u ON u.cl = p.cl AND u.pos = p.pos
+    FROM {P}c{t - 1}_{j} p LEFT JOIN {P}u{t}_{j} u ON u.cl = p.cl AND u.pos = p.pos
 )""")
         subs.append(f"""
-pl{j} AS (
+{P}pl{j} AS (
     SELECT pl.vec_id, pl.pos, pl.xq
-    FROM pl CROSS JOIN dims
-    WHERE pl.pos > ({j} * dims.dim) // {m}
-      AND pl.pos <= ({j + 1} * dims.dim) // {m}
+    FROM {P}pl pl CROSS JOIN {P}dims
+    WHERE pl.pos > ({j} * {P}dims.dim) // {m}
+      AND pl.pos <= ({j + 1} * {P}dims.dim) // {m}
 ),
-c0_{j} AS (
+{P}c0_{j} AS (
     SELECT s.cl, pl.pos, pl.xq * {GRID} AS cn
-    FROM seedmap s JOIN pl{j} pl ON pl.vec_id = s.vec_id
+    FROM {P}seedmap s JOIN {P}pl{j} pl ON pl.vec_id = s.vec_id
 ),""" + ",".join(rounds) + f""",
-dfin_{j} AS (
+{P}dfin_{j} AS (
     SELECT pl.vec_id, c.cl,
            CAST(sum((pl.xq * {GRID} - c.cn) * (pl.xq * {GRID} - c.cn)) AS BIGINT) AS dd
-    FROM pl{j} pl JOIN c{n_iter}_{j} c ON c.pos = pl.pos
+    FROM {P}pl{j} pl JOIN {P}c{n_iter}_{j} c ON c.pos = pl.pos
     GROUP BY pl.vec_id, c.cl
 ),
-afin_{j} AS (
+{P}afin_{j} AS (
     SELECT vec_id,
            CAST(min(dd * {k} + cl) % {k} AS INTEGER) AS code_{j},
            CAST(min(dd) AS BIGINT) AS dsub_{j}
-    FROM dfin_{j} GROUP BY vec_id
+    FROM {P}dfin_{j} GROUP BY vec_id
 )""")
-        finals.append(f"afin_{j}")
+        finals.append(f"{P}afin_{j}")
 
     join_chain = finals[0] + " a0"
     for j in range(1, m):
         join_chain += f" JOIN {finals[j]} a{j} ON a{j}.vec_id = a0.vec_id"
     body = ",".join(subs)
     with_body = f"""
-WITH pl AS (
+{P}pl AS (
     SELECT vec_id, CAST(pos AS INTEGER) AS pos,
            CAST(floor(CAST(v AS DOUBLE) * {SCALE}) + {SHIFT} AS BIGINT) AS xq
     FROM (SELECT vec_id, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS pos
           FROM embeddings)
 ),
-dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS dim FROM embeddings),
-seedmap AS (
+{P}dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS dim FROM embeddings),
+{P}seedmap AS (
     SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl
     FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
 ),{body}"""
@@ -828,7 +834,7 @@ def _pq_oracle(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
     with_body, join_chain = _pq_ctes(m, k, n_iter)
     code_cols = ", ".join(f"a{j}.code_{j}" for j in range(m))
     d2 = " + ".join(f"a{j}.dsub_{j}" for j in range(m))
-    return f"""{with_body}
+    return f"""WITH {with_body}
 SELECT a0.vec_id, {code_cols}, CAST({d2} AS BIGINT) AS d2
 FROM {join_chain}
 """
@@ -877,7 +883,7 @@ def _pq_adc_oracle(
             f" AND l{j}.cl = a{j}.code_{j}"
         )
     adc = " + ".join(f"l{j}.dd" for j in range(m))
-    return f"""{with_body},
+    return f"""WITH {with_body},
 scores AS (
     SELECT l0.vec_id AS query_id, a0.vec_id AS neighbor_id,
            CAST({adc} AS BIGINT) AS adc_d2
@@ -907,4 +913,75 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return pq_adc_topk(
         emb, n_queries=_ADC_NQ, top_k=_ADC_TOPK, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-ADC search (operators/kmeans.ivf_adc_topk): coarse-cell pruning +
+# compressed-domain ADC scoring — the full IVFADC index read path
+# (Jégou et al. 2011 §V)
+# ---------------------------------------------------------------------------
+
+_IVF_KC = 8
+
+
+def _ivf_adc_oracle(
+    kc: int = _IVF_KC,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    nq: int = _ADC_NQ,
+    top_k: int = _ADC_TOPK,
+) -> str:
+    # two prefixed _pq_ctes chains share one WITH clause: the coarse
+    # quantizer is the m=1 special case (cv_afin_0.code_0 IS the cell),
+    # the fine chain is pq_adc's; the probe filter is one extra pair of
+    # cell-equality joins on the corpus and query vec_ids.
+    coarse_body, _ = _pq_ctes(1, kc, n_iter, prefix="cv_")
+    fine_body, join_chain = _pq_ctes(m, k, n_iter)
+    lut_joins = f"JOIN dfin_0 l0 ON l0.vec_id < {nq} AND l0.cl = a0.code_0"
+    for j in range(1, m):
+        lut_joins += (
+            f"\n    JOIN dfin_{j} l{j} ON l{j}.vec_id = l0.vec_id"
+            f" AND l{j}.cl = a{j}.code_{j}"
+        )
+    adc = " + ".join(f"l{j}.dd" for j in range(m))
+    return f"""WITH {coarse_body}, {fine_body},
+scores AS (
+    SELECT l0.vec_id AS query_id, a0.vec_id AS neighbor_id,
+           CAST({adc} AS BIGINT) AS adc_d2
+    FROM {join_chain}
+    {lut_joins}
+    JOIN cv_afin_0 cc ON cc.vec_id = a0.vec_id
+    JOIN cv_afin_0 qc ON qc.vec_id = l0.vec_id
+    WHERE a0.vec_id != l0.vec_id AND cc.code_0 = qc.code_0
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+    FROM scores
+) WHERE rank <= {top_k}
+"""
+
+
+@register(
+    "ivf_adc_topk",
+    _ivf_adc_oracle(),
+    f"IVF-ADC search: {_IVF_KC}-cell coarse quantizer prune (nprobe=1) "
+    f"+ exact-integer ADC scoring over {_PQ_M}-subspace PQ codes — the "
+    "full compressed-domain index read path",
+)
+def q_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import ivf_adc_topk
+    from .sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return ivf_adc_topk(
+        emb,
+        n_queries=_ADC_NQ,
+        top_k=_ADC_TOPK,
+        kc=_IVF_KC,
+        m=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
     )
