@@ -242,3 +242,25 @@ def test_ivf_adc_topk_raises_on_id_gap(spark):
 
     with _pytest.raises(ValueError, match="query ids"):
         ivf_adc_topk(docs, n_queries=2, top_k=2, kc=2, m=1, k=2, n_iter=1)
+
+
+def test_adc_recall_eval_perfect_on_separated_blobs(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import adc_recall_eval
+    import random
+
+    # two far-apart blobs of exactly top_k+1 vectors each: every
+    # query's true top-3 are its 3 blob-mates, the kc=2 coarse
+    # quantizer (seeded by ids 0/1 — one per blob) separates the
+    # blobs, so IVFADC must recover all of them -> recall is exactly 1
+    rnd = random.Random(3)
+    rows = []
+    for i in range(8):
+        base = 0.9 if i % 2 == 0 else -0.9
+        rows.append((i, [base + rnd.uniform(-0.02, 0.02) for _ in range(8)]))
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = adc_recall_eval(docs, n_queries=2, top_k=3, kc=2, m=2, k=4, n_iter=2)
+    out = {r["query_id"]: r for r in got.collect()}
+    assert set(out) == {0, 1}
+    for q in (0, 1):
+        assert out[q]["n_true"] == 3
+        assert out[q]["n_hits"] == 3

@@ -603,3 +603,71 @@ def ivf_adc_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def adc_recall_eval(
+    emb: DataFrame,
+    n_queries: int = 16,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kc: int = 8,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Recall@k of the IVFADC path against exact brute force — the
+    measurement every compressed-domain ANN deployment ships with
+    (companion to ``similarity.ann_recall_eval``, which evaluates the
+    IVF prune alone; this adds the PQ quantization loss).
+
+    Ground truth is the exact integer squared distance between
+    quantized vectors (``sum((xq_q - xq_x)^2)`` — the same metric
+    family ADC approximates, so the recall number isolates
+    cell-pruning + code-compression loss, not metric mismatch), ranked
+    with the same (distance, neighbor_id) tie rule as the ANN side.
+
+    Scale shape: the ANN side is :func:`ivf_adc_topk`; the truth side
+    is one corpus scan against a BROADCAST of n_queries quantized
+    vectors, folded by zip_with (lambda args only — no captured
+    expressions) into an int64 per pair, then a WindowGroupLimit
+    top-k; the recall join is (n_queries x top_k) rows against the
+    same-sized ANN output.
+
+    Output: ``(query_id, n_true bigint, n_hits bigint)`` — integer
+    hits, not a float recall, so the oracle compares exactly.
+    """
+    from pyspark.sql import Window
+
+    ann = ivf_adc_topk(
+        emb, n_queries, top_k, id_col, vec_col, kc, m, k, n_iter
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+
+    pts = _quantized(emb, id_col, vec_col)
+    qpts = pts.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("xq").alias("_qx")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qx", "xq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    truth = (
+        pts.crossJoin(F.broadcast(qpts))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), d2.alias("_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("neighbor_id"))
+    truth_k = (
+        truth.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        truth_k.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_hits"),
+        )
+    )

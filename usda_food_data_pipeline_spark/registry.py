@@ -371,11 +371,13 @@ _ORDER: list[str] = [
     "gopher_rules",
     "pmi_phrases",
     "pq_quantize",
-    # round-10 operator: full IVFADC read path (coarse-cell prune +
+    # round-10 operators: full IVFADC read path (coarse-cell prune +
     # ADC) — composes pq_adc_topk's LUT scoring with ivf_topk's
-    # nprobe=1 discipline; family attested in-window by cosine_topk +
+    # nprobe=1 discipline — and its recall harness against exact
+    # integer brute force; family attested in-window by cosine_topk +
     # ann_recall_eval
     "ivf_adc_topk",
+    "adc_recall_eval",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

@@ -925,18 +925,19 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_KC = 8
 
 
-def _ivf_adc_oracle(
+def _ivf_adc_scores_ctes(
     kc: int = _IVF_KC,
     m: int = _PQ_M,
     k: int = _PQ_K,
     n_iter: int = _PQ_ITER,
     nq: int = _ADC_NQ,
-    top_k: int = _ADC_TOPK,
 ) -> str:
     # two prefixed _pq_ctes chains share one WITH clause: the coarse
     # quantizer is the m=1 special case (cv_afin_0.code_0 IS the cell),
     # the fine chain is pq_adc's; the probe filter is one extra pair of
-    # cell-equality joins on the corpus and query vec_ids.
+    # cell-equality joins on the corpus and query vec_ids.  Returns the
+    # full "WITH ..., scores AS (...)" body shared by the ivf_adc_topk
+    # oracle and the adc_recall_eval oracle.
     coarse_body, _ = _pq_ctes(1, kc, n_iter, prefix="cv_")
     fine_body, join_chain = _pq_ctes(m, k, n_iter)
     lut_joins = f"JOIN dfin_0 l0 ON l0.vec_id < {nq} AND l0.cl = a0.code_0"
@@ -955,7 +956,18 @@ scores AS (
     JOIN cv_afin_0 cc ON cc.vec_id = a0.vec_id
     JOIN cv_afin_0 qc ON qc.vec_id = l0.vec_id
     WHERE a0.vec_id != l0.vec_id AND cc.code_0 = qc.code_0
-)
+)"""
+
+
+def _ivf_adc_oracle(
+    kc: int = _IVF_KC,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    nq: int = _ADC_NQ,
+    top_k: int = _ADC_TOPK,
+) -> str:
+    return f"""{_ivf_adc_scores_ctes(kc, m, k, n_iter, nq)}
 SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INTEGER) AS rank FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
@@ -977,6 +989,73 @@ def q_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return ivf_adc_topk(
+        emb,
+        n_queries=_ADC_NQ,
+        top_k=_ADC_TOPK,
+        kc=_IVF_KC,
+        m=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
+    )
+
+
+def _adc_recall_oracle(
+    kc: int = _IVF_KC,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    nq: int = _ADC_NQ,
+    top_k: int = _ADC_TOPK,
+) -> str:
+    # ANN side: the shared ivf_adc scores CTE ranked to top_k. Truth
+    # side: exact integer squared distance between quantized vectors
+    # (the unprefixed fine chain's pl CTE is the quantized position
+    # table), same (d2, neighbor) tie rule. Hits via count(non-null) —
+    # never sum(CASE): DuckDB widens integer SUM to HUGEINT.
+    return f"""{_ivf_adc_scores_ctes(kc, m, k, n_iter, nq)},
+ann AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+        FROM scores
+    ) WHERE rank <= {top_k}
+),
+qpl AS (SELECT vec_id AS query_id, pos, xq FROM pl WHERE vec_id < {nq}),
+truth AS (
+    SELECT q.query_id, p.vec_id AS neighbor_id,
+           CAST(sum((q.xq - p.xq) * (q.xq - p.xq)) AS BIGINT) AS d2
+    FROM qpl q JOIN pl p ON p.pos = q.pos AND p.vec_id != q.query_id
+    GROUP BY q.query_id, p.vec_id
+),
+truth_k AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+        FROM truth
+    ) WHERE rn <= {top_k}
+)
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+FROM truth_k t LEFT JOIN ann a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register(
+    "adc_recall_eval",
+    _adc_recall_oracle(),
+    f"recall@{_ADC_TOPK} of the IVFADC path vs exact integer brute "
+    "force: isolates cell-prune + PQ-compression loss (integer hit "
+    "counts, exactly twinnable)",
+)
+def q_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import adc_recall_eval
+    from .sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return adc_recall_eval(
         emb,
         n_queries=_ADC_NQ,
         top_k=_ADC_TOPK,
