@@ -264,3 +264,61 @@ def test_adc_recall_eval_perfect_on_separated_blobs(spark):
     for q in (0, 1):
         assert out[q]["n_true"] == 3
         assert out[q]["n_hits"] == 3
+
+
+def test_ivf_adc_nprobe_full_equals_pure_adc(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import (
+        ivf_adc_topk,
+        pq_adc_topk,
+    )
+    import random
+
+    # nprobe=kc probes every cell -> the candidate set is the whole
+    # corpus and the result must equal pq_adc_topk row for row (same
+    # codebooks, same LUTs, same tie rule)
+    rnd = random.Random(19)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, ivf_adc_topk(
+        docs, n_queries=3, top_k=4, kc=4, m=2, k=4, n_iter=2, nprobe=4
+    ).collect()))
+    b = sorted(map(tuple, pq_adc_topk(
+        docs, n_queries=3, top_k=4, m=2, k=4, n_iter=2
+    ).collect()))
+    assert a == b
+
+
+def test_adc_recall_eval_across_nprobe(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import adc_recall_eval
+    import random
+
+    # NOTE the deliberately absent inequality: hits@k is NOT monotone
+    # in nprobe — probing more cells grows the CANDIDATE set
+    # monotonically, but a quantization-distorted candidate admitted at
+    # higher nprobe can displace a true neighbor from the ADC top-k
+    # (observed 10/10/8 on this fixture at nprobe 1/2/4). The monotone
+    # quantity is candidate coverage, not post-ADC agreement; the
+    # nprobe=kc end point is pinned exactly by
+    # test_ivf_adc_nprobe_full_equals_pure_adc.
+    rnd = random.Random(23)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for nprobe in (1, 2, 4):
+        out = adc_recall_eval(
+            docs, n_queries=4, top_k=5, kc=4, m=2, k=4, n_iter=2, nprobe=nprobe
+        ).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r["n_true"] == 5
+            assert 0 <= r["n_hits"] <= r["n_true"]
+
+
+def test_ivf_adc_rejects_bad_nprobe(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import ivf_adc_topk
+
+    docs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_adc_topk(docs, n_queries=2, top_k=2, kc=2, m=1, k=2, n_iter=1, nprobe=3)

@@ -488,17 +488,20 @@ def ivf_adc_topk(
     m: int = 4,
     k: int = 16,
     n_iter: int = 2,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-ADC search (Jégou et al. 2011 §V, "IVFADC"): the standard
     billion-vector index READ path — a coarse quantizer of ``kc``
-    full-width centroids prunes the corpus to the query's cell
-    (nprobe=1, the same probe discipline as
-    :func:`..operators.similarity.ivf_topk`), then the survivors are
-    scored in the compressed domain by the asymmetric-distance LUT sum
-    over their PQ codes (:func:`pq_adc_topk`).  At production scale the
-    code table is partitioned by cell, so the probe is a
-    partition-pruned scan of ~1/kc of the codes and the score never
-    touches raw vectors.
+    full-width centroids prunes the corpus to the query's ``nprobe``
+    nearest cells (nprobe=1 is :func:`..operators.similarity.ivf_topk`'s
+    probe discipline; multiprobe is the standard recall knob — at
+    nprobe=kc the candidate set is the whole corpus and the result
+    equals :func:`pq_adc_topk` exactly, the equivalence the tests pin),
+    then the survivors are scored in the compressed domain by the
+    asymmetric-distance LUT sum over their PQ codes.  At production
+    scale the code table is partitioned by cell, so the probe is a
+    partition-pruned scan of ~nprobe/kc of the codes and the score
+    never touches raw vectors.
 
     Everything is oracle-exact: both quantizers are the exact-integer
     Lloyd (:func:`_train_pq` — the coarse book is the m=1 special
@@ -509,10 +512,12 @@ def ivf_adc_topk(
     and the ADC score is an int64 sum of m lookups.
 
     Output: ``(query_id, neighbor_id, adc_d2 bigint, rank int)`` —
-    ranks are within the query's coarse cell (ANN semantics: a true
-    neighbor in another cell is missed, exactly the recall the
-    ann_recall_eval harness measures for IVF pruning).
+    ranks are within the query's probed cells (ANN semantics: a true
+    neighbor in an unprobed cell is missed, exactly the recall
+    :func:`adc_recall_eval` measures).
     """
+    if not 1 <= nprobe <= kc:
+        raise ValueError(f"ivf_adc_topk: nprobe {nprobe} outside 1..kc={kc}")
     dim = _fixed_width(emb, vec_col, "ivf_adc_topk")
     if dim % m != 0:
         raise ValueError(f"ivf_adc_topk: dim {dim} not divisible by m={m}")
@@ -545,12 +550,14 @@ def ivf_adc_topk(
         )
     c_arr = np.asarray(coarse[0], dtype=np.int64)
 
-    def _qcell(xq) -> int:
+    def _qcells(xq) -> list[int]:
         x = np.asarray(xq, dtype=np.int64) * GRID
         dd = ((x[None, :] - c_arr) ** 2).sum(axis=1)
-        # same winnowing-encoded argmin as the executors: ties to the
-        # lowest cell id via min over dd*kc + cell
-        return int((dd * kc_eff + np.arange(kc_eff, dtype=np.int64)).min() % kc_eff)
+        # same winnowing key encoding as the executors: sorting the
+        # dd*kc + cell keys ranks by (distance, cell id) — the top
+        # nprobe cells with the exact argmin tie rule
+        keys = np.sort(dd * kc_eff + np.arange(kc_eff, dtype=np.int64))
+        return [int(v % kc_eff) for v in keys[:nprobe]]
 
     lut_rows = []
     for r in sorted(qrows, key=lambda r: int(r[id_col])):
@@ -567,9 +574,9 @@ def ivf_adc_topk(
             ]
             for j in range(m)
         ]
-        lut_rows.append(tuple([int(r[id_col]), _qcell(xq)] + luts))
+        lut_rows.append(tuple([int(r[id_col]), _qcells(xq)] + luts))
     lut_schema = ", ".join(
-        ["query_id long", "_qcell int"]
+        ["query_id long", "_qcells array<int>"]
         + [f"_lut{j} array<long>" for j in range(m)]
     )
     luts = F.broadcast(emb.sparkSession.createDataFrame(lut_rows, lut_schema))
@@ -583,7 +590,10 @@ def ivf_adc_topk(
 
     scored = (
         codes.crossJoin(luts)
-        .filter((F.col("_cell") == F.col("_qcell")) & (F.col(id_col) != F.col("query_id")))
+        .filter(
+            F.array_contains("_qcells", F.col("_cell"))
+            & (F.col(id_col) != F.col("query_id"))
+        )
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
@@ -615,6 +625,7 @@ def adc_recall_eval(
     m: int = 4,
     k: int = 16,
     n_iter: int = 2,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Recall@k of the IVFADC path against exact brute force — the
     measurement every compressed-domain ANN deployment ships with
@@ -640,7 +651,7 @@ def adc_recall_eval(
     from pyspark.sql import Window
 
     ann = ivf_adc_topk(
-        emb, n_queries, top_k, id_col, vec_col, kc, m, k, n_iter
+        emb, n_queries, top_k, id_col, vec_col, kc, m, k, n_iter, nprobe
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
 
     pts = _quantized(emb, id_col, vec_col)

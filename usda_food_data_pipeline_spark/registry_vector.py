@@ -923,6 +923,10 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVF_KC = 8
+_IVF_NPROBE = 2  # multiprobe: the standard IVF recall knob (nprobe=1
+                 # probed 1/8 of the corpus and measured recall@10 0.21
+                 # on the structureless synthetic embeddings; 2 cells
+                 # roughly doubles the candidate set for ~the same LUT)
 
 
 def _ivf_adc_scores_ctes(
@@ -931,6 +935,7 @@ def _ivf_adc_scores_ctes(
     k: int = _PQ_K,
     n_iter: int = _PQ_ITER,
     nq: int = _ADC_NQ,
+    nprobe: int = 1,
 ) -> str:
     # two prefixed _pq_ctes chains share one WITH clause: the coarse
     # quantizer is the m=1 special case (cv_afin_0.code_0 IS the cell),
@@ -947,15 +952,25 @@ def _ivf_adc_scores_ctes(
             f" AND l{j}.cl = a{j}.code_{j}"
         )
     adc = " + ".join(f"l{j}.dd" for j in range(m))
+    # per-query probed cells: rank every coarse-centroid distance of the
+    # query rows by the exact (dd, cl) key and keep the top nprobe —
+    # the same winnowing tie rule the Spark side sorts by
     return f"""WITH {coarse_body}, {fine_body},
+qcells AS (
+    SELECT vec_id AS query_id, CAST(cl AS INTEGER) AS cell FROM (
+        SELECT vec_id, cl, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dd, cl) AS rn
+        FROM cv_dfin_0 WHERE vec_id < {nq}
+    ) WHERE rn <= {nprobe}
+),
 scores AS (
     SELECT l0.vec_id AS query_id, a0.vec_id AS neighbor_id,
            CAST({adc} AS BIGINT) AS adc_d2
     FROM {join_chain}
     {lut_joins}
     JOIN cv_afin_0 cc ON cc.vec_id = a0.vec_id
-    JOIN cv_afin_0 qc ON qc.vec_id = l0.vec_id
-    WHERE a0.vec_id != l0.vec_id AND cc.code_0 = qc.code_0
+    JOIN qcells qc ON qc.query_id = l0.vec_id AND qc.cell = cc.code_0
+    WHERE a0.vec_id != l0.vec_id
 )"""
 
 
@@ -966,8 +981,9 @@ def _ivf_adc_oracle(
     n_iter: int = _PQ_ITER,
     nq: int = _ADC_NQ,
     top_k: int = _ADC_TOPK,
+    nprobe: int = _IVF_NPROBE,
 ) -> str:
-    return f"""{_ivf_adc_scores_ctes(kc, m, k, n_iter, nq)}
+    return f"""{_ivf_adc_scores_ctes(kc, m, k, n_iter, nq, nprobe)}
 SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INTEGER) AS rank FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
@@ -979,9 +995,10 @@ SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INTEGER) AS rank FROM (
 @register(
     "ivf_adc_topk",
     _ivf_adc_oracle(),
-    f"IVF-ADC search: {_IVF_KC}-cell coarse quantizer prune (nprobe=1) "
-    f"+ exact-integer ADC scoring over {_PQ_M}-subspace PQ codes — the "
-    "full compressed-domain index read path",
+    f"IVF-ADC search: {_IVF_KC}-cell coarse quantizer, "
+    f"nprobe={_IVF_NPROBE} multiprobe + exact-integer ADC scoring over "
+    f"{_PQ_M}-subspace PQ codes — the full compressed-domain index "
+    "read path",
 )
 def q_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.kmeans import ivf_adc_topk
@@ -996,6 +1013,7 @@ def q_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         k=_PQ_K,
         n_iter=_PQ_ITER,
+        nprobe=_IVF_NPROBE,
     )
 
 
@@ -1006,13 +1024,14 @@ def _adc_recall_oracle(
     n_iter: int = _PQ_ITER,
     nq: int = _ADC_NQ,
     top_k: int = _ADC_TOPK,
+    nprobe: int = _IVF_NPROBE,
 ) -> str:
     # ANN side: the shared ivf_adc scores CTE ranked to top_k. Truth
     # side: exact integer squared distance between quantized vectors
     # (the unprefixed fine chain's pl CTE is the quantized position
     # table), same (d2, neighbor) tie rule. Hits via count(non-null) —
     # never sum(CASE): DuckDB widens integer SUM to HUGEINT.
-    return f"""{_ivf_adc_scores_ctes(kc, m, k, n_iter, nq)},
+    return f"""{_ivf_adc_scores_ctes(kc, m, k, n_iter, nq, nprobe)},
 ann AS (
     SELECT query_id, neighbor_id FROM (
         SELECT *, row_number() OVER (
@@ -1046,9 +1065,9 @@ GROUP BY t.query_id
 @register(
     "adc_recall_eval",
     _adc_recall_oracle(),
-    f"recall@{_ADC_TOPK} of the IVFADC path vs exact integer brute "
-    "force: isolates cell-prune + PQ-compression loss (integer hit "
-    "counts, exactly twinnable)",
+    f"recall@{_ADC_TOPK} of the IVFADC path (nprobe={_IVF_NPROBE}) vs "
+    "exact integer brute force: isolates cell-prune + PQ-compression "
+    "loss (integer hit counts, exactly twinnable)",
 )
 def q_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.kmeans import adc_recall_eval
@@ -1063,4 +1082,5 @@ def q_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         k=_PQ_K,
         n_iter=_PQ_ITER,
+        nprobe=_IVF_NPROBE,
     )
