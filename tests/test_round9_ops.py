@@ -322,3 +322,49 @@ def test_ivf_adc_rejects_bad_nprobe(spark):
     )
     with pytest.raises(ValueError, match="nprobe"):
         ivf_adc_topk(docs, n_queries=2, top_k=2, kc=2, m=1, k=2, n_iter=1, nprobe=3)
+
+
+def test_adc_rerank_recovers_at_least_raw_adc_hits(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import (
+        adc_rerank_topk,
+        ivf_adc_topk,
+        _quantized,
+    )
+    import random
+
+    # provable: rerank's top-k = exact-distance-best of the ADC pool,
+    # with the SAME (d2, id) tie rule as brute-force truth — so every
+    # truth-top-k member the raw ADC top-k contains is also in the
+    # pool and survives reranking; per-query rerank hits >= raw hits.
+    rnd = random.Random(31)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(n_queries=3, kc=4, m=2, k=4, n_iter=2, nprobe=2)
+    raw = ivf_adc_topk(docs, top_k=4, **kw).collect()
+    rer = adc_rerank_topk(docs, top_k=4, rerank_k=12, **kw).collect()
+
+    # brute-force truth over the same quantized ints
+    pts = {r["vec_id"]: r["xq"] for r in _quantized(docs, "vec_id", "embedding").collect()}
+    def truth_topk(q, k):
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(pts[q], pts[i])), i)
+            for i in pts if i != q
+        )
+        return {i for _, i in d[:k]}
+
+    for q in range(3):
+        t = truth_topk(q, 4)
+        raw_hits = sum(1 for r in raw if r["query_id"] == q and r["neighbor_id"] in t)
+        rer_hits = sum(1 for r in rer if r["query_id"] == q and r["neighbor_id"] in t)
+        assert rer_hits >= raw_hits, (q, raw_hits, rer_hits)
+
+
+def test_adc_rerank_rejects_pool_smaller_than_topk(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import adc_rerank_topk
+
+    docs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="rerank_k"):
+        adc_rerank_topk(docs, n_queries=2, top_k=5, rerank_k=3, kc=2, m=1, k=2, n_iter=1)

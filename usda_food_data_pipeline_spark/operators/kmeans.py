@@ -682,3 +682,82 @@ def adc_recall_eval(
             F.count("_hit").alias("n_hits"),
         )
     )
+
+
+def adc_rerank_topk(
+    emb: DataFrame,
+    n_queries: int = 16,
+    top_k: int = 10,
+    rerank_k: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kc: int = 8,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Two-stage IVFADC read (Jégou et al. 2011 §VII "re-ranking"):
+    stage 1 retrieves a WIDER compressed-domain pool — the
+    ``rerank_k`` best ADC candidates per query via
+    :func:`ivf_adc_topk` — and stage 2 rescores only that pool with
+    the exact integer distance over the original quantized vectors,
+    emitting the ``top_k`` by exact distance.  This is the standard
+    production pattern: the index never stores raw vectors with the
+    codes; the small candidate pool pays one random-access fetch of
+    its true vectors (here: a semi-join-sized equi-join back to the
+    quantized scan) and compression error cancels exactly where it
+    matters — the final ranking.
+
+    Everything is oracle-exact: the pool is the deterministic
+    :func:`ivf_adc_topk` output and the rescoring is the same int64
+    ``sum((xq_q - xq_x)^2)`` fold :func:`adc_recall_eval`'s truth side
+    uses, with the same (distance, neighbor_id) tie rule.
+
+    Scale shape: stage 1 is ivf_adc_topk (broadcast LUTs, cell-pruned
+    scan, WindowGroupLimit); stage 2 joins the (n_queries x rerank_k)
+    pool — never the corpus — against the quantized scan on the
+    neighbor id, broadcasts the n_queries query vectors, folds the
+    exact distance with zip_with, and takes a WindowGroupLimit top-k
+    over (n_queries x rerank_k) rows.
+
+    Output: ``(query_id, neighbor_id, exact_d2 bigint, rank int)``.
+    """
+    if rerank_k < top_k:
+        raise ValueError(
+            f"adc_rerank_topk: rerank_k {rerank_k} < top_k {top_k}"
+        )
+    pool = ivf_adc_topk(
+        emb, n_queries, rerank_k, id_col, vec_col, kc, m, k, n_iter, nprobe
+    ).select("query_id", "neighbor_id")
+
+    pts = _quantized(emb, id_col, vec_col)
+    qpts = pts.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("xq").alias("_qx")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qx", "xq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rescored = (
+        pool.join(pts, pool.neighbor_id == pts[id_col])
+        .join(F.broadcast(qpts), "query_id")
+        .select("query_id", "neighbor_id", d2.alias("exact_d2"))
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2"), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("exact_d2").cast("bigint").alias("exact_d2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

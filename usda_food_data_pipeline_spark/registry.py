@@ -378,6 +378,7 @@ _ORDER: list[str] = [
     # ann_recall_eval
     "ivf_adc_topk",
     "adc_recall_eval",
+    "adc_rerank_topk",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

@@ -1084,3 +1084,68 @@ def q_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=_PQ_ITER,
         nprobe=_IVF_NPROBE,
     )
+
+
+_RERANK_K = 30
+
+
+def _adc_rerank_oracle(
+    kc: int = _IVF_KC,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    nq: int = _ADC_NQ,
+    top_k: int = _ADC_TOPK,
+    rerank_k: int = _RERANK_K,
+    nprobe: int = _IVF_NPROBE,
+) -> str:
+    # stage 1: the shared scores CTE ranked to rerank_k (the wide ADC
+    # pool); stage 2: exact integer distances recomputed from pl for
+    # ONLY the pool pairs, re-ranked with the (d2, neighbor) tie rule.
+    return f"""{_ivf_adc_scores_ctes(kc, m, k, n_iter, nq, nprobe)},
+pool AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+        FROM scores
+    ) WHERE rank <= {rerank_k}
+),
+exact AS (
+    SELECT c.query_id, c.neighbor_id,
+           CAST(sum((q.xq - p.xq) * (q.xq - p.xq)) AS BIGINT) AS exact_d2
+    FROM pool c
+    JOIN pl q ON q.vec_id = c.query_id
+    JOIN pl p ON p.vec_id = c.neighbor_id AND p.pos = q.pos
+    GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, exact_d2, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY exact_d2, neighbor_id) AS rank
+    FROM exact
+) WHERE rank <= {top_k}
+"""
+
+
+@register(
+    "adc_rerank_topk",
+    _adc_rerank_oracle(),
+    f"two-stage IVFADC read: {_RERANK_K}-deep compressed-domain ADC "
+    f"pool re-ranked by exact integer distance to top-{_ADC_TOPK} "
+    "(the production rerank pattern)",
+)
+def q_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import adc_rerank_topk
+    from .sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return adc_rerank_topk(
+        emb,
+        n_queries=_ADC_NQ,
+        top_k=_ADC_TOPK,
+        rerank_k=_RERANK_K,
+        kc=_IVF_KC,
+        m=_PQ_M,
+        k=_PQ_K,
+        n_iter=_PQ_ITER,
+        nprobe=_IVF_NPROBE,
+    )
