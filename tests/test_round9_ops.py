@@ -368,3 +368,19 @@ def test_adc_rerank_rejects_pool_smaller_than_topk(spark):
     )
     with pytest.raises(ValueError, match="rerank_k"):
         adc_rerank_topk(docs, n_queries=2, top_k=5, rerank_k=3, kc=2, m=1, k=2, n_iter=1)
+
+
+def test_pq_quantize_plan_has_no_join(spark):
+    from usda_food_data_pipeline_spark.operators.kmeans import pq_quantize
+    import random
+
+    # r09 verdict task 3 pin: the code table comes from ONE projection
+    # over the quantized scan — the pre-r10 m-way id-keyed join chain
+    # must not silently come back
+    rnd = random.Random(5)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = pq_quantize(docs, m=2, k=4, n_iter=1)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
