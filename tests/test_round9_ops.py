@@ -384,3 +384,59 @@ def test_pq_quantize_plan_has_no_join(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_ln_int_col_bit_parity_with_python_chain(spark):
+    from usda_food_data_pipeline_spark.functions.portable_ln import (
+        ln_int_col,
+        py_ln_int,
+    )
+    import struct
+
+    # the in-plan Catalyst chain must be BIT-identical to the Python
+    # chain (which itself mirrors the oracle SQL op for op) — including
+    # exact powers of two (t=0 branch) and the 2^48 hash ceiling
+    vals = [1, 2, 3, 5, 7, 255, 256, 257, 10**6, 2**47, 2**48 - 1,
+            2**48, 123456789012345, 987654321, 2**62 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "n long").select(
+        "n", ln_int_col(F.col("n")).alias("ln")
+    )
+    got = {r["n"]: r["ln"] for r in df.collect()}
+    for v in vals:
+        assert struct.pack("<d", got[v]) == struct.pack("<d", py_ln_int(v)), v
+
+
+def test_weighted_sample_es_matches_python_reference_and_partitioning(spark):
+    from usda_food_data_pipeline_spark.operators.topk import weighted_sample_es
+    from usda_food_data_pipeline_spark.functions.portable_ln import (
+        LN2,
+        py_grid_nanos,
+        py_ln_int,
+    )
+    import hashlib
+
+    rows = [(i, max(1, (i * 37) % 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def md5_int(key, seed):
+        h = hashlib.md5(f"s{seed}:{key}".encode()).hexdigest()
+        return int(h[:12], 16)
+
+    ceiling = py_grid_nanos(48.0 * LN2)
+    seed = 9
+
+    def es_key(i, w):
+        ln_nanos = py_grid_nanos(py_ln_int(md5_int(i, seed) + 1))
+        return ((ceiling - ln_nanos) * 1_000_000) // w
+
+    expect = sorted(rows, key=lambda r: (es_key(r[0], r[1]), r[0]))[:25]
+    got = weighted_sample_es(
+        df, n=25, seed=seed, key_col="doc_id", weight_col=F.col("w")
+    ).collect()
+    assert sorted((r["doc_id"], r["w"]) for r in got) == sorted(expect)
+
+    # partitioning-invariant: content-derived randomness, not rand(seed)
+    got7 = weighted_sample_es(
+        df.repartition(7), n=25, seed=seed, key_col="doc_id", weight_col=F.col("w")
+    ).collect()
+    assert sorted(r["doc_id"] for r in got7) == sorted(r["doc_id"] for r in got)

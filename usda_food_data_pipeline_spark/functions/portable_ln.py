@@ -339,3 +339,46 @@ def sql_grid_decimal(nanos_expr: str, precision: int = 18, dp: int = 9) -> str:
         f"CAST(CAST({nanos_expr} AS DECIMAL({precision},0)) * "
         f"CAST({one} AS DECIMAL({dp},{dp})) AS DECIMAL({precision},{dp}))"
     )
+
+
+def ln_int_col(n):
+    """Spark COLUMN form of the portable integer ln — the same
+    fixed-form chain as :func:`py_ln_int` / :func:`sql_ln_select`,
+    spelled as Catalyst expressions so it runs per row inside
+    whole-stage codegen.
+
+    This is the missing third form: :func:`py_ln_int` builds literal
+    tables on the driver (right when the argument has few distinct
+    values — the lm/dsir pattern), the SQL chain runs oracle-side;
+    neither serves a PER-ROW-DISTINCT argument (e.g. a 48-bit hash,
+    where a literal table is impossible).  Here:
+
+    - ``e = length(bin(n)) - 1`` is the exact bit length (string op on
+      the binary repr — no libm log2);
+    - ``p = shiftleft(1L, e)`` is the exact power of two (integer
+      shift — IEEE does not require pow() to be correctly rounded, so
+      it is banned engine-wide);
+    - the mantissa/atanh/Horner arithmetic mirrors the SQL text op for
+      op: every individual double op is correctly rounded and the
+      association order is identical, so results are bit-identical to
+      :func:`py_ln_int` and the oracle chain.
+
+    ``n`` must be a positive BIGINT column (same domain contract as
+    :func:`py_ln_int`; nonpositive inputs yield nonsense, not an
+    error, so callers guard — e.g. ``h + 1`` for 48-bit hashes).
+    """
+    from pyspark.sql import functions as F
+
+    e = (F.length(F.bin(n)) - F.lit(1)).cast("int")
+    # call_function: the Python shiftleft wrapper only takes a literal
+    # shift amount; the SQL expression form shifts by a column
+    p = F.call_function("shiftleft", F.lit(1).cast("bigint"), e)
+    m = n.cast("double") / p.cast("double")
+    t = (m - F.lit(1.0)) / (m + F.lit(1.0))
+    u = t * t
+    poly = F.lit(1.0 / _ATANH_KS[-1])
+    for k in reversed(_ATANH_KS[:-1]):
+        poly = F.lit(1.0 / k) + (u * poly)
+    return (e.cast("double") * F.lit(LN2)) + (
+        (F.lit(2.0) * t) * (F.lit(1.0) + (u * poly))
+    )

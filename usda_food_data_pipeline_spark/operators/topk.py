@@ -193,3 +193,59 @@ def group_cap(df: DataFrame, key_col: str, order_cols: list, cap: int) -> DataFr
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    n: int,
+    seed: int,
+    key_col: str,
+    weight_col,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"): each row draws
+    a content-derived uniform ``u`` and the sample is the ``n`` rows
+    with the largest ``u^(1/w)`` — equivalently the smallest
+    ``(C - ln u)/w`` — so inclusion probability scales with the weight
+    (quality-weighted corpus subsampling, the knob between uniform
+    ``seeded_sample`` and hard ``dsir_select``).
+
+    Exactness (the oracle contract): ``u = (md5_int(key)+1)/2^48``;
+    ``ln(h+1)`` runs per row through the in-plan portable chain
+    (:func:`..functions.portable_ln.ln_int_col` — bit-identical to the
+    oracle's SQL chain), snaps to integer nanos, shifts by the
+    ``48·ln2`` ceiling so every quantity is a non-negative BIGINT
+    (truncating vs flooring division agree there — the kmeans shift
+    discipline), and the ES order key is the exact integer
+    ``(shifted_nanos · 10^6) DIV w`` with ties to ``key_col``.  The
+    micro-grid quantization of the key is part of the operator's
+    definition — deterministic and engine-identical, not an
+    approximation of float ES.
+
+    Scale shape: one scan projection (hash + ln chain, whole-stage
+    codegen), one TakeOrdered top-n — no shuffle beyond the final
+    (partitions × n) candidate collect.  ``weight_col`` must be a
+    positive-BIGINT column expression; callers clamp (e.g.
+    ``greatest(w, 1)``).
+    """
+    from ..functions.portable_ln import LN2, ln_int_col, py_grid_nanos
+
+    h = None
+    from .dedup import md5_int
+
+    h = md5_int(F.col(key_col).cast("string"), seed)
+    ln_nanos = F.floor(
+        (ln_int_col(h + F.lit(1)) * F.lit(float(10**9))) + F.lit(0.5)
+    )
+    ceiling = py_grid_nanos(48.0 * LN2)  # ln(2^48) in nanos; h+1 <= 2^48
+    key = F.expr(
+        f"(({ceiling} - _ln_nanos) * 1000000L) DIV _es_w"
+    )
+    return (
+        df.withColumn("_es_w", weight_col.cast("bigint"))
+        .withColumn("_ln_nanos", ln_nanos)
+        .withColumn("_es_key", key)
+        .orderBy(F.col("_es_key"), F.col(key_col))
+        .limit(n)
+        .drop("_es_w", "_ln_nanos", "_es_key")
+    )

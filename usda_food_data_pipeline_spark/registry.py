@@ -379,6 +379,10 @@ _ORDER: list[str] = [
     "ivf_adc_topk",
     "adc_recall_eval",
     "adc_rerank_topk",
+    # round-10 operator: ES weighted sampling — the sampling family
+    # stays attested in-window by seeded_sample; the per-row in-plan
+    # portable ln chain (ln_int_col) is the new primitive it exercises
+    "weighted_sample",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

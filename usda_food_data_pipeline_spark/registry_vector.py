@@ -1149,3 +1149,68 @@ def q_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=_PQ_ITER,
         nprobe=_IVF_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# ES weighted sampling (operators/topk.weighted_sample_es): quality-
+# weighted corpus subsampling without replacement — the knob between
+# uniform seeded_sample and hard dsir_select
+# ---------------------------------------------------------------------------
+
+_WS_N, _WS_SEED = 200, 77
+
+
+def _weighted_sample_oracle(n: int = _WS_N, seed: int = _WS_SEED) -> str:
+    from .functions.portable_ln import (
+        LN2,
+        POWS_CTE,
+        py_grid_nanos,
+        sql_grid_nanos,
+        sql_ln_select,
+    )
+    from .operators.dedup import oracle_md5_int_sql
+
+    ceiling = py_grid_nanos(48.0 * LN2)
+    h = oracle_md5_int_sql("CAST(doc_id AS VARCHAR)", seed)
+    base = (
+        f"(SELECT doc_id, lang, n_chars, ({h}) AS _h FROM documents)"
+    )
+    ln_sel = sql_ln_select(
+        base,
+        keep=["doc_id", "lang", "n_chars"],
+        terms={"h1": "_h + 1"},
+        outputs=[("_ln_h", "_ln_h1")],
+    )
+    key = (
+        f"(({ceiling} - {sql_grid_nanos('_ln_h')}) * 1000000)"
+        f" // greatest(CAST(n_chars AS BIGINT), 1)"
+    )
+    return f"""WITH {POWS_CTE},
+lns AS ({ln_sel})
+SELECT doc_id, lang, n_chars FROM (
+    SELECT *, row_number() OVER (ORDER BY ({key}), doc_id) AS _rn
+    FROM lns
+) WHERE _rn <= {n}
+"""
+
+
+@register(
+    "weighted_sample",
+    _weighted_sample_oracle(),
+    f"Efraimidis-Spirakis weighted sample without replacement (n={_WS_N}, "
+    "weight=n_chars): per-row portable-chain ln of a 48-bit content "
+    "hash, exact integer micro-grid ES key",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.topk import weighted_sample_es
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample_es(
+        docs,
+        n=_WS_N,
+        seed=_WS_SEED,
+        key_col="doc_id",
+        weight_col=F.greatest(F.col("n_chars"), F.lit(1)),
+    )
