@@ -1,0 +1,121 @@
+"""Round-11 bisect rows (r10 verdict task 1): the census's domain
+construction must equal the lm/dsir internals it certifies, and the
+probe's DECIMAL(38,9) columns must ride the exact sum_lp/sum_lw
+conversion path.
+
+The cross-engine value checks live in test_oracle_gate.py (every
+registered query, including these two, runs against DuckDB per pytest
+run); this file pins the *structural* claims a green gate row would
+silently rest on.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from usda_food_data_pipeline_spark.functions.chain_probe import (
+    _BIG_DEC_MULT,
+    PROBE_INPUTS,
+    chain_probe,
+    ln_domain_census,
+)
+from usda_food_data_pipeline_spark.functions.portable_ln import (
+    py_grid_nanos,
+    py_ln_int,
+)
+from usda_food_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_probe_decimal_columns_are_the_lm_conversion_path(spark):
+    """d2_dec/c4_dec/c4_big_dec == Decimal(nanos)·1e-9 at scale 9 —
+    the exact integer→DECIMAL(38,9) materialization lm/dsir use for
+    sum_lp/sum_lw, applied to the probe's known-green nano combines."""
+    rows = chain_probe(spark, SF).collect()
+    assert len(rows) == len(PROBE_INPUTS)
+    for r in rows:
+        for nano_col, dec_col, mult in (
+            ("d2_per_nanos", "d2_dec", 1),
+            ("c4_per_nanos", "c4_dec", 1),
+            ("c4_per_nanos", "c4_big_dec", _BIG_DEC_MULT),
+        ):
+            want = Decimal(r[nano_col] * mult).scaleb(-9)
+            assert r[dec_col] == want, (r["probe_id"], dec_col)
+
+
+def test_probe_big_dec_covers_sum_magnitudes():
+    """The scaled column must actually reach the ~1e15-nano magnitudes a
+    real per-doc sum occupies (else the decimal link is only probed at
+    toy magnitudes)."""
+    combos = [
+        ((py_grid_nanos(py_ln_int(a)) + py_grid_nanos(py_ln_int(b)))
+         - py_grid_nanos(py_ln_int(c))) - py_grid_nanos(py_ln_int(d))
+        for a, b, c, d in PROBE_INPUTS
+    ]
+    assert max(abs(v) for v in combos) * _BIG_DEC_MULT >= 10**15
+
+
+@pytest.fixture(scope="module")
+def census_rows(spark):
+    docs = load_table(spark, SF, "documents")
+    return ln_domain_census(docs).collect()
+
+
+def test_census_families_and_scalars(census_rows):
+    fams = {r["family"] for r in census_rows}
+    assert fams == {
+        "lm_bg", "lm_prev", "lm_back", "lm_5n",
+        "dsir_ct1", "dsir_cq1", "dsir_nqB", "dsir_ntB",
+    }
+    # the two dsir totals and lm's 5N are single-row families
+    for fam in ("dsir_nqB", "dsir_ntB", "lm_5n"):
+        assert sum(1 for r in census_rows if r["family"] == fam) == 1
+
+
+def test_census_nanos_are_py_ln_snaps(census_rows):
+    for r in census_rows:
+        assert r["nanos"] == py_grid_nanos(py_ln_int(r["arg"])), r
+
+
+def test_census_covers_the_live_lm_domain(spark):
+    """Every distinct count the lm scoring path resolves at this sf must
+    appear in the census — otherwise a green census would NOT certify
+    lm's arguments.  Rebuilt here independently via DuckDB (not via the
+    census's own construction, which would be circular)."""
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    toks = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"
+    uni_vals = {
+        int(v[0])
+        for v in con.sql(
+            f"SELECT DISTINCT c FROM (SELECT w, count(*) AS c FROM "
+            f"(SELECT unnest({toks}) AS w FROM documents WHERE source='src0') GROUP BY w)"
+        ).fetchall()
+    }
+    bg_vals = {
+        int(v[0])
+        for v in con.sql(
+            f"""SELECT DISTINCT c FROM (
+                SELECT prev, cur, count(*) AS c FROM (
+                    SELECT toks[i] AS prev, toks[i+1] AS cur
+                    FROM (SELECT toks, unnest(range(1, greatest(len(toks)-1,0)+1)) AS i
+                          FROM (SELECT {toks} AS toks FROM documents WHERE source='src0'))
+                ) GROUP BY prev, cur)"""
+        ).fetchall()
+    }
+    con.close()
+    docs = load_table(spark, SF, "documents")
+    got = {(r["family"], r["arg"]) for r in ln_domain_census(docs).collect()}
+    missing = (
+        {("lm_prev", c) for c in uni_vals}
+        | {("lm_bg", c) for c in bg_vals}
+        | {("lm_back", 2 * c) for c in uni_vals | {1}}
+    ) - got
+    assert not missing, sorted(missing)[:10]

@@ -440,3 +440,15 @@ def test_weighted_sample_es_matches_python_reference_and_partitioning(spark):
         df.repartition(7), n=25, seed=seed, key_col="doc_id", weight_col=F.col("w")
     ).collect()
     assert sorted(r["doc_id"] for r in got7) == sorted(r["doc_id"] for r in got)
+
+
+def test_weighted_sample_es_rejects_scratch_column_collision(spark):
+    """r10 ADVICE: an input column named like a scratch column used to be
+    silently replaced then dropped from the output — now a loud error."""
+    import pytest
+
+    from usda_food_data_pipeline_spark.operators.topk import weighted_sample_es
+
+    df = spark.createDataFrame([(1, 2, 3)], "doc_id long, w long, _es_key long")
+    with pytest.raises(ValueError, match="_es_key"):
+        weighted_sample_es(df, n=1, seed=9, key_col="doc_id", weight_col=F.col("w"))

@@ -12,7 +12,24 @@ Dims region/nation are copied as-is (they are fixed-cardinality in
 TPC-H).  Output goes under the repo (gitignored), never /root/testdata.
 
 Usage: python tools/make_scale.py [--src /root/testdata/sf0.1] \
-        [--out /root/repo/.scale/sf1] [--factor 10]
+        [--out /root/repo/.scale/sf1] [--factor 10] [--skew]
+
+--skew (r10 verdict task 5) plants a zipf-ish lines-per-order tail in
+LINEITEM after replication — the uniform replicator keeps ~4
+lines/order, so the quadratic fan-in regime that q21's
+per-order-aggregate rewrite and skew_salted_sum's salting exist for
+was never exercised locally.  Two deterministic hot tiers:
+
+- super-hot: orderkeys with ``o_orderkey % 997 == 7``  (~0.1%) get
+  their lines replicated x64;
+- warm:      orderkeys with ``o_orderkey % 97  == 13`` (~1%, minus
+  the super-hot overlap) get x8.
+
+Replicated lines keep l_linenumber distinct (offset by a stride) and
+perturb l_quantity's replica copy deterministically so salted-sum
+buckets see distinct values.  Orders/customer/etc are unchanged — the
+skew is purely fan-in on the join/agg key, which is the regime under
+test.
 """
 
 from __future__ import annotations
@@ -64,6 +81,8 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scale/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--skew", action="store_true",
+                    help="plant a zipf-ish lines-per-order tail in lineitem")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -119,6 +138,31 @@ def main() -> None:
                 ),
             )
         df = df.drop("_r").select(*src.columns)
+        if name == "lineitem" and args.skew:
+            # zipf-ish planted fan-in: explode hot orderkeys' lines.
+            # l_linenumber stays unique per (orderkey, partkey) via the
+            # stride offset; quantity perturbs per copy so salted-sum
+            # partials see distinct values.
+            mult = (
+                F.when(F.col("l_orderkey") % 997 == 7, F.lit(64))
+                .when(F.col("l_orderkey") % 97 == 13, F.lit(8))
+                .otherwise(F.lit(1))
+            )
+            ln_stride = 64
+            df = (
+                df.withColumn("_i", F.explode(F.sequence(F.lit(1), mult)))
+                .withColumn(
+                    "l_linenumber",
+                    (F.col("l_linenumber") + (F.col("_i") - 1) * F.lit(ln_stride))
+                    .cast("int"),
+                )
+                .withColumn(
+                    "l_quantity",
+                    F.col("l_quantity") + (F.col("_i") - 1).cast("double"),
+                )
+                .drop("_i")
+                .select(*src.columns)
+            )
         df.write.mode("overwrite").parquet(f"{args.out}/{name}.parquet")
         print(f"{name}: {spark.read.parquet(f'{args.out}/{name}.parquet').count()} rows")
 

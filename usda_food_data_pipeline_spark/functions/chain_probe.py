@@ -41,12 +41,20 @@ from pyspark.sql import functions as F
 
 from .portable_ln import (
     POWS_CTE,
+    grid_decimal_col,
     grid_nanos_col,
     literal_table,
     py_ln_int,
+    sql_grid_decimal,
     sql_grid_nanos,
     sql_ln_select,
 )
+
+# big_dec scaling factor: pushes the probed DECIMAL(38,9) conversion to
+# the ~1e15-nano magnitudes a real per-doc sum_lp/sum_lw reaches (the
+# probe's raw combines top out near ±4.3e10 nanos).  Prime, so no
+# factor cancels against a grid value.
+_BIG_DEC_MULT = 100_003
 
 # (a, b, c, d) positive BIGINT inputs.  Mined offline (seeded scan of
 # 1.2M candidates, keep the 60 closest-to-tie per shape) + structural
@@ -175,6 +183,8 @@ def chain_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     la, lb, lc, ld = (F.col(x) for x in ("_la", "_lb", "_lc", "_ld"))
     sa, sb, sc_, sd = (grid_nanos_col(x) for x in (la, lb, lc, ld))
+    d2 = sa - sb
+    c4 = ((sa + sb) - sc_) - sd
     return src.select(
         "probe_id",
         "a",
@@ -186,9 +196,22 @@ def chain_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc_.alias("ln_c_nanos"),
         sd.alias("ln_d_nanos"),
         grid_nanos_col(la - lb).alias("d2_after_nanos"),
-        (sa - sb).alias("d2_per_nanos"),
+        d2.alias("d2_per_nanos"),
         grid_nanos_col(((la + lb) - lc) - ld).alias("c4_after_nanos"),
-        (((sa + sb) - sc_) - sd).alias("c4_per_nanos"),
+        c4.alias("c4_per_nanos"),
+        # r10 verdict task 1(a): the EXACT integer->DECIMAL(38,9)
+        # conversion lm/dsir materialize sum_lp/sum_lw through
+        # (grid_decimal_col(x, 28, 9) then the final cast) — the one
+        # shared output link the BIGINT-only probe never exercised.
+        # Red here with the nano columns green ⇒ the decimal link is
+        # the driver divergence ⇒ re-enter lm/dsir with BIGINT nano
+        # sum columns instead.
+        grid_decimal_col(d2, 28, 9).cast("decimal(38,9)").alias("d2_dec"),
+        grid_decimal_col(c4, 28, 9).cast("decimal(38,9)").alias("c4_dec"),
+        # same conversion at real per-doc sum magnitudes (~1e15 nanos)
+        grid_decimal_col(c4 * F.lit(_BIG_DEC_MULT).cast("bigint"), 28, 9)
+        .cast("decimal(38,9)")
+        .alias("c4_big_dec"),
     )
 
 
@@ -222,6 +245,39 @@ def chain_probe_oracle_sql() -> str:
                 f"(({sql_grid_nanos('_ln_a')} + {sql_grid_nanos('_ln_b')}) "
                 f"- {sql_grid_nanos('_ln_c')}) - {sql_grid_nanos('_ln_d')}",
             ),
+            (
+                "d2_dec",
+                "CAST("
+                + sql_grid_decimal(
+                    f"{sql_grid_nanos('_ln_a')} - {sql_grid_nanos('_ln_b')}",
+                    28,
+                    9,
+                )
+                + " AS DECIMAL(38,9))",
+            ),
+            (
+                "c4_dec",
+                "CAST("
+                + sql_grid_decimal(
+                    f"(({sql_grid_nanos('_ln_a')} + {sql_grid_nanos('_ln_b')}) "
+                    f"- {sql_grid_nanos('_ln_c')}) - {sql_grid_nanos('_ln_d')}",
+                    28,
+                    9,
+                )
+                + " AS DECIMAL(38,9))",
+            ),
+            (
+                "c4_big_dec",
+                "CAST("
+                + sql_grid_decimal(
+                    f"((({sql_grid_nanos('_ln_a')} + {sql_grid_nanos('_ln_b')}) "
+                    f"- {sql_grid_nanos('_ln_c')}) - {sql_grid_nanos('_ln_d')}) "
+                    f"* CAST({_BIG_DEC_MULT} AS BIGINT)",
+                    28,
+                    9,
+                )
+                + " AS DECIMAL(38,9))",
+            ),
         ],
     )
     return (
@@ -230,3 +286,106 @@ def chain_probe_oracle_sql() -> str:
         f"AS _pi(probe_id, a, b, c, d)) "
         f"{inner}"
     )
+
+
+def ln_domain_census(
+    docs,
+    train_source: str = "src0",
+    target_source: str = "src1",
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Full-domain ln census (r10 verdict task 1(b)): the EXACT ln
+    argument domain lm_doc_scores and dsir_select evaluate at this sf,
+    one output row per (family, argument) with the BIGINT nano snap.
+
+    The fixed-literal probe above covers 202 adversarial integers; the
+    four-round lm/dsir driver divergence may instead live on a REAL
+    data-dependent argument the literals never hit.  This query closes
+    that gap: the Spark side rebuilds the argument domains with the
+    same construction as functions/lm.py:158-196 (distinct uni/bigram
+    counts, the {1}-unioned backoff set, 5N) and functions/dsir.py:
+    114-152 (per-bucket ct+1 / cq+1 plus the two smoothed totals),
+    evaluates driver-Python ``py_ln_int`` over each argument, and ships
+    ``(family, arg, nanos)`` as a literal table; the oracle computes
+    the same domains in SQL and runs the portable chain
+    (``sql_ln_select``) over them.  A driver hash mismatch therefore
+    NAMES the offending integer (re-run the oracle and diff by row),
+    and a green row certifies every ln the two red queries depend on —
+    at the driver's scale, in the driver's DuckDB.
+
+    Scale note: this is gate diagnostics, but the shape is the lm/dsir
+    model-build shape and holds at 100 TB — the collected domains are
+    distinct COUNT VALUES (heavy-tailed ⇒ tiny) and fixed bucket
+    tables, never vocab- or corpus-sized; literal_table enforces the
+    ceiling.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import md5_int, tokenize
+    from .dsir import HASH_SEED, _bigrams
+    from .lm import _adjacent_pairs
+    from .portable_ln import literal_table, py_grid_nanos
+
+    spark = docs.sparkSession
+
+    # --- lm domains (functions/lm.py:125-171 construction) ---
+    toks = (
+        docs.filter(F.col(source_col) == train_source)
+        .select(tokenize(F.col(text_col)).alias("toks"))
+        .persist()
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = (
+        toks.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c"))
+    )
+    bg_vals = sorted(int(r["c"]) for r in bg.select("c").distinct().collect())
+    st = uni.agg(
+        F.sum("c").alias("_n"), F.collect_set("c").alias("_vals")
+    ).collect()[0]
+    toks.unpersist()
+    n_total = int(st["_n"] or 0)
+    uni_vals = sorted(int(v) for v in (st["_vals"] or []))
+    back_vals = sorted({1} | set(uni_vals))
+
+    # --- dsir domains (functions/dsir.py:89-139 construction) ---
+    bucket = (md5_int(F.col("g"), seed=HASH_SEED, nibbles=8) % n_buckets).alias("b")
+    occ_raw = (
+        docs.filter(F.col(source_col) != target_source)
+        .select(F.explode(_bigrams(tokenize(F.col(text_col)))).alias("g"))
+        .select(bucket)
+    )
+    occ_tgt = (
+        docs.filter(F.col(source_col) == target_source)
+        .select(F.explode(_bigrams(tokenize(F.col(text_col)))).alias("g"))
+        .select(bucket)
+    )
+    cq = occ_raw.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    ct = occ_tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    cq_rows = {int(r["b"]): int(r["cq"]) for r in cq.collect()}
+    ct_rows = {int(r["b"]): int(r["ct"]) for r in ct.collect()}
+    nq = sum(cq_rows.values())
+    nt = sum(ct_rows.values())
+
+    args: set[tuple[str, int]] = set()
+    args |= {("lm_bg", c) for c in bg_vals}
+    args |= {("lm_prev", c) for c in uni_vals}
+    args |= {("lm_back", 2 * c) for c in back_vals}
+    args.add(("lm_5n", 5 * max(n_total, 1)))
+    args |= {("dsir_ct1", ct_rows.get(b, 0) + 1) for b in cq_rows}
+    args |= {("dsir_cq1", c + 1) for c in cq_rows.values()}
+    args.add(("dsir_nqB", nq + n_buckets))
+    args.add(("dsir_ntB", nt + n_buckets))
+
+    rows = [
+        (fam, arg, py_grid_nanos(py_ln_int(arg))) for fam, arg in sorted(args)
+    ]
+    return literal_table(spark, rows, "family string, arg bigint, nanos bigint")

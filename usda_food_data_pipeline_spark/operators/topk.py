@@ -229,10 +229,13 @@ def weighted_sample_es(
     ``greatest(w, 1)``).
     """
     from ..functions.portable_ln import LN2, ln_int_col, py_grid_nanos
-
-    h = None
     from .dedup import md5_int
 
+    clash = {"_es_w", "_ln_nanos", "_es_key"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"weighted_sample_es scratch columns collide with input: {sorted(clash)}"
+        )
     h = md5_int(F.col(key_col).cast("string"), seed)
     ln_nanos = F.floor(
         (ln_int_col(h + F.lit(1)) * F.lit(float(10**9))) + F.lit(0.5)

@@ -108,20 +108,25 @@ _ORDER: list[str] = [
     "scalar_functions",
     "metadata_documents",
     "tpch_q1",
-    # round-10 rotation (r09 verdict task 1, first commit of the round):
-    # lm_doc_scores re-enters in grouping_sets' slot. Every link now has
-    # driver-side proof: portable_chain_probe is GREEN in
-    # CORRECTNESS_r09.json (the portable ln chain, its grid snaps, AND
-    # the lm/dsir-shaped combines are bit-exact in the driver's DuckDB),
-    # and functions/lm.py's arithmetic now rests ONLY on what the probe
-    # measures (per-term BIGINT snapping; the version-dependent
-    # BIGINT×DECIMAL promotion is gone). grouping_sets is the registry's
-    # most-attested row (driver-green r01-r09, nine consecutive rounds);
-    # its agg family stays in-window via flagship/group_mean/tpch_q1 and
-    # the Expand plan family rests on that nine-round history plus its
-    # local+CI row (distinct_agg and unpivot_orders share the Expand
-    # shape and keep theirs too)
-    "lm_doc_scores",
+    # round-11 rotation (r10 verdict tasks 1-2, first commit): the
+    # lm_doc_scores re-entry failed the driver hash a FOURTH time in
+    # r10 despite the probe-certified per-term BIGINT restructure, so
+    # it rotates OUT unconditionally (established r09 procedure) and
+    # stays out until the two newly-probed links (full-domain ln
+    # census + DECIMAL(38,9) conversion columns, this round's rows)
+    # come back green. It keeps its local+CI gate (exact vs local
+    # DuckDB at 3 scales, every round since r08). Its slot goes to
+    # ivf_adc_topk: the compressed-domain ANN read path (coarse-cell
+    # prune + ADC LUT scoring, operators/kmeans.py:481) — a distinct
+    # serving family from the in-window exact cosine_topk and the
+    # ann_recall_eval harness, with a 3-scale exact oracle since r10
+    # and a 30x sf3 probe (PLANS.md item 13).
+    # (former slot note, retained for the audit trail)
+    # lm_doc_scores re-entered in grouping_sets' slot r10 after the
+    # portable_chain_probe driver row came back green; grouping_sets
+    # (driver-green r01-r09) keeps its local+CI row and the Expand
+    # family stays attested via flagship/group_mean/tpch_q1
+    "ivf_adc_topk",
     # pagerank_parts takes distinct_agg's slot: the Expand-based
     # distinct-aggregate shape stays attested by grouping_sets' 9-round
     # driver-green history + local+CI row (grouping_sets displaced r10,
@@ -151,7 +156,21 @@ _ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # cms_heavy_hitters takes gap_fill_daily's slot (round 8, r07
+    # round-11 rotation (r10 verdict task 1): ln_domain_census takes
+    # cms_heavy_hitters' slot FOR THE BISECT ROUND. The census is the
+    # second of the two probe rows the r10 verdict requires in-window
+    # (the extended portable_chain_probe keeps slot 50): it evaluates
+    # the portable chain over the ACTUAL data-dependent ln argument
+    # domain lm/dsir use at the driver's sf — the link the fixed
+    # literals cannot cover. cms_heavy_hitters holds driver-green rows
+    # r08-r10 (three consecutive rounds); the mergeable-sketch TABLE
+    # shape (fixed-width integer sketch + broadcast estimation join)
+    # stays attested in-window by hll_distinct (cardinality member of
+    # the same family; cms is the frequency member and keeps its
+    # local+CI row). Once the bisect resolves, the census rotates back
+    # out and cms re-enters.
+    # (former slot note, retained for the audit trail)
+    # cms_heavy_hitters took gap_fill_daily's slot (round 8, r07
     # verdict task 4): gap-fill got its driver-green row in r07 and its
     # family stays attested in-window — the sequence()-explode Generate
     # shape by decontaminate's n-gram explode, the
@@ -160,7 +179,7 @@ _ORDER: list[str] = [
     # row. The mergeable-sketch family (fixed-width counter table,
     # broadcast-join estimation, exactly-twinnable approximate
     # structure) had NO driver row
-    "cms_heavy_hitters",
+    "ln_domain_census",
     # (former slot note, retained for the audit trail)
     # gap_fill_daily took text_tokens' slot (round 5 rotation): the
     # per-doc tokenize-and-derive projection family stays attested by
@@ -270,18 +289,22 @@ _ORDER: list[str] = [
     # round-6 rotation (r05 verdict task 7): the four round-5 operators
     # with exact oracles move into the window; each displaced query's
     # family keeps an in-window twin and its own local+CI row.
-    # round-10 rotation (r09 verdict task 1): dsir_select re-enters in
-    # snapshot_read's slot — same probe-backed re-entry case as
-    # lm_doc_scores above (functions/dsir.py: per-term BIGINT snapping,
-    # exact integer cnt·lr product end-to-end). snapshot_read holds
-    # driver-green rows r06-r09; the warehouse read/maintenance family
-    # stays in-window via merge_upsert + scd2_history and snapshot_read
-    # keeps its local+CI row.
-    # (former slot note, retained for the audit trail)
-    # snapshot_read takes chunk_documents' slot (Generate/explode+slice
-    # stays attested by decontaminate's n-gram explode): manifest
-    # time-travel is the warehouse read path with no in-window twin
-    "dsir_select",
+    # round-11 rotation (r10 verdict tasks 1-2): dsir_select rotates
+    # OUT with lm_doc_scores (fourth consecutive driver hash-mismatch
+    # on re-entry; see the lm slot note above — same probe-backed
+    # re-entry condition applies). It keeps its 3-scale local+CI gate.
+    # Its slot goes to weighted_sample: Efraimidis-Spirakis weighted
+    # sampling without replacement (operators/topk.py:198) — the
+    # quality-weighted member of the sampling family (seeded_sample
+    # attests the uniform member in-window) and the only query
+    # exercising the per-row in-plan portable ln primitive
+    # (ln_int_col), which no other window row covers.
+    # (former r10 slot note, retained for the audit trail)
+    # dsir_select re-entered in snapshot_read's slot r10 (probe-backed,
+    # per-term BIGINT snapping); snapshot_read holds driver-green rows
+    # r06-r09, keeps its local+CI row, and the warehouse family stays
+    # in-window via merge_upsert + scd2_history
+    "weighted_sample",
     # ann_recall_eval takes table_diff's slot (round 8, r07 verdict
     # task 4): table_diff got its driver-green row in rounds 6-7 and
     # its full-outer reconciliation shape stays attested by
@@ -371,18 +394,25 @@ _ORDER: list[str] = [
     "gopher_rules",
     "pmi_phrases",
     "pq_quantize",
-    # round-10 operators: full IVFADC read path (coarse-cell prune +
-    # ADC) — composes pq_adc_topk's LUT scoring with ivf_topk's
-    # nprobe=1 discipline — and its recall harness against exact
-    # integer brute force; family attested in-window by cosine_topk +
-    # ann_recall_eval
-    "ivf_adc_topk",
+    # round-10 ADC operators beyond the window (ivf_adc_topk moved
+    # in-window round 11 — see the window notes): recall harness and
+    # two-stage rerank read; family attested in-window by cosine_topk +
+    # ann_recall_eval + ivf_adc_topk
     "adc_recall_eval",
     "adc_rerank_topk",
-    # round-10 operator: ES weighted sampling — the sampling family
-    # stays attested in-window by seeded_sample; the per-row in-plan
-    # portable ln chain (ln_int_col) is the new primitive it exercises
-    "weighted_sample",
+    # displaced round 11 (r10 verdict task 1, unconditional): four
+    # consecutive driver hash-mismatches each — lm_doc_scores and
+    # dsir_select sit beyond the window until the round-11 bisect rows
+    # (ln_domain_census + portable_chain_probe's DECIMAL columns) come
+    # back green naming the broken link. Both remain exact against
+    # local DuckDB at sf0.001/0.01/0.1 (every CORRECTNESS_LOCAL since
+    # r12) and gate per pytest run via test_oracle_gate.py.
+    "lm_doc_scores",
+    "dsir_select",
+    # displaced round 11 for the census's bisect slot (driver-green
+    # r08-r10; sketch-table family attested in-window by hll_distinct;
+    # re-enters when the census rotates out)
+    "cms_heavy_hitters",
     # round-6 operators whose families are already driver-attested
     "sequence_packing",
     "quantize_embeddings",

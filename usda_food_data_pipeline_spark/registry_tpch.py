@@ -204,7 +204,7 @@ per_part AS (
 total AS (SELECT sum(val) AS tot, count(*) AS npart FROM per_part)
 SELECT part_key, CAST(val AS DOUBLE) AS value
 FROM per_part, total
-WHERE CAST(val AS DECIMAL(26,6)) * CAST(2 * npart AS DECIMAL(11,0))
+WHERE CAST(val AS DECIMAL(25,6)) * CAST(2 * npart AS DECIMAL(12,0))
     > CAST(tot AS DECIMAL(36,6)) * CAST(3 AS DECIMAL(1,0))
 """
 
@@ -227,11 +227,19 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-invariant threshold that keeps real boundary rows at every
     tested sf (14 / 94 / 535+ rows at sf0.001/0.01/0.1). Every operand
     is cast so both products land exactly at precision <= 38 on both
-    engines: val DECIMAL(26,6) x DECIMAL(11,0) and tot DECIMAL(36,6) x
+    engines: val DECIMAL(25,6) x DECIMAL(12,0) and tot DECIMAL(36,6) x
     DECIMAL(1,0) (no version-dependent BIGINT x DECIMAL promotion —
-    the lm/dsir lesson). The global total re-aggregates the tiny
-    per-part table (no second lineitem scan) and broadcasts as a
-    1-row join."""
+    the lm/dsir lesson). Headroom allocation (r10 ADVICE): per-part
+    value is SF-INVARIANT in TPC-H (~30 lineitems/part regardless of
+    sf, real val ~1e5 currency units vs the 1e13 the (25,6) downcast
+    admits — 8 orders of margin), while npart GROWS with sf, so the
+    wide factor goes to npart ((12,0): 2*npart < 1e12, i.e. ~250 PB of
+    parts). Beyond those bounds the engines diverge loudly on the
+    oracle side (DuckDB raises on downcast overflow) while non-ANSI
+    Spark would null-and-drop — the bounds are documented contract,
+    8+ orders above any reachable value. The global total
+    re-aggregates the tiny per-part table (no second lineitem scan)
+    and broadcasts as a 1-row join."""
     li = load_table(spark, sf_dir, "lineitem")
     eu = _eu_suppliers(spark, sf_dir).select("s_suppkey")
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
@@ -252,8 +260,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
-            F.col("val").cast("decimal(26,6)")
-            * (F.lit(2) * F.col("npart")).cast("decimal(11,0)")
+            F.col("val").cast("decimal(25,6)")
+            * (F.lit(2) * F.col("npart")).cast("decimal(12,0)")
             > F.col("tot").cast("decimal(36,6)") * F.lit(3).cast("decimal(1,0)")
         )
         .select("part_key", F.col("val").cast("double").alias("value"))
@@ -472,11 +480,17 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is one row per qualifying order, so the join fan-in is linear
     in orders regardless of lines-per-order. The EXISTS aggregate
     reads raw lineitem — "another supplier on the order" needs no
-    orders columns. REFERENTIAL-INTEGRITY CONTRACT (ADVICE r09): this
-    agrees with the oracle (which probes the lineitem-orders join)
-    only because every l_orderkey has a matching orders row — the
-    TPC-H FK the generator guarantees; an orphan lineitem row would
-    satisfy the Spark probe but not the oracle's. The late view is
+    orders columns. RI-independence (closes ADVICE r09/r10): the raw
+    probe is consumed ONLY through the semi-join from ``l1``, and
+    every l1 orderkey has an orders row by construction (l1 is
+    derived from the join), so for every key the probe can actually
+    match, its lineitem rows and the oracle's joined-view rows are
+    the same set — countDistinct agrees exactly (and, being
+    duplication-insensitive, agrees even under duplicate orderkeys).
+    An orphan l_orderkey can appear in the probe table but is never
+    matched; deriving the probe from the joined view would add a
+    second full fact-fact join purely to drop rows that are already
+    unreachable. The late view is
     recomputed per consumer as a column-pruned scan rather than
     persisted (caching would pin the subtree's partitioning against
     AQE — the round-9 containment A/B lesson). Lateness is the same
