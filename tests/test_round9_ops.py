@@ -442,6 +442,25 @@ def test_weighted_sample_es_matches_python_reference_and_partitioning(spark):
     assert sorted(r["doc_id"] for r in got7) == sorted(r["doc_id"] for r in got)
 
 
+def test_lsh_recall_eval_invariants(spark):
+    """Per-bucket hits never exceed truth; every LSH pair is a true pair
+    (precision 1 — both sides verify with exact integer Jaccard at the
+    same threshold), so sum(n_hit) == |lsh_pairs ∩ truth| == |lsh_pairs
+    restricted to truth keys|.  Runs the registered composite twice
+    back-to-back to exercise the janitor track() path (second call's
+    rollover retires the first call's materialized sides)."""
+    from usda_food_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    q = registry.queries()["lsh_recall_eval"]
+    rows = q(spark, sf).collect()
+    assert rows, "no truth pairs at smoke scale?"
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_true"], r
+    rows2 = q(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
 def test_weighted_sample_es_rejects_scratch_column_collision(spark):
     """r10 ADVICE: an input column named like a scratch column used to be
     silently replaced then dropped from the output — now a loud error."""

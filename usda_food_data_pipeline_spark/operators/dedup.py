@@ -337,6 +337,17 @@ class _IntermediateJanitor:
         self.release()
         self._gen = list(dfs)
 
+    def track(self, df: DataFrame) -> None:
+        """Attach an ALREADY-MATERIALIZED persisted DataFrame to the
+        current generation so the next tracked operator call retires it
+        too.  For composites that must hold results from more than one
+        tracked operator (e.g. lsh_recall_eval joins exact-Jaccard truth
+        with LSH pairs): persist + count each side BEFORE invoking the
+        next tracked operator (whose rollover frees the previous
+        operator's build caches — harmless once the side is
+        materialized), then track the materialized side here."""
+        self._gen.append(df)
+
     def release(self) -> None:
         import contextlib
 

@@ -400,6 +400,11 @@ _ORDER: list[str] = [
     # ann_recall_eval + ivf_adc_topk
     "adc_recall_eval",
     "adc_rerank_topk",
+    # round-11 operator: MinHash-LSH candidate recall vs exact-Jaccard
+    # truth per similarity decile — the dedup-family recall harness
+    # (family attested in-window by dedup_minhash_lsh +
+    # dedup_ngram_jaccard, whose verified pair values are its inputs)
+    "lsh_recall_eval",
     # displaced round 11 (r10 verdict task 1, unconditional): four
     # consecutive driver hash-mismatches each — lm_doc_scores and
     # dsir_select sit beyond the window until the round-11 bisect rows

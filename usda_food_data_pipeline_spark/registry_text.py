@@ -350,6 +350,88 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH recall evaluation: MinHash-LSH candidate recall against exact
+# Jaccard truth, bucketed by similarity — the dedup-family twin of
+# adc_recall_eval (every probabilistic-recall deployment ships with its
+# measurement; this makes the 1-(1-s^r)^b S-curve an oracle-checked row)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    truth = ngram_jaccard_oracle(shingle_n=_SHINGLE_N, tn=_NJ_TN, td=_NJ_TD)
+    return f"""
+WITH truth AS (SELECT * FROM ({truth}) _tq),
+{minhash_pairs_ctes('documents')}
+SELECT CAST(floor(t.jaccard * 10.0) AS INTEGER) AS j_bucket,
+       count(*) AS n_true,
+       count(m.id_a) AS n_hit
+FROM truth t LEFT JOIN mh_pairs m ON m.id_a = t.id_a AND m.id_b = t.id_b
+GROUP BY 1
+"""
+
+
+@register(
+    "lsh_recall_eval",
+    _lsh_recall_oracle(),
+    "MinHash-LSH candidate recall vs exact-Jaccard truth per similarity "
+    "decile: the measurable 1-(1-s^r)^b S-curve (n_true/n_hit per bucket)",
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides verify pairs with exact integer Jaccard at the same
+    threshold, so LSH pairs are a SUBSET of truth (precision 1 by
+    construction) and per-bucket ``n_hit/n_true`` is pure candidate
+    recall — the quantity the banding parameters (b=4, r=4) set via
+    1-(1-s^r)^b.  Truth comes from the exact prefix-filter operator
+    (contractual recall), at the SAME shingle width as the LSH side.
+
+    Composite-janitor discipline (operators/dedup._IntermediateJanitor):
+    each tracked operator's output is persisted and MATERIALIZED before
+    the next tracked call (whose rollover frees the previous build
+    caches), then track()-ed so the next registry query retires it.
+    Bucket ids are floor(jaccard*10) with the identical double op order
+    in both engines (bit-equal since the jaccard values themselves are
+    attested by dedup_ngram_jaccard/dedup_minhash_lsh).
+
+    At 100 TB this harness runs on a sampled slice (the truth side is
+    the expensive exact operator — that cost is the point of the
+    measurement, exactly like adc_recall_eval's brute-force side).
+    """
+    from .operators.dedup import (
+        _INTERMEDIATES,
+        jaccard_pairs_prefix,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs_prefix(
+        docs, "doc_id", "text",
+        threshold_num=_NJ_TN, threshold_den=_NJ_TD, shingle_n=_SHINGLE_N,
+    ).persist()
+    truth.count()
+    # minhash's rollover frees the prefix operator's BUILD caches —
+    # harmless, truth is materialized above. Do NOT track truth before
+    # this call or the rollover would free truth itself.
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N,
+        jaccard_threshold=_MH_THRESHOLD,
+    ).select("id_a", "id_b", F.lit(1).alias("_hit")).persist()
+    lsh.count()
+    _INTERMEDIATES.track(truth)
+    _INTERMEDIATES.track(lsh)
+    return (
+        truth.join(lsh, ["id_a", "id_b"], "left")
+        .groupBy(
+            F.floor(F.col("jaccard") * F.lit(10.0)).cast("int").alias("j_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 
