@@ -236,3 +236,41 @@ def test_zorder_requires_two_columns(spark):
 
     with pytest.raises(ValueError):
         zorder_key(["only_one"], {"only_one": (0, 1)})
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark 4's runtime row-filter injection (r11): a selective filter
+    on the dim side of a shuffle join materializes a bloom filter and
+    pushes a might_contain() predicate into the FACT side's scan —
+    rows that cannot join are dropped before the exchange.  At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the matching fraction.  Pinned here with the broadcast
+    path disabled (broadcast joins don't need the bloom) and the
+    application-side size threshold floored for test-scale data."""
+    old = {}
+    for k, v in {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

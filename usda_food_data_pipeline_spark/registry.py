@@ -405,6 +405,11 @@ _ORDER: list[str] = [
     # (family attested in-window by dedup_minhash_lsh +
     # dedup_ngram_jaccard, whose verified pair values are its inputs)
     "lsh_recall_eval",
+    # round-11 operator: Morton clustering key — the oracle row for the
+    # data-skipping layout family (write_zorder/compact_parquet were
+    # tests-only; the projection family is attested in-window by
+    # scalar_functions)
+    "zorder_key_map",
     # displaced round 11 (r10 verdict task 1, unconditional): four
     # consecutive driver hash-mismatches each — lm_doc_scores and
     # dsir_select sit beyond the window until the round-11 bisect rows

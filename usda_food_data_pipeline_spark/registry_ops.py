@@ -944,3 +944,84 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         (F.count(F.lit(1)) < _KANON_K).alias("below_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key — the oracle row for the data-skipping
+# layout family (sources/sinks.zorder_key / write_zorder were tests-only;
+# the key derivation itself is exactly twinnable: min/max bounds, IEEE
+# double scaling, integer bit interleave)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits/dim x 2 dims = 16-bit Morton key
+
+
+def _zorder_oracle() -> str:
+    b = _Z_BITS
+    mx = 2**b - 1
+    # identical op order to sources/sinks.zorder_key: scale to double,
+    # truncate to integer (values are >= 0 by bounds construction, so
+    # DuckDB floor == Spark's toward-zero long cast), clamp, interleave
+    def scaled(col: str, lo: str, hi: str) -> str:
+        return (
+            f"least({mx}, greatest(0, CAST(floor("
+            f"(CAST({col} AS DOUBLE) - {lo}) / "
+            f"(CASE WHEN ({hi} - {lo}) = 0 THEN 1.0 ELSE ({hi} - {lo}) END) "
+            f"* {float(mx)!r}) AS BIGINT)))"
+        )
+
+    interleave = " + ".join(
+        f"((( _s{j} >> {i}) & 1) << {i * 2 + j})"
+        for i in range(b)
+        for j in range(2)
+    )
+    return f"""
+WITH bounds AS (
+    SELECT CAST(min(o_custkey) AS DOUBLE) AS lo0, CAST(max(o_custkey) AS DOUBLE) AS hi0,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo1, CAST(max(o_totalprice) AS DOUBLE) AS hi1
+    FROM orders
+),
+s AS (
+    SELECT o_orderkey,
+           {scaled('o_custkey', 'lo0', 'hi0')} AS _s0,
+           {scaled('o_totalprice', 'lo1', 'hi1')} AS _s1
+    FROM orders CROSS JOIN bounds
+)
+SELECT o_orderkey AS order_key, CAST({interleave} AS BIGINT) AS zkey FROM s
+"""
+
+
+@register(
+    "zorder_key_map",
+    _zorder_oracle(),
+    f"Morton (Z-order) clustering key over (o_custkey, o_totalprice) at "
+    f"{_Z_BITS} bits/dim — the multi-dimensional data-skipping sort key",
+)
+def q_zorder_key_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key derivation write_zorder sorts by, as an oracle-checked
+    projection: one tiny min/max bounds aggregate (collected — two
+    doubles, the kmeans-centroid pattern), then a scan-local pure
+    integer/IEEE expression per row (no UDF, whole-stage codegen).
+    Engine-exactness: the double scaling is the same op sequence in
+    both engines (IEEE ops are correctly rounded; inputs >= bounds-min
+    make truncation == floor), and the bit interleave is integer
+    shifts.  At 100 TB this projection feeds repartitionByRange +
+    sortWithinPartitions (sources/sinks.write_zorder) so every parquet
+    file covers a tight rectangle of the clustered space — predicates
+    on EITHER column prune most row groups (pinned by
+    tests/test_layout.py::test_zorder_write_skips_on_both_columns)."""
+    from .sources.sinks import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.min("o_custkey").alias("lo0"), F.max("o_custkey").alias("hi0"),
+        F.min("o_totalprice").alias("lo1"), F.max("o_totalprice").alias("hi1"),
+    ).first()
+    bounds = {
+        "o_custkey": (row["lo0"], row["hi0"]),
+        "o_totalprice": (row["lo1"], row["hi1"]),
+    }
+    key = zorder_key(["o_custkey", "o_totalprice"], bounds, bits=_Z_BITS)
+    return orders.select(
+        F.col("o_orderkey").alias("order_key"), key.alias("zkey")
+    )
