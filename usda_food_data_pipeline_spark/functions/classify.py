@@ -146,7 +146,7 @@ def nb_train(
     return model, stats
 
 
-def nb_score(
+def nb_totals(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -155,7 +155,9 @@ def nb_score(
     classes: list[str],
     keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Predicted class per document under the trained model.
+    """Per-document class log-likelihood totals ``_t_<c>`` under the
+    trained model — the shared core of :func:`nb_score` (argmax) and
+    :func:`nb_margin_calibration` (top-2 margin).
 
     Per (doc, class): sum of matched log-likelihoods + (#unseen tokens
     × class unseen-lp) + class log-prior — all decimal arithmetic, so
@@ -186,9 +188,24 @@ def nb_score(
         )
         for c in classes
     }
-    scored = scored.select(
+    return scored.select(
         F.col(id_col), *[F.col(c) for c in keep], *[totals[c].alias(f"_t_{c}") for c in classes]
     )
+
+
+def nb_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    stats: DataFrame,
+    classes: list[str],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Predicted class per document under the trained model (argmax of
+    :func:`nb_totals`; ties resolve in explicit ``classes`` order)."""
+    keep = keep_cols or []
+    scored = nb_totals(df, id_col, text_col, model, stats, classes, keep_cols)
     mx = F.greatest(*[F.col(f"_t_{c}") for c in classes])
     pred = None
     for c in reversed(classes):
@@ -209,4 +226,67 @@ def nb_confusion(
     return (
         scored.groupBy(F.col(label_col), F.col("predicted"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def nb_margin_calibration(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str,
+    classes: list[str],
+    band_cap: int = 10,
+) -> DataFrame:
+    """Confidence-vs-accuracy reliability bands: self-train, score, and
+    report per MARGIN band (top1 − top2 class log-likelihood, in whole
+    nats, capped at ``band_cap``) how many documents land there and how
+    many are correctly classified — the calibration curve a pipeline
+    reads before using classifier confidence as a keep/drop knob
+    (high-margin bands should approach perfect accuracy; if they do
+    not, margin thresholds are meaningless for filtering).
+
+    Exactness: totals are 9-dp decimals (aggregation-order-free), the
+    margin is one exact decimal subtraction, and banding is
+    ``least(cap, floor(margin))`` — integer-exact in both engines.
+    Rank ties break by class name ascending, matching nb_score's
+    first-in-classes-order argmax (``classes`` is sorted).
+
+    Scale: one (doc)-keyed exchange of |classes| rows per doc for the
+    rank window — an eval-harness shape (like adc_recall_eval), run on
+    a labeled sample at corpus scale, never on the full 100 TB.
+    """
+    from pyspark.sql import Window
+
+    if sorted(classes) != list(classes):
+        raise ValueError("classes must be sorted: rank tiebreak == argmax order")
+    model, stats = nb_train(df, label_col, text_col, classes)
+    tot = nb_totals(df, id_col, text_col, model, stats, classes, keep_cols=[label_col])
+    long = tot.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("cls"), F.col(f"_t_{c}").alias("t"))
+                for c in classes
+            ])
+        ).alias("ct"),
+    ).select(id_col, label_col, F.col("ct.cls").alias("cls"), F.col("ct.t").alias("t"))
+    w = Window.partitionBy(id_col).orderBy(F.col("t").desc(), F.col("cls"))
+    top2 = (
+        long.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 2)
+        .groupBy(id_col, label_col)
+        .agg(
+            F.max(F.when(F.col("_rk") == 1, F.col("t"))).alias("t1"),
+            F.max(F.when(F.col("_rk") == 1, F.col("cls"))).alias("c1"),
+            F.max(F.when(F.col("_rk") == 2, F.col("t"))).alias("t2"),
+        )
+    )
+    band = F.least(
+        F.lit(band_cap),
+        F.floor(F.col("t1") - F.col("t2")).cast("int"),
+    ).cast("int")
+    return top2.groupBy(band.alias("margin_band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("c1") == F.col(label_col), F.lit(1))).alias("n_correct"),
     )

@@ -410,6 +410,11 @@ _ORDER: list[str] = [
     # tests-only; the projection family is attested in-window by
     # scalar_functions)
     "zorder_key_map",
+    # round-11 operator: classifier reliability bands (top1-top2 margin
+    # vs accuracy) — the calibration read a pipeline does before using
+    # classifier confidence as a filter knob; family attested in-window
+    # by nb_classifier
+    "nb_calibration",
     # displaced round 11 (r10 verdict task 1, unconditional): four
     # consecutive driver hash-mismatches each — lm_doc_scores and
     # dsir_select sit beyond the window until the round-11 bisect rows

@@ -1522,7 +1522,7 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NB_CLASSES = ["de", "en", "es", "fr", "zh"]
 
 
-def _nb_oracle(classes: list[str]) -> str:
+def _nb_oracle(classes: list[str], final: str | None = None) -> str:
     # Portable ln (functions/portable_ln): every log-likelihood is the
     # fixed-form IEEE chain over integer terms, bit-identical to the
     # Python that builds Spark's literal tables (r07 verdict #2):
@@ -1618,7 +1618,7 @@ pred AS (
     SELECT _y, CASE {case} END AS predicted
     FROM (SELECT *, greatest({g}) AS g FROM tot)
 )
-SELECT _y AS lang, predicted, count(*) AS n_docs FROM pred GROUP BY 1, 2
+{final or "SELECT _y AS lang, predicted, count(*) AS n_docs FROM pred GROUP BY 1, 2"}
 """
 
 
@@ -1634,6 +1634,48 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return nb_confusion(docs, "doc_id", "lang", "text", _NB_CLASSES)
+
+
+def _nb_calibration_oracle() -> str:
+    cap = 10
+    unp = "\n        UNION ALL ".join(
+        f"SELECT doc_id, _y, '{c}' AS cls, t_{c} AS t FROM tot"
+        for c in _NB_CLASSES
+    )
+    final = f""",
+unp AS (
+        {unp}
+),
+rk AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY t DESC, cls) AS _rk
+    FROM unp
+),
+top2 AS (
+    SELECT doc_id, _y,
+           max(CASE WHEN _rk = 1 THEN t END) AS t1,
+           max(CASE WHEN _rk = 1 THEN cls END) AS c1,
+           max(CASE WHEN _rk = 2 THEN t END) AS t2
+    FROM rk WHERE _rk <= 2 GROUP BY 1, 2
+)
+SELECT least({cap}, CAST(floor(t1 - t2) AS INTEGER)) AS margin_band,
+       count(*) AS n_docs,
+       count(CASE WHEN c1 = _y THEN 1 END) AS n_correct
+FROM top2 GROUP BY 1"""
+    return _nb_oracle(_NB_CLASSES, final=final)
+
+
+@register(
+    "nb_calibration",
+    _nb_calibration_oracle(),
+    "classifier reliability bands: per top1-top2 margin band (whole nats, "
+    "capped at 10), document count and correct count",
+)
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.classify import nb_margin_calibration
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return nb_margin_calibration(docs, "doc_id", "lang", "text", _NB_CLASSES)
 
 
 # ---------------------------------------------------------------------------
