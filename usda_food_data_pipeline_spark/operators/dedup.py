@@ -980,6 +980,108 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     ).select("doc_id", simhash_from_hashes(F.col("_sh"), bits).alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """Manku et al. (WWW 2007) SimHash near-duplicate detection: pairs
+    of documents whose ``bits``-wide SimHash fingerprints differ in at
+    most ``max_hamming`` bits, found by PIGEONHOLE banding — split the
+    fingerprint into ``bands`` disjoint blocks; two fingerprints within
+    Hamming distance ``max_hamming < bands`` must agree EXACTLY on at
+    least one block, so an equi-join per block finds every qualifying
+    pair (complete, not probabilistic — unlike MinHash banding, whose
+    recall is the 1-(1-s^r)^b curve, the pigeonhole bound is a
+    theorem).
+
+    Contrast with the other dedup family members: Jaccard operators
+    compare shingle SETS (order-free content overlap); SimHash distance
+    tracks weighted token-frequency similarity in O(1) state per doc —
+    the fingerprint table is 8 bytes/doc, so at 100 TB the banding join
+    exchanges ``bands`` bigint keys per doc and nothing else, and the
+    verify step needs only the two fingerprints (no shingle arrays, no
+    text).  Candidate volume concentrates in hot blocks when many docs
+    share a 12-bit block value; ``cap_bucket_size`` guards those (the
+    standard quadratic backstop, drops reported via ``observation``).
+
+    Requires ``bands * (bits // bands) == bits`` and
+    ``max_hamming < bands``.  Output: (id_a, id_b, hamming int),
+    id_a < id_b.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    r = bits // bands
+    mask = (1 << r) - 1
+    from ..sources.tables import spread
+
+    fp = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id_"),
+            simhash_token_hashes_wide(tokenize(F.col(text_col)), bits).alias("_sh"),
+        )
+        .select("doc_id_", simhash_from_hashes(F.col("_sh"), bits).alias("fp"))
+        .persist()
+    )
+    _INTERMEDIATES.rollover([fp])
+    banded = fp.select(
+        "doc_id_",
+        "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("fp", r * b).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bv"),
+    ).select("doc_id_", "fp", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    banded = cap_bucket_size(banded, ["band", "val"], max_bucket, observation)
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id_") < F.col("b.doc_id_")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id_").alias("id_a"),
+            F.col("b.doc_id_").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        # a close pair can collide in several bands; dedupe the small
+        # verified output, never the raw collision stream
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_token_hashes_wide(tokens: Column, bits: int) -> Column:
+    """``bits``-wide md5 token hashes (``bits`` must be a multiple of
+    4 — md5_int works in nibbles). The 16-bit :func:`simhash_token_hashes`
+    stays as-is for the fingerprint-table query; the near-dup join uses
+    48 bits so block values rarely collide by chance."""
+    if bits % 4 != 0:
+        raise ValueError(f"bits={bits} must be a multiple of 4")
+    return F.transform(
+        F.array_distinct(tokens), lambda t: md5_int(t, 999, nibbles=bits // 4)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

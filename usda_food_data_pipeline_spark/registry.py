@@ -415,6 +415,11 @@ _ORDER: list[str] = [
     # classifier confidence as a filter knob; family attested in-window
     # by nb_classifier
     "nb_calibration",
+    # round-11 operator: Manku pigeonhole-banded SimHash near-dup JOIN
+    # (completeness is a theorem, not an S-curve) — closes the gap
+    # between the in-window dedup_simhash fingerprint table and an
+    # actual dedup decision; 8-bytes-per-doc state
+    "simhash_neardup",
     # displaced round 11 (r10 verdict task 1, unconditional): four
     # consecutive driver hash-mismatches each — lm_doc_scores and
     # dsir_select sit beyond the window until the round-11 bisect rows

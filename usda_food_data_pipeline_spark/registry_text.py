@@ -450,6 +450,58 @@ FROM h
 """
 
 
+def _simhash_neardup_oracle(
+    bits: int = 48, bands: int = 4, max_hamming: int = 3,
+    cap: int = DEFAULT_MAX_BUCKET,
+) -> str:
+    r = bits // bands
+    mask = (1 << r) - 1
+    hashes = (
+        f"list_transform(list_distinct({TOKS_SQL}), "
+        f"t -> {oracle_md5_int_sql('t', 999, bits // 4)})"
+    )
+    bit_terms = "\n         + ".join(
+        f"CASE WHEN 2 * list_sum(list_transform(hs, h -> CAST(floor(h / {2 ** i}.0) AS BIGINT) % 2)) "
+        f"> len(hs) THEN {2 ** i} ELSE 0 END"
+        for i in range(bits)
+    )
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+WITH h AS (SELECT doc_id, {hashes} AS hs FROM documents),
+fpt AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS fp FROM h),
+banded AS (
+    SELECT doc_id, fp, band, (fp >> ({r} * band)) & {mask} AS val
+    FROM fpt CROSS JOIN (VALUES {band_rows}) _b(band)
+),
+banded_g AS (
+    SELECT * FROM banded
+    {cap_bucket_qualify_sql('band, val', cap)}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM banded_g a JOIN banded_g b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+@register(
+    "simhash_neardup",
+    _simhash_neardup_oracle(),
+    "Manku-style SimHash near-dup pairs: 48-bit fingerprints, 4x12-bit "
+    "pigeonhole bands (complete for hamming <= 3), exact hamming verify",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_neardup_pairs
+    from .registry import guard_observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        docs, "doc_id", "text",
+        observation=guard_observation("simhash_neardup"),
+    )
+
+
 @register(
     "dedup_simhash",
     _simhash_oracle(),
