@@ -81,10 +81,30 @@ def ab_ratios(ab: dict) -> dict[str, float]:
     return out
 
 
+def carried_split(
+    timings: dict[str, float], prev_queries: set[str]
+) -> dict[str, float] | None:
+    """Carried-vs-new subtotals (r10 verdict task 7): the suite grows
+    most rounds, so the headline total drifting up must never read as
+    regression.  ``carried_sec`` sums queries present in the PREVIOUS
+    full-bench artifact; ``new_sec`` is the rest.  None when there is
+    no previous artifact to diff against."""
+    if not prev_queries:
+        return None
+    carried = sum(v for n, v in timings.items() if v >= 0 and n in prev_queries)
+    new = sum(v for n, v in timings.items() if v >= 0 and n not in prev_queries)
+    return {
+        "carried_sec": round(carried, 3),
+        "carried_n": sum(1 for n, v in timings.items() if v >= 0 and n in prev_queries),
+        "new_sec": round(new, 3),
+        "new_n": sum(1 for n, v in timings.items() if v >= 0 and n not in prev_queries),
+    }
+
+
 def build_compact(
     timings: dict[str, float], errors: list[str], sf: float, repeats: int,
     max_chars: int = 1500, guards: dict[str, dict] | None = None,
-    ab: dict | None = None,
+    ab: dict | None = None, split: dict | None = None,
 ) -> dict:
     """Compact headline line for the driver's ~2000-char stdout tail:
     headline metric + the slowest queries that fit. ``n_errors`` counts
@@ -107,6 +127,8 @@ def build_compact(
         "n_errors": len(errors),
         "queries": {},
     }
+    if split:
+        compact.update(split)
     if errors:
         compact["errors"] = sorted(errors)
         while len(compact["errors"]) > 1 and len(json.dumps(compact)) > max_chars:
@@ -187,6 +209,18 @@ def main() -> None:
     # Print the full map on its own line FIRST (and to a file for humans),
     # then the compact headline line LAST so the tail capture always parses.
     ab = load_ab_notes()
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_sf{sf}.json"
+    )
+    # previous artifact's query set is the carried-subtotal basis; read
+    # BEFORE overwriting
+    prev_queries: set[str] = set()
+    try:
+        with open(out) as f:
+            prev_queries = set(json.load(f).get("queries", {}))
+    except (OSError, ValueError):
+        pass
+    split = carried_split(timings, prev_queries)
     full = {
         "metric": "sum_query_sec",
         "value": total,
@@ -198,16 +232,15 @@ def main() -> None:
         "guards": guards,
         "same_session_ab": ab,
     }
+    if split:
+        full.update(split)
     print(json.dumps(full))
     try:
-        out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_sf{sf}.json"
-        )
         with open(out, "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(build_compact(timings, errors, sf, repeats, guards=guards, ab=ab)))
+    print(json.dumps(build_compact(timings, errors, sf, repeats, guards=guards, ab=ab, split=split)))
 
 
 if __name__ == "__main__":

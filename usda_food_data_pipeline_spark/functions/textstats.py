@@ -819,3 +819,47 @@ def dedup_lines_global(df, id_col: str, text_col: str, chunk_tokens: int = 2):
             (F.col("n_chunks") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+def token_entropy(df, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the unigram token distribution,
+    in exact integer ln-nanos — the vocabulary-diversity / gibberish
+    signal (a boilerplate page repeating one token scores ~0; natural
+    prose scores near ln of its distinct-token count).
+
+    Exact integer derivation (no floats in any compared value)::
+
+        H = ln(n) - (sum_t c_t * ln(c_t)) / n
+
+    with every ln evaluated PER ROW by the in-plan portable chain
+    (:func:`..functions.portable_ln.ln_int_col` — bit-identical to the
+    oracle's SQL chain by construction), snapped to BIGINT nanos, the
+    weighted sum exact BIGINT, and the division integer ``DIV``
+    (operands nonnegative, so truncation agrees across engines).  No
+    driver collect anywhere — unlike the lm/dsir literal-table pattern,
+    the argument domain here is per-row (token counts AND per-doc
+    totals), which is exactly what ln_int_col exists for.
+
+    Scale shape: one explode + (doc, token)-keyed count aggregate with
+    map-side combine (the text_tokens exchange), then a doc-keyed sum.
+    Zero-token documents carry no information and are excluded.
+
+    Output: (id_col, n_tokens bigint, entropy_nanos bigint).
+    """
+    from .portable_ln import ln_int_col
+
+    occ = (
+        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nano = lambda col: F.floor((ln_int_col(col) * F.lit(1e9)) + F.lit(0.5))  # noqa: E731
+    per_doc = occ.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * nano(F.col("c"))).alias("_s"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        (nano(F.col("n_tokens")) - F.expr("_s DIV n_tokens")).alias("entropy_nanos"),
+    )

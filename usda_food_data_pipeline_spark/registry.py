@@ -420,6 +420,11 @@ _ORDER: list[str] = [
     # between the in-window dedup_simhash fingerprint table and an
     # actual dedup decision; 8-bytes-per-doc state
     "simhash_neardup",
+    # round-11 operator: per-doc token-distribution Shannon entropy in
+    # exact integer ln-nanos — second consumer of the in-plan portable
+    # ln (per-row arguments, zero collects); quality-signal family
+    # attested in-window by text_signals
+    "token_entropy",
     # displaced round 11 (r10 verdict task 1, unconditional): four
     # consecutive driver hash-mismatches each — lm_doc_scores and
     # dsir_select sit beyond the window until the round-11 bisect rows

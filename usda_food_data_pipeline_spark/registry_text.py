@@ -513,6 +513,62 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token entropy (functions/textstats.token_entropy): per-doc Shannon
+# entropy of the unigram distribution in exact integer ln-nanos — the
+# second consumer of the in-plan portable ln (ln_int_col), per-row
+# arguments with no driver collect
+# ---------------------------------------------------------------------------
+
+
+def _token_entropy_oracle() -> str:
+    lnc = _sql_ln_select(
+        "(SELECT DISTINCT c FROM occ) _dc",
+        ["c"],
+        {"a": "c"},
+        [("nan", _sql_grid_nanos("_ln_a"))],
+    )
+    lnn = _sql_ln_select(
+        "(SELECT DISTINCT n_tokens FROM per_doc) _dn",
+        ["n_tokens"],
+        {"a": "n_tokens"},
+        [("nan", _sql_grid_nanos("_ln_a"))],
+    )
+    return f"""
+WITH {_POWS_CTE},
+occ AS (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents)
+    GROUP BY 1, 2
+),
+lnc AS ({lnc}),
+per_doc AS (
+    SELECT occ.doc_id, CAST(sum(occ.c) AS BIGINT) AS n_tokens,
+           CAST(sum(occ.c * l.nan) AS BIGINT) AS _s
+    FROM occ JOIN lnc l ON l.c = occ.c
+    GROUP BY 1
+),
+lnn AS ({lnn})
+SELECT p.doc_id, p.n_tokens,
+       CAST(l.nan - (p._s // p.n_tokens) AS BIGINT) AS entropy_nanos
+FROM per_doc p JOIN lnn l ON l.n_tokens = p.n_tokens
+"""
+
+
+@register(
+    "token_entropy",
+    _token_entropy_oracle(),
+    "per-doc Shannon entropy of the token distribution in exact integer "
+    "ln-nanos (in-plan portable ln; gibberish/diversity signal)",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import token_entropy
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return token_entropy(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # Token stats
 # ---------------------------------------------------------------------------
 
