@@ -443,6 +443,11 @@ _ORDER: list[str] = [
     "quantize_embeddings",
     "skew_salted_join",
     "bpe_train",
+    # round-11: bpe_encode_stats gives the BPE family its exact-oracle
+    # row (the 6 training rounds unroll in SQL; the greedy merge fold
+    # replays via list_reduce with a leading-separator invariant) —
+    # bpe_train itself stays rows-only (driver-loop argmax)
+    "bpe_encode_stats",
     "quality_bins",
     "hamming_topk",
     # displaced from the window round 5 (family attested by an in-window

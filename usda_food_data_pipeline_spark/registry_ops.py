@@ -1025,3 +1025,139 @@ def q_zorder_key_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         F.col("o_orderkey").alias("order_key"), key.alias("zkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (functions/bpe.bpe_encode): apply the trained merge table
+# to the corpus — upgrades the BPE family from rows-only (bpe_train's
+# iterative argmax) to an exact-oracle row by UNROLLING the 6 training
+# rounds in SQL and replaying the greedy merge fold per word with
+# list_reduce (leading-separator invariant: acc ends with SEP||l and
+# next symbol == r  <=>  Spark's element_at(acc,-1)==l merge — symbols
+# are SEP-free, so the string form is exact)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+_BPE_MIN_COUNT = 2
+_BPE_SEP = "chr(31)"
+
+
+def _bpe_fold(src: str, bl: str, br: str) -> str:
+    """One merge round: fold the SEP-prepended symbol string ``src``
+    under rule (bl, br); NULL rule (early-stopped round) is identity."""
+    s = _BPE_SEP
+    return (
+        f"list_reduce(string_split({src}, {s}), (acc, x) -> "
+        f"CASE WHEN {bl} IS NOT NULL AND ends_with(acc, {s} || {bl}) "
+        f"AND x = {br} THEN acc || x ELSE acc || {s} || x END)"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    from .registry_text import TOKS_SQL
+
+    s = _BPE_SEP
+    rounds = []
+    for k in range(1, _BPE_MERGES + 1):
+        prev = f"v{k - 1}"
+        rounds.append(f"""
+p{k} AS (
+    SELECT parts[i] AS l, parts[i + 1] AS r, sum(weight) AS n
+    FROM (SELECT parts, weight,
+                 unnest(range(2, greatest(len(parts) - 1, 1) + 1)) AS i
+          FROM (SELECT string_split(s, {s}) AS parts, weight FROM {prev}))
+    GROUP BY 1, 2
+),
+b{k} AS (
+    SELECT (SELECT l FROM p{k} WHERE n >= {_BPE_MIN_COUNT}
+            ORDER BY n DESC, l, r LIMIT 1) AS bl,
+           (SELECT r FROM p{k} WHERE n >= {_BPE_MIN_COUNT}
+            ORDER BY n DESC, l, r LIMIT 1) AS br
+),
+v{k} AS (
+    SELECT {_bpe_fold('s', 'bl', 'br')} AS s, weight
+    FROM {prev} CROSS JOIN b{k}
+)""")
+        # NOTE: parts[1] is the '' sentinel (leading separator), so
+        # adjacent pairs run over positions 2..len-1 — matching the
+        # Spark trainer's pair stream over the raw symbol array.
+    enc = "s0"
+    for k in range(1, _BPE_MERGES + 1):
+        enc = _bpe_fold(enc, f"b{k}.bl", f"b{k}.br")
+    joins = " ".join(f"CROSS JOIN b{k}" for k in range(1, _BPE_MERGES + 1))
+    return f"""
+WITH wf AS (
+    SELECT word, count(*) AS weight
+    FROM (SELECT unnest({TOKS_SQL}) AS word FROM documents)
+    GROUP BY 1
+),
+v0 AS (
+    SELECT {s} || array_to_string(string_split(word, ''), {s}) AS s, weight
+    FROM wf
+),
+{','.join(rounds)},
+dw AS (
+    SELECT word, {enc.replace('s0', f"{s} || array_to_string(string_split(word, ''), {s})")} AS enc
+    FROM wf {joins}
+),
+dwp AS (
+    SELECT word, string_split(enc, {s})[2:] AS pieces FROM dw
+),
+occ AS (
+    SELECT doc_id, t FROM (SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents)
+),
+per_tok AS (
+    SELECT o.doc_id, o.t, len(p.pieces) AS np
+    FROM occ o JOIN dwp p ON p.word = o.t
+),
+base AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(np) AS BIGINT) AS n_pieces
+    FROM per_tok GROUP BY 1
+),
+dp AS (
+    SELECT DISTINCT d.doc_id, up.piece
+    FROM (SELECT DISTINCT doc_id, t FROM occ) d
+    JOIN dwp p ON p.word = d.t
+    CROSS JOIN unnest(p.pieces) AS up(piece)
+),
+dpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_pieces FROM dp GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.n_pieces, c.n_distinct_pieces
+FROM base b JOIN dpc c ON c.doc_id = b.doc_id
+"""
+
+
+@register(
+    "bpe_encode_stats",
+    _bpe_encode_oracle(),
+    f"apply the {_BPE_MERGES}-merge BPE table to the corpus: per-doc token, "
+    "subword-piece, and distinct-piece counts (exact unrolled-training oracle)",
+)
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (driver loop, deterministic ties) then encode in ONE scan:
+    the merge table compiles into the plan as expressions
+    (functions/bpe.bpe_encode — no broadcast, no UDF), so encoding is
+    embarrassingly parallel over documents; the only exchange is the
+    source scan itself. Zero-token documents carry no pieces and are
+    excluded on both sides."""
+    from .functions.bpe import bpe_encode, bpe_train
+    from .operators.dedup import tokenize
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rules = bpe_train(docs, "text", n_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT)
+    enc = bpe_encode(F.col("text"), rules)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+            enc.alias("_enc"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("_enc").cast("bigint").alias("n_pieces"),
+            F.size(F.array_distinct("_enc")).cast("bigint").alias("n_distinct_pieces"),
+        )
+    )
