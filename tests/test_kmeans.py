@@ -58,3 +58,22 @@ def test_kmeans_derives_width_from_vectors(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=2, n_iter=2).collect()}
     assert out[1] == out[3] and out[2] == out[4] and out[1] != out[2]
+
+
+def test_cluster_balanced_sample_plan_and_invariants(spark):
+    """WindowGroupLimit must appear (the rk<=cap filter runs as a
+    partial per-partition top-cap, bounding the exchange by the
+    parameter), and the kept-set must be partitioning-invariant."""
+    from usda_food_data_pipeline_spark import registry
+
+    q = registry.queries()["cluster_balanced_sample"]
+    df = q(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = df.collect()
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster"], []).append(r["rk"])
+    for cl, rks in per_cluster.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), cl
+        assert len(rks) <= 12

@@ -425,6 +425,10 @@ _ORDER: list[str] = [
     # ln (per-row arguments, zero collects); quality-signal family
     # attested in-window by text_signals
     "token_entropy",
+    # round-11 operator: D4/SemDeDup topic-balanced selection (k-means
+    # clusters + per-cluster content-hash cap, WindowGroupLimit-bounded
+    # exchange); clustering attested in-window by kmeans_embeddings
+    "cluster_balanced_sample",
     # displaced round 11 (r10 verdict task 1, unconditional): four
     # consecutive driver hash-mismatches each — lm_doc_scores and
     # dsir_select sit beyond the window until the round-11 bisect rows

@@ -572,6 +572,66 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cluster-balanced sampling (D4 / SemDeDup-style topic balancing):
+# k-means assign + per-cluster deterministic cap — over-represented
+# regions of embedding space are downsampled to at most `cap` docs
+# ---------------------------------------------------------------------------
+
+_CB_CAP = 12
+_CB_SEED = 17
+
+
+def _cluster_balanced_oracle() -> str:
+    from .operators.dedup import oracle_md5_int_sql
+
+    h = oracle_md5_int_sql("CAST(vec_id AS VARCHAR)", _CB_SEED)
+    return f"""
+SELECT vec_id, cluster, rk FROM (
+    SELECT vec_id, cluster,
+           CAST(row_number() OVER (
+               PARTITION BY cluster ORDER BY {h}, vec_id
+           ) AS INTEGER) AS rk
+    FROM (SELECT vec_id, cluster FROM ({_kmeans_oracle()}) _ka)
+) WHERE rk <= {_CB_CAP}
+"""
+
+
+@register(
+    "cluster_balanced_sample",
+    _cluster_balanced_oracle(),
+    f"topic-balanced corpus selection: exact-integer k-means clusters, at "
+    f"most {_CB_CAP} vectors kept per cluster by content-hash order",
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D4/SemDeDup curation move — cluster the embedding space and
+    cap each cluster so over-represented topics are downsampled —
+    expressed as the attested exact-integer Lloyd assignment plus one
+    rank window.  The kept-set is a pure function of content
+    (md5-ordered within cluster, ties to vec_id): reproducible under
+    any partitioning or cluster size, like every sampler in the engine.
+
+    Scale shape: the cluster-keyed window would be k giant partitions
+    at 100 TB, but the ``rk <= cap`` filter compiles to
+    WindowGroupLimit (partial per-partition top-cap before the
+    exchange), so each task forwards at most cap rows per cluster —
+    bounded by the parameter, not the data."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import md5_int
+    from .operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=_KM_K, n_iter=_KM_ITER)
+    h = md5_int(F.col("vec_id").cast("string"), _CB_SEED)
+    w = Window.partitionBy("cluster").orderBy(h, F.col("vec_id"))
+    return (
+        assign.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _CB_CAP)
+        .select("vec_id", "cluster", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hard-negative mining for contrastive training
 # ---------------------------------------------------------------------------
 
