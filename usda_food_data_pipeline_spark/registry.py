@@ -429,6 +429,10 @@ _ORDER: list[str] = [
     # clusters + per-cluster content-hash cap, WindowGroupLimit-bounded
     # exchange); clustering attested in-window by kmeans_embeddings
     "cluster_balanced_sample",
+    # round-11 operator: per-dimension embedding datacard (index health
+    # / quantization calibration); dimensionality-bounded exchange,
+    # exact dyadic-grid component sums
+    "vector_stats",
     # displaced round 11 (r10 verdict task 1, unconditional): four
     # consecutive driver hash-mismatches each — lm_doc_scores and
     # dsir_select sit beyond the window until the round-11 bisect rows

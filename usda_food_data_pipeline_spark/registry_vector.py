@@ -1274,3 +1274,55 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         weight_col=F.greatest(F.col("n_chars"), F.lit(1)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-index datacard: per-dimension embedding statistics — the health
+# read an ANN deployment does before building/serving an index (variance
+# collapse detection, int8/PQ quantization range calibration)
+# ---------------------------------------------------------------------------
+
+# dyadic grid for exact cross-engine sums of float components: x is
+# float32 (exact as double), x * 2^20 is an exact power-of-two scaling,
+# floor is exact => per-dim sums are exact BIGINT in both engines
+_VS_GRID = 1 << 20
+
+VECTOR_STATS_ORACLE = f"""
+SELECT CAST(pos AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       min(v) AS min_v,
+       max(v) AS max_v,
+       CAST(sum(CAST(floor(v * {_VS_GRID}) AS BIGINT)) AS BIGINT) AS sum_q
+FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY pos
+"""
+
+
+@register(
+    "vector_stats",
+    VECTOR_STATS_ORACLE,
+    "per-dimension embedding datacard: count, min/max, exact dyadic-grid "
+    "component sum (index health / quantization calibration)",
+)
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One posexplode + a 64-group aggregate with map-side combine: the
+    exchange carries (dim, partial stats) rows — dimensionality-bounded,
+    never corpus-bounded, at any scale.  min/max of doubles are exact
+    order-free; the mean rides as an exact integer grid sum (float
+    double-sums are aggregation-order-dependent and banned from
+    compared columns — the quality_bins lesson)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos0", "v"))
+        .select((F.col("pos0") + 1).cast("int").alias("dim"), v.alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum(F.floor(F.col("v") * F.lit(float(_VS_GRID))).cast("bigint")).alias("sum_q"),
+        )
+    )
