@@ -217,7 +217,13 @@ def main() -> None:
     prev_queries: set[str] = set()
     try:
         with open(out) as f:
-            prev_queries = set(json.load(f).get("queries", {}))
+            # errored queries land in the artifact with timing -1.0 and
+            # contributed 0 to its total — treating one as "carried"
+            # would book its whole runtime as a carried regression the
+            # first time it succeeds
+            prev_queries = {
+                n for n, v in json.load(f).get("queries", {}).items() if v >= 0
+            }
     except (OSError, ValueError):
         pass
     split = carried_split(timings, prev_queries)

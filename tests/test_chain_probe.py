@@ -121,6 +121,54 @@ def test_census_covers_the_live_lm_domain(spark):
     assert not missing, sorted(missing)[:10]
 
 
+def test_census_covers_the_live_dsir_domain(spark):
+    """The dsir twin of the lm coverage test, rebuilt in PURE PYTHON
+    (hashlib md5, not either engine's hash helper — a construction bug
+    mirrored into both the census and its oracle would survive an
+    engine-vs-engine check, so the rebuild must be independent of
+    both).  Every (ct+1, cq+1, nq+B, nt+B) argument dsir evaluates at
+    this sf must appear in the census."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source"])
+    texts = tbl.column("text").to_pylist()
+    sources = tbl.column("source").to_pylist()
+
+    def toks(t):
+        return [w for w in re.split(r"\s+", (t or "").strip().lower()) if w]
+
+    def bucket(bg):
+        h = hashlib.md5(f"s31:{bg}".encode()).hexdigest()
+        return int(h[:8], 16) % 4096
+
+    cq, ct = {}, {}
+    for text, src in zip(texts, sources):
+        ws = toks(text)
+        for a, b in zip(ws, ws[1:]):
+            bkt = bucket(f"{a} {b}")
+            if src == "src1":
+                ct[bkt] = ct.get(bkt, 0) + 1
+            else:
+                cq[bkt] = cq.get(bkt, 0) + 1
+    nq, nt = sum(cq.values()), sum(ct.values())
+    want = (
+        {("dsir_ct1", ct.get(b, 0) + 1) for b in cq}
+        | {("dsir_cq1", c + 1) for c in cq.values()}
+        | {("dsir_nqB", nq + 4096), ("dsir_ntB", nt + 4096)}
+    )
+    docs = load_table(spark, SF, "documents")
+    got = {(r["family"], r["arg"]) for r in ln_domain_census(docs).collect()}
+    missing = want - got
+    assert not missing, sorted(missing)[:10]
+    # and nothing extra in the dsir families either (domain equality,
+    # not just coverage)
+    extra = {g for g in got if g[0].startswith("dsir_")} - want
+    assert not extra, sorted(extra)[:10]
+
+
 def test_token_entropy_hand_values(spark):
     """H = ln n - (sum c*ln c)/n on the nano grid, hand-recomputed with
     the same portable chain + integer division."""

@@ -336,22 +336,36 @@ def ln_domain_census(
         .select(tokenize(F.col(text_col)).alias("toks"))
         .persist()
     )
-    uni = (
-        toks.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
-    bg = (
-        toks.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
-        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
-        .groupBy("prev", "cur")
-        .agg(F.count("*").alias("c"))
-    )
-    bg_vals = sorted(int(r["c"]) for r in bg.select("c").distinct().collect())
-    st = uni.agg(
-        F.sum("c").alias("_n"), F.collect_set("c").alias("_vals")
-    ).collect()[0]
-    toks.unpersist()
+    try:
+        uni = (
+            toks.select(F.explode("toks").alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("c"))
+        )
+        bg = (
+            toks.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+            .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+            .groupBy("prev", "cur")
+            .agg(F.count("*").alias("c"))
+        )
+        # the two bounded collects run concurrently (the lm.py:156-167
+        # construction this census certifies — both read the toks cache)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f_bg = pool.submit(
+                lambda: sorted(
+                    int(r["c"]) for r in bg.select("c").distinct().collect()
+                )
+            )
+            f_uni = pool.submit(
+                lambda: uni.agg(
+                    F.sum("c").alias("_n"), F.collect_set("c").alias("_vals")
+                ).collect()[0]
+            )
+            bg_vals, st = f_bg.result(), f_uni.result()
+    finally:
+        toks.unpersist()
     n_total = int(st["_n"] or 0)
     uni_vals = sorted(int(v) for v in (st["_vals"] or []))
     back_vals = sorted({1} | set(uni_vals))
@@ -370,8 +384,13 @@ def ln_domain_census(
     )
     cq = occ_raw.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
     ct = occ_tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    cq_rows = {int(r["b"]): int(r["cq"]) for r in cq.collect()}
-    ct_rows = {int(r["b"]): int(r["ct"]) for r in ct.collect()}
+    # independent jobs, run concurrently (the dsir.py:132-137 pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_cq = pool.submit(lambda: {int(r["b"]): int(r["cq"]) for r in cq.collect()})
+        f_ct = pool.submit(lambda: {int(r["b"]): int(r["ct"]) for r in ct.collect()})
+        cq_rows, ct_rows = f_cq.result(), f_ct.result()
     nq = sum(cq_rows.values())
     nt = sum(ct_rows.values())
 

@@ -846,14 +846,15 @@ def token_entropy(df, id_col: str, text_col: str):
 
     Output: (id_col, n_tokens bigint, entropy_nanos bigint).
     """
-    from .portable_ln import ln_int_col
+    from .portable_ln import grid_nanos_col, ln_int_col
 
     occ = (
         df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("t"))
         .groupBy(id_col, "t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    nano = lambda col: F.floor((ln_int_col(col) * F.lit(1e9)) + F.lit(0.5))  # noqa: E731
+    # the snap expression is the portability contract — never inline it
+    nano = lambda col: grid_nanos_col(ln_int_col(col))  # noqa: E731
     per_doc = occ.groupBy(id_col).agg(
         F.sum("c").alias("n_tokens"),
         F.sum(F.col("c") * nano(F.col("c"))).alias("_s"),

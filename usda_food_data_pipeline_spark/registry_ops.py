@@ -1010,18 +1010,11 @@ def q_zorder_key_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     file covers a tight rectangle of the clustered space — predicates
     on EITHER column prune most row groups (pinned by
     tests/test_layout.py::test_zorder_write_skips_on_both_columns)."""
-    from .sources.sinks import zorder_key
+    from .sources.sinks import zorder_bounds, zorder_key
 
     orders = load_table(spark, sf_dir, "orders")
-    row = orders.agg(
-        F.min("o_custkey").alias("lo0"), F.max("o_custkey").alias("hi0"),
-        F.min("o_totalprice").alias("lo1"), F.max("o_totalprice").alias("hi1"),
-    ).first()
-    bounds = {
-        "o_custkey": (row["lo0"], row["hi0"]),
-        "o_totalprice": (row["lo1"], row["hi1"]),
-    }
-    key = zorder_key(["o_custkey", "o_totalprice"], bounds, bits=_Z_BITS)
+    cols = ["o_custkey", "o_totalprice"]
+    key = zorder_key(cols, zorder_bounds(orders, cols), bits=_Z_BITS)
     return orders.select(
         F.col("o_orderkey").alias("order_key"), key.alias("zkey")
     )

@@ -392,6 +392,14 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines (bit-equal since the jaccard values themselves are
     attested by dedup_ngram_jaccard/dedup_minhash_lsh).
 
+    ELIGIBILITY NOTE (same contract as containment_pairs): both
+    operators cap oversized blocks, and they cap on DIFFERENT keys —
+    with nonzero truth-side drops an LSH pair can verify >= t yet be
+    absent from truth, so "precision 1 / recall over complete truth"
+    holds only at guard-drops = 0.  Both operators' guard counters are
+    registered under this query's name so the bench artifact surfaces
+    any engaged cap next to the row (zero at every tested sf).
+
     At 100 TB this harness runs on a sampled slice (the truth side is
     the expensive exact operator — that cost is the point of the
     measurement, exactly like adc_recall_eval's brute-force side).
@@ -401,11 +409,14 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs_prefix,
         minhash_lsh_pairs,
     )
+    from .registry import guard_observation
 
+    obs = guard_observation("lsh_recall_eval")
     docs = load_table(spark, sf_dir, "documents")
     truth = jaccard_pairs_prefix(
         docs, "doc_id", "text",
         threshold_num=_NJ_TN, threshold_den=_NJ_TD, shingle_n=_SHINGLE_N,
+        observation=obs,
     ).persist()
     truth.count()
     # minhash's rollover frees the prefix operator's BUILD caches —
@@ -414,7 +425,7 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = minhash_lsh_pairs(
         docs, "doc_id", "text",
         num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N,
-        jaccard_threshold=_MH_THRESHOLD,
+        jaccard_threshold=_MH_THRESHOLD, observation=obs,
     ).select("id_a", "id_b", F.lit(1).alias("_hit")).persist()
     lsh.count()
     _INTERMEDIATES.track(truth)

@@ -212,6 +212,19 @@ def zorder_key(cols: list, bounds: dict, bits: int = 16):
     return key
 
 
+def zorder_bounds(df: DataFrame, cols: list) -> dict:
+    """One tiny min/max aggregate -> {col: (min, max)} for
+    :func:`zorder_key` — shared by the write path and the
+    oracle-checked ``zorder_key_map`` registry row so the two can
+    never drift."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[m(c).alias(f"{agg}_{c}") for c in cols for agg, m in (("min", F.min), ("max", F.max))]
+    ).first()
+    return {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
+
+
 def write_zorder(
     df: DataFrame, path: str, cols: list, n_files: int = 16, bits: int = 16
 ) -> None:
@@ -229,11 +242,7 @@ def write_zorder(
     """
     from pyspark.sql import functions as F
 
-    row = df.agg(
-        *[m(c).alias(f"{agg}_{c}") for c in cols for agg, m in (("min", F.min), ("max", F.max))]
-    ).first()
-    bounds = {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
-    key = zorder_key(cols, bounds, bits)
+    key = zorder_key(cols, zorder_bounds(df, cols), bits)
     (
         df.withColumn("_zkey", key)
         .repartitionByRange(n_files, "_zkey")
