@@ -357,3 +357,79 @@ def test_percentile_norm_bounds_and_ties(spark):
     )
     got = {r.doc_id: r.ppm for r in out.collect()}
     assert got == {1: 0, 2: 0, 3: 1000000, 4: 0}
+
+
+# ---------------------------------------------------------------------------
+# cluster_outliers
+# ---------------------------------------------------------------------------
+
+def test_cluster_outliers_are_farthest(spark, sf_dir):
+    from usda_food_data_pipeline_spark.operators.kmeans import kmeans_assign
+    from usda_food_data_pipeline_spark.registry_curation import q_cluster_outliers
+    from usda_food_data_pipeline_spark.registry_vector import _KM_ITER, _KM_K
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    out = q_cluster_outliers(spark, sf_dir).collect()
+    assign = kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, n_iter=_KM_ITER
+    ).collect()
+    by_cluster: dict[int, list] = {}
+    for r in assign:
+        by_cluster.setdefault(r.cluster, []).append((r.d2, r.vec_id))
+    for r in out:
+        ranked = sorted(by_cluster[r.cluster], key=lambda t: (-t[0], t[1]))
+        assert (r.d2, r.vec_id) == ranked[r.rk - 1]
+
+
+# ---------------------------------------------------------------------------
+# vector_winsor_card
+# ---------------------------------------------------------------------------
+
+def test_winsor_bounds_ordered_and_counts_bounded(spark, sf_dir):
+    from usda_food_data_pipeline_spark.registry_curation import q_vector_winsor_card
+
+    rows = q_vector_winsor_card(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.lo_q <= r.hi_q
+        # rank-percentile construction bounds the clip counts:
+        # n_below < ceil(5% n), n_above <= n - ceil(95% n)
+        assert r.n_below < (500 * 5 + 99) // 100
+        assert r.n_above <= 500 - (500 * 95 + 99) // 100
+
+
+def test_winsor_rank_semantics_hand_case(spark):
+    # 10 values 1..10: lo rank ceil(0.05*10)=1 -> value 1;
+    # hi rank ceil(0.95*10)=10 -> value 10; nothing clipped
+    n = 10
+    lo_rank = (n * 5 + 99) // 100
+    hi_rank = (n * 95 + 99) // 100
+    assert (lo_rank, hi_rank) == (1, 10)
+    # 100 values: ranks 5 and 95 -> 4 below, 5 above
+    n = 100
+    assert ((n * 5 + 99) // 100, (n * 95 + 99) // 100) == (5, 95)
+
+
+# ---------------------------------------------------------------------------
+# padding_truncation_card
+# ---------------------------------------------------------------------------
+
+def test_padding_truncation_identities(spark, sf_dir):
+    from usda_food_data_pipeline_spark.registry_curation import (
+        q_padding_truncation_card,
+    )
+
+    rows = {r.max_len: r for r in q_padding_truncation_card(spark, sf_dir).collect()}
+    assert set(rows) == {128, 256, 512}
+    n_docs = {r.n_docs for r in rows.values()}
+    n_tokens = {r.n_tokens for r in rows.values()}
+    assert len(n_docs) == 1 and len(n_tokens) == 1  # arms see the same corpus
+    for L, r in rows.items():
+        # conservation: kept + lost == total; padded <= n_docs * max_len
+        assert 0 <= r.tokens_lost <= r.n_tokens
+        assert 0 <= r.tokens_padded <= r.n_docs * L
+        assert r.trunc_waste_ppm == (r.tokens_lost * 1000000) // r.n_tokens
+        assert r.pad_waste_ppm == (r.tokens_padded * 1000000) // (r.n_docs * L)
+    # monotonicity: larger max_len never truncates more, never pads less
+    assert rows[128].tokens_lost >= rows[256].tokens_lost >= rows[512].tokens_lost
+    assert rows[128].tokens_padded <= rows[256].tokens_padded <= rows[512].tokens_padded

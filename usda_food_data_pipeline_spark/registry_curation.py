@@ -716,3 +716,242 @@ def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pct_rank_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier pruning: farthest vectors per cluster
+# ---------------------------------------------------------------------------
+
+_CO_TOP = 5
+
+
+def _cluster_outliers_oracle() -> str:
+    from .registry_vector import _kmeans_oracle
+
+    return f"""
+SELECT vec_id, cluster, d2, rk FROM (
+    SELECT vec_id, cluster, d2,
+           CAST(row_number() OVER (
+               PARTITION BY cluster ORDER BY d2 DESC, vec_id
+           ) AS INTEGER) AS rk
+    FROM ({_kmeans_oracle()}) ka
+) WHERE rk <= {_CO_TOP}
+"""
+
+
+@register(
+    "cluster_outliers",
+    _cluster_outliers_oracle(),
+    f"embedding-space noise candidates: top-{_CO_TOP} farthest vectors from each k-means centroid",
+)
+def q_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-centroid outlier mining — the curation complement of
+    cluster_balanced_sample: that op caps over-represented REGIONS,
+    this one surfaces the vectors farthest from ANY structure (mislabeled
+    docs, encoder failures, off-distribution noise) for review or
+    removal, per cluster so a dense topic can't mask a sparse one's
+    outliers. Distance is the attested exact-integer squared grid
+    distance (the same d2 the Lloyd assignment minimizes), so the
+    ranking is reproducible bit-for-bit on both engines.
+
+    Scale shape: identical to cluster_balanced_sample's — the rk filter
+    compiles to WindowGroupLimit, so each task forwards at most top-N
+    rows per cluster before the exchange.
+    """
+    from .operators.kmeans import kmeans_assign
+    from .registry_vector import _KM_ITER, _KM_K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=_KM_K, n_iter=_KM_ITER)
+    w = Window.partitionBy("cluster").orderBy(F.col("d2").desc(), F.col("vec_id"))
+    return (
+        assign.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _CO_TOP)
+        .select("vec_id", "cluster", "d2", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension winsorization card (robust clip bounds for embeddings)
+# ---------------------------------------------------------------------------
+
+_WZ_LO_PCT = 5
+_WZ_HI_PCT = 95
+
+
+def _vector_winsor_oracle() -> str:
+    from .operators.kmeans import SCALE, SHIFT
+
+    return f"""
+WITH pl AS (
+    SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+           CAST(floor(CAST(v AS DOUBLE) * {SCALE}) + {SHIFT} AS BIGINT) AS xq
+    FROM (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+),
+ranked AS (
+    SELECT pos, xq,
+           row_number() OVER (PARTITION BY pos ORDER BY xq, vec_id) AS rn,
+           count(*) OVER (PARTITION BY pos) AS n
+    FROM pl
+),
+bounds AS (
+    SELECT pos,
+           max(CASE WHEN rn = (n * {_WZ_LO_PCT} + 99) // 100 THEN xq END) AS lo_q,
+           max(CASE WHEN rn = (n * {_WZ_HI_PCT} + 99) // 100 THEN xq END) AS hi_q
+    FROM ranked GROUP BY pos
+)
+SELECT b.pos AS dim,
+       CAST(b.lo_q AS BIGINT) AS lo_q,
+       CAST(b.hi_q AS BIGINT) AS hi_q,
+       CAST(count(*) FILTER (WHERE p.xq < b.lo_q) AS BIGINT) AS n_below,
+       CAST(count(*) FILTER (WHERE p.xq > b.hi_q) AS BIGINT) AS n_above
+FROM pl p JOIN bounds b ON p.pos = b.pos
+GROUP BY b.pos, b.lo_q, b.hi_q
+"""
+
+
+@register(
+    "vector_winsor_card",
+    _vector_winsor_oracle(),
+    f"per-dimension p{_WZ_LO_PCT}/p{_WZ_HI_PCT} winsorization bounds + clip counts on the exact grid",
+)
+def q_vector_winsor_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-dimension clip bounds for embedding post-processing —
+    the winsorization companion to vector_stats' moments: a handful of
+    extreme coordinates dominate L2 norms and distort both cosine ANN
+    and k-means, so serving stacks clip each dimension at exact rank
+    percentiles before indexing. Bounds are the values at ranks
+    ceil(p·n) on the same integer grid the k-means family quantizes to;
+    the card also counts how many coordinates each bound would clip.
+
+    Scale shape: one exchange keyed by dimension (64 groups), rank
+    windows stream sorted runs, and the clip-count pass re-joins the
+    8-row-per-dim bounds table by broadcast — no all-dims collect.
+    """
+    from .operators.kmeans import SCALE, SHIFT
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pl = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        (F.floor(F.col("v").cast("double") * SCALE) + SHIFT)
+        .cast("bigint")
+        .alias("xq"),
+    )
+    w = Window.partitionBy("pos")
+    wr = w.orderBy("xq", "vec_id")
+    ranked = pl.select(
+        "pos",
+        "xq",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    lo_rank = F.expr(f"(n * {_WZ_LO_PCT} + 99) div 100")
+    hi_rank = F.expr(f"(n * {_WZ_HI_PCT} + 99) div 100")
+    bounds = ranked.groupBy("pos").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("xq"))).alias("lo_q"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("xq"))).alias("hi_q"),
+    )
+    return (
+        pl.join(F.broadcast(bounds), "pos")
+        .groupBy("pos", "lo_q", "hi_q")
+        .agg(
+            F.sum(F.when(F.col("xq") < F.col("lo_q"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(F.col("xq") > F.col("hi_q"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+        )
+        .select(
+            F.col("pos").alias("dim"), "lo_q", "hi_q", "n_below", "n_above"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length selection card (truncation vs padding waste)
+# ---------------------------------------------------------------------------
+
+_PT_LENS = (128, 256, 512)
+
+
+def _padding_truncation_oracle() -> str:
+    arms = "\n    UNION ALL\n".join(
+        f"    SELECT {L} AS max_len, n_toks FROM t" for L in _PT_LENS
+    )
+    return f"""
+WITH t AS (SELECT len({TOKS_SQL}) AS n_toks FROM documents),
+arms AS (
+{arms}
+)
+SELECT max_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE n_toks > max_len) AS BIGINT) AS n_truncated,
+       CAST(sum(greatest(n_toks - max_len, 0)) AS BIGINT) AS tokens_lost,
+       CAST(sum(greatest(max_len - n_toks, 0)) AS BIGINT) AS tokens_padded,
+       CAST((sum(greatest(n_toks - max_len, 0)) * 1000000) // sum(n_toks) AS BIGINT)
+           AS trunc_waste_ppm,
+       CAST((sum(greatest(max_len - n_toks, 0)) * 1000000)
+            // (CAST(count(*) AS BIGINT) * max_len) AS BIGINT) AS pad_waste_ppm
+FROM arms GROUP BY max_len
+"""
+
+
+@register(
+    "padding_truncation_card",
+    _padding_truncation_oracle(),
+    "sequence-length selection card: truncation loss vs padding waste per candidate max_len",
+)
+def q_padding_truncation_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max_len decision card: for each candidate sequence length,
+    what fraction of corpus tokens a one-doc-per-sequence layout
+    TRUNCATES (tokens beyond max_len, lost forever) versus PADS (slots
+    below max_len, wasted compute). sequence_packing answers "how do I
+    avoid padding by concatenating"; this card quantifies the cost of
+    NOT packing, which is what decides whether packing is worth its
+    cross-doc attention-contamination tradeoff for a finetuning set.
+
+    Scale shape: the per-doc token count is computed ONCE and fanned to
+    the |lens| arms map-side (the union is over a 1-column projection);
+    partial aggregation collapses everything to |lens| rows before the
+    only exchange.
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(F.size(tokenize(F.col("text"))).cast("bigint").alias("n_toks"))
+    arms = None
+    for L in _PT_LENS:
+        sel = t.select(F.lit(L).cast("int").alias("max_len"), "n_toks")
+        arms = sel if arms is None else arms.unionByName(sel)
+    lost = F.greatest(F.col("n_toks") - F.col("max_len"), F.lit(0))
+    padded = F.greatest(F.col("max_len") - F.col("n_toks"), F.lit(0))
+    return (
+        arms.groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum(F.when(F.col("n_toks") > F.col("max_len"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_truncated"),
+            F.sum(lost).alias("tokens_lost"),
+            F.sum(padded).alias("tokens_padded"),
+        )
+        .select(
+            "max_len",
+            "n_docs",
+            "n_tokens",
+            "n_truncated",
+            "tokens_lost",
+            "tokens_padded",
+            F.expr("(tokens_lost * 1000000) div n_tokens").alias("trunc_waste_ppm"),
+            F.expr("(tokens_padded * 1000000) div (n_docs * max_len)").alias(
+                "pad_waste_ppm"
+            ),
+        )
+    )
