@@ -433,3 +433,49 @@ def test_padding_truncation_identities(spark, sf_dir):
     # monotonicity: larger max_len never truncates more, never pads less
     assert rows[128].tokens_lost >= rows[256].tokens_lost >= rows[512].tokens_lost
     assert rows[128].tokens_padded <= rows[256].tokens_padded <= rows[512].tokens_padded
+
+
+# ---------------------------------------------------------------------------
+# Plan pins: the scale-critical physical shapes of the curation wave
+# ---------------------------------------------------------------------------
+
+def test_contamination_joins_are_broadcast(spark, sf_dir):
+    # the benchmark side must never become a shuffle join: corpus text
+    # stays map-side in both contamination screens
+    from usda_food_data_pipeline_spark.registry_curation import (
+        q_bloom_decontaminate,
+        q_ngram_overlap_score,
+    )
+
+    for q in (q_ngram_overlap_score, q_bloom_decontaminate):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_cluster_outliers_window_group_limit(spark, sf_dir):
+    # rk <= N over the per-cluster window must compile to
+    # WindowGroupLimit so tasks forward at most N rows per cluster
+    from usda_food_data_pipeline_spark.registry_curation import q_cluster_outliers
+
+    plan = (
+        q_cluster_outliers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_split_leakage_split_sides_broadcast(spark, sf_dir):
+    # the split-assignment attach is a broadcast on both pair ends; the
+    # only sort-merge allowed is inside the inherited LSH verify join
+    from usda_food_data_pipeline_spark.registry_curation import q_split_leakage_eval
+
+    plan = (
+        q_split_leakage_eval(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
