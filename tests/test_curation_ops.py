@@ -467,9 +467,15 @@ def test_cluster_outliers_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
-def test_split_leakage_split_sides_broadcast(spark, sf_dir):
-    # the split-assignment attach is a broadcast on both pair ends; the
-    # only sort-merge allowed is inside the inherited LSH verify join
+def test_split_leakage_single_lsh_build(spark, sf_dir):
+    # the split attaches as a pure md5-bucket EXPRESSION on the pair ids
+    # (a (doc_id, split) join would ship a corpus-sized table at scale),
+    # and the verified pair stream is persisted so its three consumers
+    # (pair count + two union arms) read the cache instead of rebuilding
+    # the LSH pipeline: the final plan has exactly ONE join (the 6-row
+    # aggregate merge) over in-memory scans of the pair table
+    import re
+
     from usda_food_data_pipeline_spark.registry_curation import q_split_leakage_eval
 
     plan = (
@@ -478,4 +484,9 @@ def test_split_leakage_split_sides_broadcast(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "InMemoryTableScan" in plan
+    # the printed tree embeds the cache-BUILD plan under each
+    # InMemoryTableScan node; the live toplevel (everything above the
+    # first cache scan) must contain only the single aggregate-merge join
+    toplevel = plan.split("InMemoryTableScan")[0]
+    assert len(re.findall(r"\b\w*Join\b", toplevel)) == 1

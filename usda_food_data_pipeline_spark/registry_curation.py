@@ -539,25 +539,34 @@ def q_split_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=_MH_SHINGLE_N,
         jaccard_threshold=_MH_THRESHOLD,
     )
-    splits = split_assign(
-        docs, "doc_id", {"train": 8, "val": 1, "test": 1}, seed=_SPLIT_SEED
-    ).select("doc_id", "split")
+    # the split is a pure FUNCTION of the id (md5 bucket), so it attaches
+    # to the pair stream as an expression — at 100 TB a (doc_id, split)
+    # join would ship a corpus-sized table; this ships nothing
+    fractions = {"train": 8, "val": 1, "test": 1}
+    p = split_assign(pairs, "id_a", fractions, seed=_SPLIT_SEED).withColumnRenamed(
+        "split", "s_a"
+    )
+    p = split_assign(p, "id_b", fractions, seed=_SPLIT_SEED).withColumnRenamed(
+        "split", "s_b"
+    )
     p = (
-        pairs.join(
-            F.broadcast(splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b"))),
-            "id_b",
-        )
-        .select(
+        p.select(
             F.least("s_a", "s_b").alias("split_a"),
             F.greatest("s_a", "s_b").alias("split_b"),
             "id_a",
             "id_b",
         )
     )
+    # the two aggregates both read the verified pair stream, which is
+    # referenced three times (count + two union arms) — persist the
+    # OUTPUT-SIZED pair table once so the LSH build runs once, and hand
+    # it to the janitor so the next registry query retires the blocks
+    # (the lsh_recall_eval composite discipline)
+    from .operators.dedup import _INTERMEDIATES
+
+    p = p.persist()
+    p.count()
+    _INTERMEDIATES.track(p)
     n_pairs = p.groupBy("split_a", "split_b").agg(F.count(F.lit(1)).alias("n_pairs"))
     unioned = (
         p.select("split_a", "split_b", F.col("id_a").alias("d"))
