@@ -538,6 +538,7 @@ def specs() -> list[QuerySpec]:
     from . import registry_ops  # noqa: F401
     from . import registry_tpch  # noqa: F401
     from . import registry_curation  # noqa: F401
+    from . import registry_select  # noqa: F401
 
     by_name = {s.name: s for s in _SPECS}
     unlisted = [s for s in _SPECS if s.name not in set(_ORDER)]

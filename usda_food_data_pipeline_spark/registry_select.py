@@ -1,0 +1,579 @@
+"""Data-selection & layout extensions: Pareto-frontier curation,
+greedy max-coverage selection, compaction planning, class-balance
+reweighting, LSH-bounded Jaccard kNN graphs, and robust/recursive
+per-user statistics (trailing EMA, MAD outliers).
+
+Registry contract (same as registry_curation): Spark plan and DuckDB
+oracle are generated from the SAME constants, every ratio is integer
+(ppm / cents with floor semantics on non-negative domains where
+truncating and flooring division agree on both engines), and the only
+floats emitted are single IEEE divisions of exact integers (the
+attested dedup_minhash_lsh convention).
+
+Scale notes (100 TB posture) are on each operator: model/selection
+state is bounded and broadcast, corpus text never shuffles past its
+first projection, and the one driver-side loop (greedy coverage)
+collects exactly one (id, gain) row per round — centroid-class state,
+like kmeans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    _INTERMEDIATES,
+    minhash_lsh_pairs,
+    tokenize,
+    word_shingles,
+)
+from .registry import register
+from .registry_text import (
+    TOKS_SQL,
+    _BANDS,
+    _MH_THRESHOLD,
+    _NUM_HASHES,
+    _SHINGLE_N,
+    minhash_pairs_ctes,
+    shingles_sql,
+)
+from .sources.tables import load_table
+from .sources.tables import spread as _spread
+
+# ---------------------------------------------------------------------------
+# Pareto-frontier document selection (skyline over two quality axes)
+# ---------------------------------------------------------------------------
+
+PARETO_ORACLE = f"""
+WITH pts AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS m1,
+           CAST(len(list_distinct({TOKS_SQL})) AS BIGINT) AS m2
+    FROM documents
+),
+lv AS (SELECT m1, max(m2) AS grp_max FROM pts GROUP BY m1),
+cm AS (
+    SELECT m1, grp_max,
+           max(grp_max) OVER (ORDER BY m1 DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better_max
+    FROM lv
+)
+SELECT p.doc_id AS doc_id, p.m1 AS n_chars, p.m2 AS n_distinct_tokens
+FROM pts p JOIN cm c ON p.m1 = c.m1
+WHERE (c.better_max IS NULL OR c.better_max < p.m2) AND c.grp_max = p.m2
+"""
+
+
+@register(
+    "pareto_frontier",
+    PARETO_ORACLE,
+    "Pareto-frontier (skyline) docs maximizing (n_chars, distinct tokens)",
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric curation skyline: keep the documents no other
+    document dominates on BOTH axes (length, lexical diversity) — the
+    standard way to trade off two quality signals without inventing a
+    weighted score. A doc is dominated iff some doc is >= on both
+    metrics and > on at least one; ties on both axes keep both docs.
+
+    NOT the naive all-pairs NOT EXISTS (O(n^2) — unusable at corpus
+    scale): group to one row per distinct m1 level (bounded by the
+    value domain, not the corpus), take the level's max m2, and a
+    running max over strictly-greater levels; a doc survives iff no
+    better-m1 level reaches its m2 (case m1'>m1) and it attains its
+    own level's max (case m1'=m1, m2'>m2). One small agg + a window
+    over the TINY level table (broadcast back) — corpus rows stream
+    through a single map-side join.
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    pts = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("m1"),
+        F.size(F.array_distinct(tokenize(F.col("text")))).cast("bigint").alias("m2"),
+    )
+    lv = pts.groupBy("m1").agg(F.max("m2").alias("grp_max"))
+    w = Window.orderBy(F.desc("m1")).rowsBetween(Window.unboundedPreceding, -1)
+    cm = lv.select("m1", "grp_max", F.max("grp_max").over(w).alias("better_max"))
+    return (
+        pts.join(F.broadcast(cm), "m1")
+        .filter(
+            (F.col("better_max").isNull() | (F.col("better_max") < F.col("m2")))
+            & (F.col("grp_max") == F.col("m2"))
+        )
+        .select(
+            "doc_id",
+            F.col("m1").alias("n_chars"),
+            F.col("m2").alias("n_distinct_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage selection (submodular data subset selection)
+# ---------------------------------------------------------------------------
+
+_COV_ROUNDS = 4
+
+
+def _coverage_oracle(k: int) -> str:
+    parts = [
+        f"ex0 AS (SELECT doc_id, unnest(list_distinct({shingles_sql(TOKS_SQL, _SHINGLE_N)})) AS t FROM documents)"
+    ]
+    picks = []
+    for i in range(1, k + 1):
+        prev = i - 1
+        parts.append(
+            f"pick{i} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain "
+            f"FROM ex{prev} GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"ex{i} AS (SELECT e.doc_id, e.t FROM ex{prev} e "
+                f"WHERE e.doc_id NOT IN (SELECT doc_id FROM pick{i}) "
+                f"AND e.t NOT IN (SELECT t FROM ex{prev} "
+                f"WHERE doc_id IN (SELECT doc_id FROM pick{i})))"
+            )
+        picks.append(f"SELECT {i} AS sel_round, doc_id, gain FROM pick{i}")
+    union = "\nUNION ALL\n".join(picks)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sel AS ({union})
+SELECT CAST(sel_round AS BIGINT) AS sel_round, doc_id, gain AS marginal_gain,
+       CAST(sum(gain) OVER (ORDER BY sel_round) AS BIGINT) AS covered_total
+FROM sel
+"""
+    )
+
+
+@register(
+    "coverage_greedy_select",
+    _coverage_oracle(_COV_ROUNDS),
+    f"greedy max-coverage selection: {_COV_ROUNDS} rounds of argmax marginal shingle-coverage gain",
+)
+def q_coverage_greedy_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submodular data-subset selection: pick documents one at a time,
+    each round taking the doc that covers the most NOT-YET-COVERED
+    word trigram shingles (ties to the smaller doc_id) — the classic greedy
+    (1 - 1/e)-approximation to max coverage, the shape tokenizer- and
+    eval-set-construction pipelines use to pick a small corpus slice
+    with maximal token coverage.
+
+    Distribution: the (doc, token) incidence table is computed ONCE and
+    persisted; each round is one shuffle agg (gain per doc) + a global
+    top-1. The driver collects exactly one (doc_id, gain) row per round
+    — bounded model state, kmeans-centroid class, never corpus data.
+    The covered-token set (union of <= K docs' tokens) is re-derived
+    lazily from the cached incidence table and BROADCAST into an
+    anti-join, so corpus rows never shuffle for coverage bookkeeping.
+    At 100 TB the exact per-round argmax stays one map-side-combined
+    agg over ids+counts; the lazy-greedy / stochastic-greedy variants
+    drop rounds, not the data layout.
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    ex0 = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(F.col("text")), _SHINGLE_N))
+        ).alias("t"),
+    ).persist()
+    _INTERMEDIATES.rollover([ex0])
+
+    rows: list[tuple[int, int, int]] = []
+    sel_ids: list[int] = []
+    for i in range(1, _COV_ROUNDS + 1):
+        ex = ex0
+        if sel_ids:
+            covered = (
+                ex0.filter(F.col("doc_id").isin(sel_ids)).select("t").distinct()
+            )
+            ex = ex.filter(~F.col("doc_id").isin(sel_ids)).join(
+                F.broadcast(covered), "t", "left_anti"
+            )
+        top = (
+            ex.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        rows.append((i, int(top[0]["doc_id"]), int(top[0]["gain"])))
+        sel_ids.append(int(top[0]["doc_id"]))
+
+    out = spark.createDataFrame(
+        rows, "sel_round bigint, doc_id bigint, marginal_gain bigint"
+    )
+    w = Window.orderBy("sel_round").rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "sel_round",
+        "doc_id",
+        "marginal_gain",
+        F.sum("marginal_gain").over(w).cast("bigint").alias("covered_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning (small-file bin packing in key order)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4096  # chars per output file
+
+
+COMPACTION_ORACLE = f"""
+WITH c AS (
+    SELECT source, doc_id, n_chars,
+           COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM documents
+),
+f AS (SELECT source, doc_id, n_chars, cum_before // {_COMPACT_TARGET} AS file_id FROM c)
+SELECT source, CAST(file_id AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM f GROUP BY source, file_id
+"""
+
+
+@register(
+    "compaction_plan",
+    COMPACTION_ORACLE,
+    f"small-file compaction plan: pack docs into ~{_COMPACT_TARGET}-char files per source, key order",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic compaction planner (the OPTIMIZE-style maintenance
+    pass every long-lived lakehouse table needs): within each source
+    partition, walk documents in key order, accumulate sizes, and cut a
+    new output file every time the running total crosses the target —
+    i.e. file_id = floor(cumulative_size_before / target). First-fit in
+    key order preserves clustering (range pruning on doc_id still works
+    on the compacted files) and is exactly reproducible, unlike
+    best-fit heuristics that depend on iteration order.
+
+    Scale shape: one window cumsum per source partition (the same
+    exchange any per-partition maintenance job pays) followed by a
+    map-side-combinable agg on (source, file_id). Payload is ids +
+    integers; document text is never read.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    f = c.withColumn(
+        "file_id", F.expr(f"cum_before div {_COMPACT_TARGET}").cast("bigint")
+    )
+    return f.groupBy("source", "file_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balance reweighting (inverse-frequency sampling weights)
+# ---------------------------------------------------------------------------
+
+CLASS_BALANCE_ORACLE = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_classes FROM c)
+SELECT c.lang AS lang, c.n_docs AS n_docs,
+       CAST((c.n_docs * 1000000) // t.total AS BIGINT) AS share_ppm,
+       CAST((t.total * 1000000) // (t.n_classes * c.n_docs) AS BIGINT) AS weight_ppm
+FROM c, t
+"""
+
+
+@register(
+    "class_balance_weights",
+    CLASS_BALANCE_ORACLE,
+    "inverse-frequency language rebalancing weights (ppm) over documents",
+)
+def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights — the card a mixing pipeline
+    reads to upsample rare languages to a uniform target: weight(c) =
+    total / (n_classes * n_c), emitted in floor ppm next to the
+    observed share so the rebalancing is auditable (share * weight ~=
+    1/n_classes). temperature_mix covers smooth (tau) interpolation;
+    this is the exact tau->0 endpoint used for per-class loss
+    weighting rather than sampling.
+
+    Scale shape: one map-side-combined count per class, then a scalar
+    totals row cross-joined (broadcast) onto the tiny class table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_classes"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div total").cast("bigint").alias("share_ppm"),
+            F.expr("(total * 1000000) div (n_classes * n_docs)")
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard kNN graph (LSH-bounded per-doc nearest neighbors)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def _jaccard_knn_oracle() -> str:
+    return f"""
+WITH {minhash_pairs_ctes('documents')},
+sym AS (
+    SELECT id_a AS doc_id, id_b AS nb_id, jaccard FROM mh_pairs
+    UNION ALL
+    SELECT id_b AS doc_id, id_a AS nb_id, jaccard FROM mh_pairs
+),
+r AS (
+    SELECT doc_id, nb_id, jaccard,
+           row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, nb_id) AS rnk
+    FROM sym
+)
+SELECT doc_id, nb_id, jaccard, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {_KNN_K}
+"""
+
+
+@register(
+    "jaccard_knn_graph",
+    _jaccard_knn_oracle(),
+    f"per-doc top-{_KNN_K} Jaccard neighbors among MinHash-LSH candidates",
+)
+def q_jaccard_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-similarity kNN graph: for each doc, its top-k exact-
+    Jaccard neighbors among the MinHash-LSH candidate pairs (same
+    signature/band/threshold constants as dedup_minhash_lsh, so the
+    graph's recall curve is the one lsh_recall_eval measures). This is
+    the text-side twin of knn_join (embedding space): near-dup cluster
+    exploration, curriculum neighbors, and connected-component seeds
+    all read this graph.
+
+    Scale shape: everything heavy is inside minhash_lsh_pairs (banded
+    candidate join, bucket-size guard, shingles never in the shuffle);
+    the graph layer only symmetrizes the pair stream (union of two
+    column renames) and takes a WindowGroupLimit top-k per doc. The
+    jaccard value is one IEEE division of exact integers — the
+    attested cross-engine float convention.
+    """
+    from .registry import guard_observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=_SHINGLE_N,
+        jaccard_threshold=_MH_THRESHOLD,
+        observation=guard_observation("jaccard_knn_graph"),
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nb_id"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nb_id"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("nb_id"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _KNN_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing exponential moving average (integer IIR over a row frame)
+# ---------------------------------------------------------------------------
+
+_EMA_WINDOW = 8
+_EMA_GRID = 100  # cents
+
+
+EMA_ORACLE = f"""
+WITH v AS (
+    SELECT event_id, user_id, ts,
+           CAST(floor((value * {_EMA_GRID}) + 0.5) AS BIGINT) AS vc
+    FROM events
+),
+w AS (
+    SELECT event_id, user_id,
+           list(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_EMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS win
+    FROM v
+)
+SELECT event_id, user_id,
+       CAST(list_reduce(win, (a, b) -> (a + b) // 2) AS BIGINT) AS ema_cents
+FROM w
+"""
+
+
+@register(
+    "ema_trailing",
+    EMA_ORACLE,
+    f"per-user trailing-{_EMA_WINDOW} exponential moving average (alpha=1/2, integer cents)",
+)
+def q_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EMA with alpha = 1/2 as an exact integer IIR: fold
+    e <- floor((e + v) / 2) left-to-right over the trailing row frame,
+    seeded with the frame's oldest value — the smoother that weights
+    the latest point 1/2, the one before 1/4, ... (truncating the
+    recursion at {_EMA_WINDOW} rows bounds state AND makes the value
+    frame-exact instead of history-dependent, so backfills reproduce).
+    rolling_anomaly is the linear-mean sibling; rolling_median the
+    robust one; this is the recency-weighted smoother dashboards and
+    rate limiters actually run. Values are non-negative cents, where
+    DuckDB's truncating // and Spark's floor agree exactly.
+
+    Scale shape: one shuffle on user_id (the shared per-user window
+    exchange); frames are constant-size arrays; the fold is a
+    higher-order function inside codegen, not a UDF.
+    """
+    events = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * _EMA_GRID + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EMA_WINDOW - 1), Window.currentRow)
+    )
+    win = F.collect_list(vc).over(w)
+    ema = F.aggregate(
+        F.slice(win, F.lit(2), F.size(win) - 1),
+        F.element_at(win, 1),
+        lambda acc, v: F.floor((acc + v) / 2).cast("bigint"),
+    )
+    return events.select(
+        "event_id", "user_id", ema.cast("bigint").alias("ema_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers (median absolute deviation, exact integer order stats)
+# ---------------------------------------------------------------------------
+
+_MAD_GRID = 100  # cents
+_MAD_K = 3  # flag |v - median| > K * MAD
+
+
+def _middle_sql(arr: str) -> str:
+    """Exact middle of a sorted DuckDB list: odd length takes the middle
+    element, even length the floor-average of the two middle ones (the
+    rolling_median convention)."""
+    return (
+        f"CAST(CASE WHEN len({arr}) % 2 = 1 THEN {arr}[(len({arr}) + 1) // 2] "
+        f"ELSE ({arr}[len({arr}) // 2] + {arr}[len({arr}) // 2 + 1]) // 2 END AS BIGINT)"
+    )
+
+
+MAD_ORACLE = f"""
+WITH v AS (
+    SELECT event_id, user_id,
+           CAST(floor((value * {_MAD_GRID}) + 0.5) AS BIGINT) AS vc
+    FROM events
+),
+m AS (SELECT user_id, list_sort(list(vc)) AS w FROM v GROUP BY user_id),
+med AS (SELECT user_id, {_middle_sql('w')} AS med_cents FROM m),
+d AS (
+    SELECT v.event_id, v.user_id, v.vc, med.med_cents,
+           abs(v.vc - med.med_cents) AS dev
+    FROM v JOIN med USING (user_id)
+),
+md AS (SELECT user_id, list_sort(list(dev)) AS w FROM d GROUP BY user_id),
+mad AS (SELECT user_id, {_middle_sql('w')} AS mad_cents FROM md)
+SELECT d.event_id AS event_id, d.user_id AS user_id,
+       d.vc AS value_cents, d.med_cents AS median_cents, mad.mad_cents AS mad_cents
+FROM d JOIN mad USING (user_id)
+WHERE d.dev > {_MAD_K} * mad.mad_cents
+"""
+
+
+def _middle_col(arr):
+    n = F.size(arr)
+    return (
+        F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise(
+            F.floor(
+                (
+                    F.element_at(arr, (n / 2).cast("int"))
+                    + F.element_at(arr, (n / 2 + 1).cast("int"))
+                )
+                / 2
+            )
+        )
+        .cast("bigint")
+    )
+
+
+@register(
+    "mad_outliers",
+    MAD_ORACLE,
+    f"per-user robust outliers: |value - median| > {_MAD_K} x MAD, exact integer cents",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier flags via median absolute deviation —
+    the estimator with a 50% breakdown point, vs rolling_anomaly's
+    mean/std whose own baseline an outlier can saturate. Two exact
+    order statistics per user (median of values, then median of
+    absolute deviations), both as sorted-array middles with the
+    rolling_median even-length floor-average convention; a row is
+    flagged when dev > {_MAD_K} * MAD (integer compare; MAD = 0
+    degenerates to "any deviation flags", identically on both
+    engines).
+
+    Scale shape: two groupBy-collect aggs keyed by user_id (per-user
+    history is the bounded unit every per-user query holds — same
+    contract as sessionize/funnel), each followed by a join of the
+    small per-user stat table back onto the event stream. Payload is
+    ids + integers only.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * _MAD_GRID + F.lit(0.5)).cast("bigint").alias("vc"),
+    )
+    med = (
+        v.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("vc")).alias("w"))
+        .select("user_id", _middle_col(F.col("w")).alias("med_cents"))
+    )
+    d = v.join(med, "user_id").withColumn(
+        "dev", F.abs(F.col("vc") - F.col("med_cents"))
+    )
+    mad = (
+        d.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("dev")).alias("w"))
+        .select("user_id", _middle_col(F.col("w")).alias("mad_cents"))
+    )
+    return (
+        d.join(mad, "user_id")
+        .filter(F.col("dev") > _MAD_K * F.col("mad_cents"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("vc").alias("value_cents"),
+            F.col("med_cents").alias("median_cents"),
+            "mad_cents",
+        )
+    )
