@@ -294,3 +294,178 @@ def test_jaccard_knn_topk_is_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# Interleave schedule semantics
+# ---------------------------------------------------------------------------
+
+def test_interleave_round_robin_order(spark, tmp_path):
+    # sources a={1,3}, b={2}: positions = (rn1: a.1, b.2), (rn2: a.3)
+    import pandas as pd
+
+    from usda_food_data_pipeline_spark.registry_select import q_interleave_schedule
+
+    d = tmp_path / "il"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["x"] * 3,
+            "lang": ["en"] * 3,
+            "source": ["a", "b", "a"],
+            "n_chars": [1] * 3,
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = q_interleave_schedule(spark, str(d)).orderBy("pos").collect()
+    assert [(r.pos, r.doc_id, r.source, r.rn) for r in rows] == [
+        (1, 1, "a", 1),
+        (2, 2, "b", 1),
+        (3, 3, "a", 2),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution semantics
+# ---------------------------------------------------------------------------
+
+def test_attribution_carries_touch_past_conversion_runs(spark, tmp_path):
+    # stream: purchase(1) [no touch], click(2), purchase(3), purchase(4)
+    # -> 1 unattributed; 3 and 4 BOTH attribute to click 2
+    import pandas as pd
+
+    from usda_food_data_pipeline_spark.registry_select import (
+        q_attribution_last_touch,
+    )
+
+    d = tmp_path / "attr"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:00:10",
+                 "2026-01-01 00:00:20", "2026-01-01 00:00:30"]
+            ),
+            "user_id": [1] * 4,
+            "event_type": ["purchase", "click", "purchase", "purchase"],
+            "value": [1.0] * 4,
+            "props": [""] * 4,
+        }
+    ).to_parquet(d / "events.parquet")
+    rows = {r.event_id: r for r in q_attribution_last_touch(spark, str(d)).collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[1].touch_event_id is None and rows[1].gap_us is None
+    assert rows[3].touch_event_id == 2 and rows[3].touch_type == "click"
+    assert rows[3].gap_us == 10_000_000
+    assert rows[4].touch_event_id == 2 and rows[4].gap_us == 20_000_000
+
+
+# ---------------------------------------------------------------------------
+# Inverted index semantics
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_df_cf_postings(spark, tmp_path):
+    # doc 1: "a a b", doc 2: "b c" -> a:(df1,cf2,[1]) b:(df2,cf2,[1,2]) c:(df1,cf1,[2])
+    import pandas as pd
+
+    from usda_food_data_pipeline_spark.registry_select import (
+        q_inverted_index_postings,
+    )
+
+    d = tmp_path / "inv"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a a b", "b c"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [5, 3],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = {r.token: r for r in q_inverted_index_postings(spark, str(d)).collect()}
+    assert (rows["a"].df, rows["a"].cf, rows["a"].postings) == (1, 2, "1")
+    assert (rows["b"].df, rows["b"].cf, rows["b"].postings) == (2, 2, "1,2")
+    assert (rows["c"].df, rows["c"].cf, rows["c"].postings) == (1, 1, "2")
+
+
+# ---------------------------------------------------------------------------
+# Stratified ES sampling semantics
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_quota_and_global_consistency(spark, sf_dir):
+    # every language fills min(quota, group size); within a group the
+    # selection is exactly the group's smallest ES keys, which the
+    # GLOBAL sampler with the same seed would also rank first
+    from usda_food_data_pipeline_spark.registry_select import (
+        _WSG_N,
+        q_weighted_sample_stratified,
+    )
+    from usda_food_data_pipeline_spark.sources.tables import load_table
+
+    out = q_weighted_sample_stratified(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert got.get(lang, 0) == min(_WSG_N, n)
+
+
+def test_stratified_sample_scratch_collision_fails_fast(spark):
+    import pytest
+
+    from usda_food_data_pipeline_spark.operators.topk import (
+        weighted_sample_es_grouped,
+    )
+
+    df = spark.createDataFrame([(1, "en", 5, 9)], ["doc_id", "lang", "n_chars", "_es_key"])
+    with pytest.raises(ValueError, match="_es_key"):
+        weighted_sample_es_grouped(
+            df, 1, 1, "doc_id", F.col("n_chars"), ["lang"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Recency decay semantics
+# ---------------------------------------------------------------------------
+
+def test_recency_decay_halves_per_week(spark, tmp_path):
+    # anchor = max date (day 14). ages 0, 7, 14 days -> shifts 0, 1, 2:
+    # 800 + 400 + 200 cents (values all 8.00)
+    import pandas as pd
+
+    from usda_food_data_pipeline_spark.registry_select import q_recency_decay_score
+
+    d = tmp_path / "dec"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-08", "2026-01-15"]),
+            "user_id": [1] * 3,
+            "event_type": ["view"] * 3,
+            "value": [8.0] * 3,
+            "props": [""] * 3,
+        }
+    ).to_parquet(d / "events.parquet")
+    rows = q_recency_decay_score(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0].n_events == 3
+    assert rows[0].decayed_cents == 800 + 400 + 200
+
+
+def test_stratified_sample_window_group_limit_plan(spark, sf_dir):
+    # per-group quota must compile to WindowGroupLimit (not a full sort
+    # of every stratum through the window)
+    from usda_food_data_pipeline_spark.registry_select import (
+        q_weighted_sample_stratified,
+    )
+
+    plan = (
+        q_weighted_sample_stratified(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -252,3 +252,51 @@ def weighted_sample_es(
         .limit(n)
         .drop("_es_w", "_ln_nanos", "_es_key")
     )
+
+
+def weighted_sample_es_grouped(
+    df: DataFrame,
+    n_per_group: int,
+    seed: int,
+    key_col: str,
+    weight_col,
+    group_cols: list[str],
+) -> DataFrame:
+    """Stratified Efraimidis-Spirakis sampling: an independent weighted
+    sample WITHOUT replacement of ``n_per_group`` rows inside every
+    ``group_cols`` stratum — the per-language / per-domain quota
+    variant of :func:`weighted_sample_es` (same exact integer ES key:
+    portable-ln of a 48-bit content hash, micro-grid ``DIV`` by the
+    weight, ties to ``key_col``).
+
+    Scale shape: the global top-n's TakeOrdered is replaced by one
+    window row_number per stratum, which compiles to WindowGroupLimit —
+    each task forwards at most ``n_per_group`` rows per group into the
+    final per-group sort, so the exchange is (groups x n) rows, never
+    the corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.portable_ln import LN2, ln_int_col, py_grid_nanos
+    from .dedup import md5_int
+
+    clash = {"_es_w", "_ln_nanos", "_es_key", "_es_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"weighted_sample_es_grouped scratch columns collide with input: {sorted(clash)}"
+        )
+    h = md5_int(F.col(key_col).cast("string"), seed)
+    ln_nanos = F.floor(
+        (ln_int_col(h + F.lit(1)) * F.lit(float(10**9))) + F.lit(0.5)
+    )
+    ceiling = py_grid_nanos(48.0 * LN2)
+    key = F.expr(f"(({ceiling} - _ln_nanos) * 1000000L) DIV _es_w")
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_es_key"), F.col(key_col))
+    return (
+        df.withColumn("_es_w", weight_col.cast("bigint"))
+        .withColumn("_ln_nanos", ln_nanos)
+        .withColumn("_es_key", key)
+        .withColumn("_es_rn", F.row_number().over(w))
+        .filter(F.col("_es_rn") <= n_per_group)
+        .drop("_es_w", "_ln_nanos", "_es_key", "_es_rn")
+    )

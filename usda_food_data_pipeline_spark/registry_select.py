@@ -577,3 +577,310 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved training-order schedule (deterministic round-robin mix)
+# ---------------------------------------------------------------------------
+
+_IL_TOP = 100
+
+
+INTERLEAVE_ORACLE = f"""
+WITH r AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+),
+g AS (
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn,
+           row_number() OVER (ORDER BY rn, source, doc_id) AS pos
+    FROM r
+)
+SELECT CAST(pos AS BIGINT) AS pos, doc_id, source, rn FROM g WHERE pos <= {_IL_TOP}
+"""
+
+
+@register(
+    "interleave_schedule",
+    INTERLEAVE_ORACLE,
+    f"deterministic round-robin training order across sources (first {_IL_TOP} positions)",
+)
+def q_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order materialization: round-robin across
+    source domains — every source contributes its rank-1 doc before any
+    source contributes its rank-2 doc, ties broken by (source, doc_id).
+    mix_sampling / temperature_mix decide HOW MUCH of each domain to
+    take; this decides the ORDER the trainer consumes it in, and an
+    exact, content-independent order is what makes a data-loader resume
+    or re-run bit-reproducible.
+
+    Scale shape: one per-source window (partitioned rank) then a global
+    position assignment. Emitted here as a top-{_IL_TOP} probe (the
+    schedule's head); the full-corpus materialization is the two-phase
+    distributed prefix sum token_budget_select already implements —
+    per-partition counts, broadcast offsets, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    r = docs.select(
+        "doc_id", "source", F.row_number().over(wr).cast("bigint").alias("rn")
+    )
+    wg = Window.orderBy("rn", "source", "doc_id")
+    return (
+        r.withColumn("pos", F.row_number().over(wg).cast("bigint"))
+        .filter(F.col("pos") <= _IL_TOP)
+        .select("pos", "doc_id", "source", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (conversion -> most recent preceding touch)
+# ---------------------------------------------------------------------------
+
+_CONV_TYPE = "purchase"
+
+
+ATTRIBUTION_ORACLE = f"""
+WITH a AS (
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type <> '{_CONV_TYPE}' THEN event_id END IGNORE NULLS)
+               OVER w AS touch_event_id,
+           last_value(CASE WHEN event_type <> '{_CONV_TYPE}' THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+           last_value(CASE WHEN event_type <> '{_CONV_TYPE}' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS touch_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, touch_event_id, touch_type,
+       CAST(epoch_us(ts) - touch_us AS BIGINT) AS gap_us
+FROM a WHERE event_type = '{_CONV_TYPE}'
+"""
+
+
+@register(
+    "attribution_last_touch",
+    ATTRIBUTION_ORACLE,
+    f"last-touch attribution: each {_CONV_TYPE} linked to the most recent preceding non-{_CONV_TYPE} event",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: for every conversion event,
+    the most recent PRECEDING event of any other type in the same
+    user's stream (the touch), plus the touch->conversion gap in exact
+    microseconds. Conversions with no prior touch keep NULL columns —
+    the unattributable share is part of the answer, not dropped.
+
+    The non-obvious part is doing it in ONE pass: a conditional
+    last(..., ignorenulls) over the [unbounded, -1] row frame carries
+    the latest touch forward past any run of conversions, so there is
+    no self-join of conversions against touches (the naive shape — a
+    second fact-fact join — is exactly what an event stream at scale
+    cannot afford). One user_id window exchange, same as every
+    per-user query; sessionize_gaps / funnel_conversion reuse it.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") != _CONV_TYPE
+    a = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    return a.filter(F.col("event_type") == _CONV_TYPE).select(
+        "event_id",
+        "user_id",
+        "touch_event_id",
+        "touch_type",
+        (F.unix_micros("ts") - F.col("touch_us")).cast("bigint").alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index postings (IR-engine primitive over the corpus)
+# ---------------------------------------------------------------------------
+
+INVERTED_INDEX_ORACLE = f"""
+WITH ex AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY tok, doc_id)
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM tf GROUP BY tok
+"""
+
+
+@register(
+    "inverted_index_postings",
+    INVERTED_INDEX_ORACLE,
+    "inverted index build: per-token df, collection frequency, sorted doc_id postings",
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IR-engine primitive under bm25_retrieval's scoring: per
+    token, its document frequency, collection frequency, and the
+    doc_id-sorted postings list (emitted as the canonical
+    comma-joined string, the array_agg_quantities gate convention) —
+    materialized as data so a serving layer can range-read it. bm25 computes the STATISTICS; this emits
+    the INDEX.
+
+    Scale shape: the classic two-level index build — (token, doc)
+    term frequencies with map-side combine, then one token-keyed agg
+    assembling the postings array. Per-token payload is df-bounded;
+    the hot-token mitigation at web scale is doc-range-sharded
+    postings ((token, shard) keys, same plan shape), which this
+    layout extends to directly. Text leaves the plan at the first
+    projection — the exchanges carry (token, id, count) only.
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    ex = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = ex.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    return tf.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+    ).withColumnRenamed("tok", "token")
+
+
+# ---------------------------------------------------------------------------
+# Stratified ES weighted sampling (per-language quota)
+# ---------------------------------------------------------------------------
+
+_WSG_N, _WSG_SEED = 40, 78
+
+
+def _weighted_sample_stratified_oracle() -> str:
+    from .functions.portable_ln import (
+        LN2,
+        POWS_CTE,
+        py_grid_nanos,
+        sql_grid_nanos,
+        sql_ln_select,
+    )
+    from .operators.dedup import oracle_md5_int_sql
+
+    ceiling = py_grid_nanos(48.0 * LN2)
+    h = oracle_md5_int_sql("CAST(doc_id AS VARCHAR)", _WSG_SEED)
+    base = f"(SELECT doc_id, lang, n_chars, ({h}) AS _h FROM documents)"
+    ln_sel = sql_ln_select(
+        base,
+        keep=["doc_id", "lang", "n_chars"],
+        terms={"h1": "_h + 1"},
+        outputs=[("_ln_h", "_ln_h1")],
+    )
+    key = (
+        f"(({ceiling} - {sql_grid_nanos('_ln_h')}) * 1000000)"
+        f" // greatest(CAST(n_chars AS BIGINT), 1)"
+    )
+    return f"""WITH {POWS_CTE},
+lns AS ({ln_sel})
+SELECT doc_id, lang, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ({key}), doc_id) AS _rn
+    FROM lns
+) WHERE _rn <= {_WSG_N}
+"""
+
+
+@register(
+    "weighted_sample_stratified",
+    _weighted_sample_stratified_oracle(),
+    f"per-language ES weighted sample without replacement (n={_WSG_N} per lang, weight=n_chars)",
+)
+def q_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sampling with ES weights: an independent
+    weighted sample inside every language — how a mixing pipeline
+    fills per-language budgets with quality-weighted draws instead of
+    uniform ones (weighted_sample is the global-budget sibling; the
+    dataset_split hash keeps assignment; this keeps selection).
+    Identical exact-integer ES key (portable-ln chain, micro-grid DIV,
+    ties to doc_id), different seed, and the global TakeOrdered
+    replaced by a WindowGroupLimit per stratum.
+    """
+    from .operators.topk import weighted_sample_es_grouped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_es_grouped(
+        docs,
+        n_per_group=_WSG_N,
+        seed=_WSG_SEED,
+        key_col="doc_id",
+        weight_col=F.greatest(F.col("n_chars"), F.lit(1)),
+        group_cols=["lang"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed value scoring (exact halving decay)
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_DAYS = 7
+_DECAY_MAX_SHIFT = 30
+_DECAY_GRID = 100  # cents
+
+
+RECENCY_DECAY_ORACLE = f"""
+WITH v AS (
+    SELECT user_id, CAST(floor((value * {_DECAY_GRID}) + 0.5) AS BIGINT) AS vc,
+           CAST(ts AS DATE) AS d
+    FROM events
+),
+a AS (SELECT max(d) AS anchor FROM v)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vc >> least(date_diff('day', d, anchor) // {_DECAY_HALF_DAYS}, {_DECAY_MAX_SHIFT})) AS BIGINT)
+           AS decayed_cents
+FROM v, a GROUP BY user_id
+"""
+
+
+@register(
+    "recency_decay_score",
+    RECENCY_DECAY_ORACLE,
+    f"per-user recency-decayed value: halve per {_DECAY_HALF_DAYS} days via exact integer right-shift",
+)
+def q_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted scoring with an EXACT decay: value halves per
+    {_DECAY_HALF_DAYS}-day age step, implemented as a BIGINT right
+    shift (2^-k decay on the cents grid — the dyadic stand-in for
+    exp(-age/tau) that both engines compute bit-identically; shift
+    capped at {_DECAY_MAX_SHIFT} so stale rows floor at zero instead
+    of overflowing the shift). The anchor date is the stream's max —
+    data-derived, so backfills score identically to live runs.
+
+    Scale shape: a scalar max (broadcast) + one user-keyed agg with
+    map-side combine; age arithmetic is date-based integers, immune to
+    timezone/rounding skew between engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "user_id",
+        F.floor(F.col("value") * _DECAY_GRID + F.lit(0.5)).cast("bigint").alias("vc"),
+        F.to_date("ts").alias("d"),
+    )
+    a = v.agg(F.max("d").alias("anchor"))
+    return (
+        v.crossJoin(F.broadcast(a))
+        .select(
+            "user_id",
+            F.expr(
+                f"shiftright(vc, least(datediff(anchor, d) div {_DECAY_HALF_DAYS}, {_DECAY_MAX_SHIFT}))"
+            ).alias("dv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("dv").cast("bigint").alias("decayed_cents"),
+        )
+    )
