@@ -165,7 +165,12 @@ def main() -> int:
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')")
+        # driver testdata ships single-file tables; local scale fixtures
+        # (tools/make_scale.py) are Spark-written part-file directories
+        src = f"{args.sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs = e.queries()
     oracles = e.oracle_sql()

@@ -116,19 +116,23 @@ _COV_ROUNDS = 4
 
 
 def _coverage_oracle(k: int) -> str:
+    # AS MATERIALIZED on every round table: each exN / pickN is referenced
+    # more than once by the next round, and inlined CTEs would re-derive
+    # the whole chain per reference (2^k blowup — observed minutes at sf1
+    # vs milliseconds materialized)
     parts = [
-        f"ex0 AS (SELECT doc_id, unnest(list_distinct({shingles_sql(TOKS_SQL, _SHINGLE_N)})) AS t FROM documents)"
+        f"ex0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct({shingles_sql(TOKS_SQL, _SHINGLE_N)})) AS t FROM documents)"
     ]
     picks = []
     for i in range(1, k + 1):
         prev = i - 1
         parts.append(
-            f"pick{i} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain "
+            f"pick{i} AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain "
             f"FROM ex{prev} GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"
         )
         if i < k:
             parts.append(
-                f"ex{i} AS (SELECT e.doc_id, e.t FROM ex{prev} e "
+                f"ex{i} AS MATERIALIZED (SELECT e.doc_id, e.t FROM ex{prev} e "
                 f"WHERE e.doc_id NOT IN (SELECT doc_id FROM pick{i}) "
                 f"AND e.t NOT IN (SELECT t FROM ex{prev} "
                 f"WHERE doc_id IN (SELECT doc_id FROM pick{i})))"
