@@ -469,3 +469,125 @@ def test_stratified_sample_window_group_limit_plan(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# Market-basket semantics
+# ---------------------------------------------------------------------------
+
+def test_market_basket_support_conf_lift(spark, tmp_path):
+    # 4 orders: {1,2} x3, {1} x1 -> pair (1,2): supp_ab=3, supp_1=4,
+    # supp_2=3, n_orders=4; conf(2|1)=750000, lift=(3*4)/(4*3)=1000000
+    import pandas as pd
+
+    from usda_food_data_pipeline_spark.registry_select import q_market_basket_lift
+
+    d = tmp_path / "mb"
+    d.mkdir()
+    rows = []
+    lk = 0
+    for ok, parts in [(1, [1, 2]), (2, [1, 2]), (3, [1, 2]), (4, [1])]:
+        for pk in parts:
+            lk += 1
+            rows.append((ok, pk, lk))
+    # minimal columns only — the query reads (l_orderkey, l_partkey), and
+    # a timestamp-free fixture keeps this test independent of the
+    # session-global nanosAsLong conf another test may have set
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    df.to_parquet(d / "lineitem.parquet")
+    out = q_market_basket_lift(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.pk_a, r.pk_b, r.supp_ab, r.supp_a, r.supp_b) == (1, 2, 3, 4, 3)
+    assert r.conf_ppm == (3 * 1000000) // 4 == 750000
+    assert r.lift_ppm == (3 * 4 * 1000000) // (4 * 3) == 1000000
+
+
+# ---------------------------------------------------------------------------
+# Novelty curve semantics
+# ---------------------------------------------------------------------------
+
+def test_novelty_counts_first_occurrence_batches(spark, tmp_path):
+    # batch 0 (docs < 100): doc 1 "a b c d" -> {abc,bcd} new=2
+    # batch 1 (doc 150): "a b c e" -> bce? shingles {abc,bce}: abc seen -> new=1
+    import pandas as pd
+
+    from usda_food_data_pipeline_spark.registry_select import q_ngram_novelty_curve
+
+    d = tmp_path / "nov"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 150],
+            "text": ["a b c d", "a b c e"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [7, 7],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = {r.batch: r for r in q_ngram_novelty_curve(spark, str(d)).collect()}
+    assert rows[0].n_new == 2 and rows[0].cum_distinct == 2
+    assert rows[1].n_new == 1 and rows[1].cum_distinct == 3
+
+
+# ---------------------------------------------------------------------------
+# Activity entropy semantics
+# ---------------------------------------------------------------------------
+
+def test_activity_entropy_monoculture_is_zero(spark, tmp_path):
+    # user 1: 4x 'view' -> H = ln(4) - (4*ln4)/4 = 0 exactly
+    # user 2: 2x 'view' + 2x 'click' -> H = ln(4) - ln(2) = ln 2 > 0
+    import pandas as pd
+
+    from usda_food_data_pipeline_spark.registry_select import (
+        q_user_activity_entropy,
+    )
+
+    d = tmp_path / "ent"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": list(range(1, 9)),
+            "ts": pd.to_datetime(["2026-01-01"] * 8),
+            "user_id": [1, 1, 1, 1, 2, 2, 2, 2],
+            "event_type": ["view"] * 4 + ["view", "view", "click", "click"],
+            "value": [1.0] * 8,
+            "props": [""] * 8,
+        }
+    ).to_parquet(d / "events.parquet")
+    rows = {r.user_id: r for r in q_user_activity_entropy(spark, str(d)).collect()}
+    assert rows[1].entropy_nanos == 0
+    # ln 2 in nanos on the portable grid
+    from usda_food_data_pipeline_spark.functions.portable_ln import LN2, py_grid_nanos
+    assert abs(rows[2].entropy_nanos - py_grid_nanos(LN2)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Churn label semantics
+# ---------------------------------------------------------------------------
+
+def test_churn_label_cutoff_inclusive_of_window(spark, tmp_path):
+    # max date 2026-02-01, mid = 2026-01-18.
+    # user 1: event on 01-01 only -> churned (before>0, after=0)
+    # user 2: events 01-01 and 02-01 -> retained
+    # user 3: event 01-18 only (>= mid) -> new user, NOT churned (before=0)
+    import pandas as pd
+
+    from usda_food_data_pipeline_spark.registry_select import q_churn_labels
+
+    d = tmp_path / "ch"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-01", "2026-02-01", "2026-01-18"]),
+            "user_id": [1, 2, 2, 3],
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+            "props": [""] * 4,
+        }
+    ).to_parquet(d / "events.parquet")
+    rows = {r.user_id: r for r in q_churn_labels(spark, str(d)).collect()}
+    assert (rows[1].n_before, rows[1].n_after, rows[1].churned) == (1, 0, 1)
+    assert (rows[2].n_before, rows[2].n_after, rows[2].churned) == (1, 1, 0)
+    assert (rows[3].n_before, rows[3].n_after, rows[3].churned) == (0, 1, 0)

@@ -888,3 +888,289 @@ def q_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dv").cast("bigint").alias("decayed_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_MB_MINSUP = 2
+
+
+MARKET_BASKET_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+s AS (SELECT pk, CAST(count(*) AS BIGINT) AS supp FROM b GROUP BY pk),
+p AS (
+    SELECT a.pk AS pk_a, b2.pk AS pk_b, CAST(count(*) AS BIGINT) AS supp_ab
+    FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+    GROUP BY a.pk, b2.pk HAVING count(*) >= {_MB_MINSUP}
+)
+SELECT pk_a, pk_b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+       CAST((supp_ab * 1000000) // sa.supp AS BIGINT) AS conf_ppm,
+       CAST((supp_ab * n.n_orders * 1000000) // (sa.supp * sb.supp) AS BIGINT) AS lift_ppm
+FROM p JOIN s sa ON p.pk_a = sa.pk JOIN s sb ON p.pk_b = sb.pk, n
+"""
+
+
+@register(
+    "market_basket_lift",
+    MARKET_BASKET_ORACLE,
+    f"association rules over order baskets: pair support >= {_MB_MINSUP}, confidence and lift in floor ppm",
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (the warehouse twin of
+    pmi_phrases' text collocations): for part pairs co-bought in the
+    same order, support, confidence P(b|a), and lift
+    P(a,b)/(P(a)P(b)) — in exact floor ppm so both engines agree
+    bit-for-bit.  Pairs below the support floor are pruned in the agg
+    HAVING (the Apriori base step).
+
+    Scale shape: ONE shuffle builds the baskets (groupBy order,
+    collect_set of parts); pairs are then generated MAP-SIDE by
+    exploding each sorted basket's upper triangle — the naive
+    distinct + order-keyed self-join costs two extra exchanges of the
+    full (order, part) stream for the same pairs (A/B'd equal-time at
+    sf0.1, min-of-3 2.04s vs 2.07s, but one shuffle vs three).
+    Fan-out is C(basket, 2), quadratic in basket size and NOT in
+    corpus size; template-spam baskets are the analog of dedup's hot
+    buckets, and the same per-key cap (dedup.cap_bucket_size) bolts
+    on unchanged if a marketplace exhibits them. Item supports and
+    the scalar order count come off the same basket table and
+    broadcast onto the pruned pair table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    baskets = baskets.persist()
+    _INTERMEDIATES.rollover([baskets])
+    n = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    s = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("supp"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), y -> "
+                "struct(x AS pk_a, y AS pk_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.pk_a", "pr.pk_b")
+    p = (
+        pairs.groupBy("pk_a", "pk_b")
+        .agg(F.count("*").cast("bigint").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= _MB_MINSUP)
+    )
+    return (
+        p.join(s.select(F.col("pk").alias("pk_a"), F.col("supp").alias("supp_a")), "pk_a")
+        .join(s.select(F.col("pk").alias("pk_b"), F.col("supp").alias("supp_b")), "pk_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pk_a", "pk_b", "supp_ab", "supp_a", "supp_b",
+            F.expr("(supp_ab * 1000000) div supp_a").cast("bigint").alias("conf_ppm"),
+            F.expr("(supp_ab * n_orders * 1000000) div (supp_a * supp_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve (Heaps-law vocabulary growth per corpus batch)
+# ---------------------------------------------------------------------------
+
+_NOV_BATCH = 100  # docs per batch
+
+
+NOVELTY_ORACLE = f"""
+WITH ex AS (
+    SELECT doc_id, unnest(list_distinct({shingles_sql(TOKS_SQL, _SHINGLE_N)})) AS s
+    FROM documents
+),
+f AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s),
+b AS (
+    SELECT first_doc // {_NOV_BATCH} AS batch, CAST(count(*) AS BIGINT) AS n_new
+    FROM f GROUP BY 1
+)
+SELECT CAST(batch AS BIGINT) AS batch, n_new,
+       CAST(sum(n_new) OVER (ORDER BY batch) AS BIGINT) AS cum_distinct
+FROM b
+"""
+
+
+@register(
+    "ngram_novelty_curve",
+    NOVELTY_ORACLE,
+    f"Heaps-law novelty curve: new distinct trigram shingles per {_NOV_BATCH}-doc ingest batch",
+)
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth datacard: how many NEVER-SEEN-BEFORE trigram
+    shingles each ingest batch contributes, in doc_id order — the
+    Heaps-law curve a crawl operator watches to decide when a source
+    is mined out (flat curve = new data is old news; the corpus-level
+    companion of doc_novelty's per-doc score, and the query form of
+    tools/vocab_growth.py's offline sweep).
+
+    "First occurrence" needs no ordered scan: min(doc_id) per shingle
+    is one map-side-combinable agg, then batches are a floor division
+    — the whole curve is two small aggs and a window over the (tiny)
+    batch table. Shingle text leaves the plan at the min-agg; the
+    window input is O(batches).
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(F.col("text")), _SHINGLE_N))
+        ).alias("s"),
+    )
+    f = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    b = (
+        f.withColumn("batch", F.expr(f"first_doc div {_NOV_BATCH}").cast("bigint"))
+        .groupBy("batch")
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        "batch", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# User activity entropy (behavioral diversity, exact integer ln)
+# ---------------------------------------------------------------------------
+
+
+def _activity_entropy_oracle() -> str:
+    from .functions.portable_ln import POWS_CTE, sql_grid_nanos, sql_ln_select
+
+    lnc = sql_ln_select(
+        "(SELECT DISTINCT c FROM occ) _dc",
+        ["c"],
+        {"a": "c"},
+        [("nan", sql_grid_nanos("_ln_a"))],
+    )
+    lnn = sql_ln_select(
+        "(SELECT DISTINCT n_events FROM per_user) _dn",
+        ["n_events"],
+        {"a": "n_events"},
+        [("nan", sql_grid_nanos("_ln_a"))],
+    )
+    return f"""
+WITH {POWS_CTE},
+occ AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+lnc AS ({lnc}),
+per_user AS (
+    SELECT occ.user_id, CAST(sum(occ.c) AS BIGINT) AS n_events,
+           CAST(sum(occ.c * l.nan) AS BIGINT) AS _s
+    FROM occ JOIN lnc l ON l.c = occ.c
+    GROUP BY 1
+),
+lnn AS ({lnn})
+SELECT p.user_id, p.n_events,
+       CAST(l.nan - (p._s // p.n_events) AS BIGINT) AS entropy_nanos
+FROM per_user p JOIN lnn l ON l.n_events = p.n_events
+"""
+
+
+@register(
+    "user_activity_entropy",
+    _activity_entropy_oracle(),
+    "per-user Shannon entropy of the event-type mix in exact integer ln-nanos (behavioral diversity)",
+)
+def q_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity profiling: Shannon entropy of each user's
+    event-type distribution — H = ln(n) - (sum_t c_t ln c_t)/n — the
+    bot/monoculture signal (a scraper firing only 'view' scores ~0; a
+    organic user scores near ln(#types)). Same exact-integer entropy
+    core as token_entropy (functions/textstats.py), third consumer of
+    the in-plan portable ln: every ln is evaluated per row by
+    ln_int_col's chain, snapped to BIGINT nanos, combined with integer
+    DIV — no floats in any compared value, no driver collects.
+
+    Scale shape: a (user, type)-keyed count with map-side combine, a
+    user-keyed sum, and one 5-row broadcast-sized ln domain per
+    engine. The type cardinality bounds per-user state, not history.
+    """
+    from .functions.portable_ln import grid_nanos_col, ln_int_col
+
+    events = load_table(spark, sf_dir, "events")
+    occ = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    nano = lambda col: grid_nanos_col(ln_int_col(col))  # noqa: E731
+    per_user = occ.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * nano(F.col("c"))).cast("bigint").alias("_s"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        (nano(F.col("n_events")) - F.expr("_s DIV n_events"))
+        .cast("bigint")
+        .alias("entropy_nanos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Churn label generation (supervised-label card over the event stream)
+# ---------------------------------------------------------------------------
+
+_CHURN_WINDOW_DAYS = 14
+
+
+CHURN_ORACLE = f"""
+WITH v AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+a AS (SELECT max(d) - INTERVAL {_CHURN_WINDOW_DAYS} DAY AS mid FROM v)
+SELECT user_id,
+       CAST(sum(CASE WHEN d <  mid THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       CAST(CASE WHEN sum(CASE WHEN d < mid THEN 1 ELSE 0 END) > 0
+                  AND sum(CASE WHEN d >= mid THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM v, a GROUP BY user_id
+"""
+
+
+@register(
+    "churn_labels",
+    CHURN_ORACLE,
+    f"churn training labels: active before but silent in the last {_CHURN_WINDOW_DAYS} days (data-derived anchor)",
+)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label generation over the event stream: a user is
+    labeled churned iff they were active before the cutoff and silent
+    in the trailing {_CHURN_WINDOW_DAYS}-day observation window. The
+    cutoff is data-derived (max date minus the window), so a backfill
+    reproduces the labels bit-for-bit — the label card a training
+    pipeline joins features onto (retention_cohorts reads the same
+    stream as a matrix; this is its per-user label form).
+
+    Scale shape: one scalar anchor (broadcast) and a single user-keyed
+    conditional-count agg with map-side combine; date-granular integer
+    comparisons only.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = events.select("user_id", F.to_date("ts").alias("d"))
+    a = v.agg(F.date_sub(F.max("d"), _CHURN_WINDOW_DAYS).alias("mid"))
+    before = F.sum(F.when(F.col("d") < F.col("mid"), 1).otherwise(0)).cast("bigint")
+    after = F.sum(F.when(F.col("d") >= F.col("mid"), 1).otherwise(0)).cast("bigint")
+    return (
+        v.crossJoin(F.broadcast(a))
+        .groupBy("user_id")
+        .agg(before.alias("n_before"), after.alias("n_after"))
+        .select(
+            "user_id",
+            "n_before",
+            "n_after",
+            F.when((F.col("n_before") > 0) & (F.col("n_after") == 0), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("churned"),
+        )
+    )
