@@ -2364,7 +2364,10 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(ch=_MAXSIM_CH, dim=_EMBED_DIM)
     from .operators.dedup import md5_int, tokenize
 
-    docs = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import _INTERMEDIATES
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok_ex = docs.select(
         "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
     )
@@ -2376,7 +2379,19 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "chunk_id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        # the bucket-count table feeds FOUR plan branches (nrm, the
+        # query-side slices qcnt/qnrm, and the dot-product join): the
+        # unpersisted form re-ran the tokenize+posexplode+md5 subtree
+        # per branch — 4 corpus scans in the executed plan
+        # (plans/r11/maxsim_retrieval_before.txt). One materialized
+        # (doc, chunk, bucket) table is corpus-token-bounded and at
+        # cluster scale is exactly the intermediate a ColBERT indexer
+        # would persist.
+        .persist()
     )
+    # retire the previous query's tracked intermediates; track cnt so
+    # the next registry query retires it (the shared janitor discipline)
+    _INTERMEDIATES.rollover([cnt])
     nrm = cnt.groupBy("doc_id", "chunk_id").agg(
         F.sum(F.col("c") * F.col("c")).alias("sq")
     )
