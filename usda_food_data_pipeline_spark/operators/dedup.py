@@ -661,9 +661,16 @@ def jaccard_pairs_prefix(
        COUNT requirement, not a positional bound: r06's positional
        bound kept every pair with one early rare collision (suffix
        tail ≈ sz ≫ α), 4.6M candidates for 260 true pairs at sf0.1;
-       requiring ℓ=5 independent prefix commons keeps 0.6M. Complete
-       for every pair sharing ≥ 1 cold prefix code; rarity-first
-       ordering keeps most buckets cold;
+       requiring ℓ=5 independent prefix commons keeps 2.15M. (The
+       r11-opt round swept ℓ: raising it cuts candidates hard at the
+       genuine-corpus scales — 0.65×/0.45× wall at sf0.1/sf1 with
+       bit-identical output — but in the sf3 mass-duplication regime
+       ANY ℓ>5 pushes borderline codes over the bucket cap, loses
+       959 L2-dependent pairs of 2.4M, and runs SLOWER because the
+       longer prefixes feed the hot path; ℓ stays 5 and the verify
+       cost is attacked with the lossless bitmap pre-filter below.)
+       Complete for every pair sharing ≥ 1 cold prefix code;
+       rarity-first ordering keeps most buckets cold;
     4. LEVEL 2 (hot): over-cap codes are NOT dropped — each doc
        re-keys its hot prefix codes by CONSECUTIVE (rarity-ordered)
        triples ``(s_i, s_{i+1}, s_{i+2})``, keeps the ``hot_k``
@@ -875,7 +882,11 @@ def jaccard_pairs_prefix(
         "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.col("sz_a") + F.col("sz_b") - inter
+    # the threshold test reuses the _i COLUMN: writing the union as
+    # (sz_a + sz_b - inter) re-expanded a second array_intersect into
+    # the filter expression — r11 opt round measured the verify stage
+    # paying the per-pair set intersection twice
+    union = F.col("sz_a") + F.col("sz_b") - F.col("_i")
     return (
         verified.withColumn("_i", inter)
         # threshold test in exact integers; jaccard emitted as a double
