@@ -285,6 +285,96 @@ def _train_pq(
     return cents
 
 
+def _train_books_joint(
+    pts: DataFrame,
+    id_col: str,
+    books_spec: list[tuple[int, int, int]],
+    n_iter: int,
+) -> list[list[list[int]]]:
+    """Train SEVERAL independent Lloyd codebooks in the same per-round
+    jobs: ``books_spec`` is ``[(dim offset, k_i, w_i), ...]`` — e.g.
+    IVFADC's one coarse full-width book plus m PQ subspace books.
+
+    Training the books separately (the pre-r11-opt ivf_adc_topk shape:
+    ``_train_pq(m=1, kc)`` then ``_train_pq(m, k)``) runs 2·n_iter
+    scan+collect round jobs and two seed collects; the books are
+    mutually independent, so one round job can carry all of them —
+    n_iter rounds and one seed collect total, halving the job count of
+    every IVFADC-family query.  Per-book arithmetic is IDENTICAL to
+    :func:`_train_pq` (same lowest-id seeds — book i takes the first
+    k_i of one max(k_i)-row collect, same first-minimum argmin tie
+    rule, same round-half-up integer centroid update, empty clusters
+    carry over); tests pin codebook equality against the separate
+    trainers on the driver testdata.
+    """
+    k_max = max(k for _, k, _ in books_spec)
+    w_max = max(w for _, _, w in books_spec)
+    seeds = sorted(
+        pts.orderBy(id_col).limit(k_max).collect(), key=lambda r: r[id_col]
+    )
+    if not seeds:
+        raise ValueError("kmeans: input has no vectors")
+    cents: list[list[list[int]]] = [
+        [[int(v) * GRID for v in r["xq"][off : off + w]] for r in seeds[:k]]
+        for off, k, w in books_spec
+    ]
+    specs = [(off, len(cents[i]), w) for i, (off, _k, w) in enumerate(books_spec)]
+    stats_schema = "_b int, _cl int, _n long, " + ", ".join(
+        f"_s{d} long" for d in range(w_max)
+    )
+
+    for _ in range(n_iter):
+        c_now = [np.asarray(cb, dtype=np.int64) for cb in cents]
+
+        def batch_stats(batches, _c=c_now, _specs=specs, _wm=w_max):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+                xg = x * GRID
+                rows = []
+                for bi, (off, kk, ww) in enumerate(_specs):
+                    sub = xg[:, off : off + ww]
+                    dd = ((sub[:, None, :] - _c[bi][None]) ** 2).sum(axis=2)
+                    # np.argmin takes the FIRST minimum — ties to the
+                    # lowest cluster id, the _assign/_train_pq rule
+                    cl = dd.argmin(axis=1)
+                    n_by = np.bincount(cl, minlength=kk)
+                    sums = np.zeros((kk, ww), dtype=np.int64)
+                    np.add.at(sums, cl, x[:, off : off + ww])
+                    pad = [0] * (_wm - ww)
+                    for ci in np.nonzero(n_by)[0]:
+                        rows.append(
+                            (bi, int(ci), int(n_by[ci]), *map(int, sums[ci]), *pad)
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["_b", "_cl", "_n"] + [f"_s{d}" for d in range(_wm)],
+                )
+
+        stats = (
+            pts.mapInPandas(batch_stats, stats_schema)
+            .groupBy("_b", "_cl")
+            .agg(
+                F.sum("_n").alias("_n"),
+                *[F.sum(f"_s{d}").alias(f"_s{d}") for d in range(w_max)],
+            )
+            .collect()
+        )
+        by = {(int(r["_b"]), int(r["_cl"])): r for r in stats}
+        for bi, (_off, kk, ww) in enumerate(specs):
+            for ci in range(kk):
+                r = by.get((bi, ci))
+                if r is None:
+                    continue  # empty cluster: centroid carries over
+                n = int(r["_n"])
+                cents[bi][ci] = [
+                    (2 * int(r[f"_s{d}"]) * GRID + n) // (2 * n)
+                    for d in range(ww)
+                ]
+    return cents
+
+
 def _pq_code_cols(m: int, k_eff: int) -> list:
     return [
         (F.element_at("_keys", j + 1) % k_eff).cast("int").alias(f"code_{j}")
@@ -523,9 +613,21 @@ def ivf_adc_topk(
         raise ValueError(f"ivf_adc_topk: dim {dim} not divisible by m={m}")
     w = dim // m
 
-    pts = _quantized(emb, id_col, vec_col)
-    coarse = _train_pq(pts, id_col, 1, kc, n_iter, dim)
-    fine = _train_pq(pts, id_col, m, k, n_iter, w)
+    # one quantized point table feeds the seed collect, every training
+    # round, the query-row collect and the final assignment — persist it
+    # for the life of the query plan (the next registry query's janitor
+    # rollover retires the blocks)
+    pts = _quantized(emb, id_col, vec_col).persist()
+    from .dedup import _INTERMEDIATES
+
+    _INTERMEDIATES.rollover([pts])
+    # coarse + fine codebooks are independent: train them in the SAME
+    # per-round jobs (was: two _train_pq calls = 2x the round jobs and
+    # seed collects; r11-opt same-session A/B below)
+    joint = _train_books_joint(
+        pts, id_col, [(0, kc, dim)] + [(j * w, k, w) for j in range(m)], n_iter
+    )
+    coarse, fine = [joint[0]], joint[1:]
     kc_eff = len(coarse[0])
     k_eff = len(fine[0])
 
