@@ -1,7 +1,9 @@
-"""Round-11 bisect rows (r10 verdict task 1): the census's domain
-construction must equal the lm/dsir internals it certifies, and the
-probe's DECIMAL(38,9) columns must ride the exact sum_lp/sum_lw
-conversion path.
+"""Round-11 bisect rows (r10 verdict task 1, resolved r12 per the
+CORRECTNESS_r11 driver evidence): the census's domain construction must
+equal the lm/dsir internals it certifies, and the probe's big-magnitude
+BIGINT column must ride the exact combine path at the magnitudes the
+lm/dsir nano sums occupy (the DECIMAL(38,9) bisect columns fired red in
+the driver env and are resolved out — chain_probe module docstring).
 
 The cross-engine value checks live in test_oracle_gate.py (every
 registered query, including these two, runs against DuckDB per pytest
@@ -11,14 +13,11 @@ silently rest on.
 
 from __future__ import annotations
 
-from decimal import Decimal
-
 import duckdb
 import pytest
-from pyspark.sql import functions as F
 
 from usda_food_data_pipeline_spark.functions.chain_probe import (
-    _BIG_DEC_MULT,
+    _BIG_NANOS_MULT,
     PROBE_INPUTS,
     chain_probe,
     ln_domain_census,
@@ -32,32 +31,32 @@ from usda_food_data_pipeline_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
-def test_probe_decimal_columns_are_the_lm_conversion_path(spark):
-    """d2_dec/c4_dec/c4_big_dec == Decimal(nanos)·1e-9 at scale 9 —
-    the exact integer→DECIMAL(38,9) materialization lm/dsir use for
-    sum_lp/sum_lw, applied to the probe's known-green nano combines."""
-    rows = chain_probe(spark, SF).collect()
+def test_probe_big_nanos_is_the_scaled_combine(spark):
+    """c4_big_nanos == c4_per_nanos · _BIG_NANOS_MULT exactly, and the
+    output type is BIGINT (the driver-green form lm/dsir sums ship in;
+    no DECIMAL(38,9) anywhere in the probe's output schema)."""
+    df = chain_probe(spark, SF)
+    assert dict(df.dtypes)["c4_big_nanos"] == "bigint"
+    assert not any("decimal" in t for _, t in df.dtypes)
+    rows = df.collect()
     assert len(rows) == len(PROBE_INPUTS)
     for r in rows:
-        for nano_col, dec_col, mult in (
-            ("d2_per_nanos", "d2_dec", 1),
-            ("c4_per_nanos", "c4_dec", 1),
-            ("c4_per_nanos", "c4_big_dec", _BIG_DEC_MULT),
-        ):
-            want = Decimal(r[nano_col] * mult).scaleb(-9)
-            assert r[dec_col] == want, (r["probe_id"], dec_col)
+        assert r["c4_big_nanos"] == r["c4_per_nanos"] * _BIG_NANOS_MULT, (
+            r["probe_id"]
+        )
 
 
-def test_probe_big_dec_covers_sum_magnitudes():
+def test_probe_big_nanos_covers_sum_magnitudes():
     """The scaled column must actually reach the ~1e15-nano magnitudes a
-    real per-doc sum occupies (else the decimal link is only probed at
-    toy magnitudes)."""
+    real per-doc sum occupies (else the combine is only probed at toy
+    magnitudes), while staying inside BIGINT."""
     combos = [
         ((py_grid_nanos(py_ln_int(a)) + py_grid_nanos(py_ln_int(b)))
          - py_grid_nanos(py_ln_int(c))) - py_grid_nanos(py_ln_int(d))
         for a, b, c, d in PROBE_INPUTS
     ]
-    assert max(abs(v) for v in combos) * _BIG_DEC_MULT >= 10**15
+    peak = max(abs(v) for v in combos) * _BIG_NANOS_MULT
+    assert 10**15 <= peak < 2**63
 
 
 @pytest.fixture(scope="module")

@@ -2,11 +2,10 @@
 
 The oracle gate (`test_oracle_gate.py::dsir_select`) pins cross-engine
 exactness at fixture scale; these tests pin the *math* on a corpus small
-enough to recompute by hand in Python, including the exact decimal grid.
+enough to recompute by hand in Python, including the exact nano grid.
 """
 
 import math
-from decimal import Decimal
 
 import pytest
 from pyspark.sql import functions as F
@@ -27,7 +26,7 @@ def _nanos(x: int) -> int:
 def _py_dsir(raw_docs, tgt_docs, n_buckets, bucket_of):
     """Reference recomputation, mirroring the per-term BIGINT snapping:
     lr[b] = ((n(ct+1) + n(nq+B)) - n(cq+1)) - n(nt+B) in integer nanos,
-    per-doc sum of cnt·lr converted once to the 9-dp decimal."""
+    per-doc sum of cnt·lr shipped as exact BIGINT nanos."""
     cq, ct, dc = {}, {}, {}
     for doc_id, toks in raw_docs:
         for a, b in zip(toks, toks[1:]):
@@ -45,17 +44,15 @@ def _py_dsir(raw_docs, tgt_docs, n_buckets, bucket_of):
         for bk in cq
     }
     return {
-        doc_id: Decimal(
-            sum(cnt * lr[bk] for bk, cnt in buckets.items())
-        ).scaleb(-9)
+        doc_id: sum(cnt * lr[bk] for bk, cnt in buckets.items())
         for doc_id, buckets in dc.items()
     }
 
 
-def test_dsir_exact_decimal_and_ranking(spark):
+def test_dsir_exact_nanos_and_ranking(spark):
     # Target slice is all about "spark sql"; raw doc 1 repeats the target
     # phrase, doc 2 is disjoint vocabulary -> doc 1 must outrank doc 2
-    # with the exact hand-computed decimal sums.
+    # with the exact hand-computed integer nano sums.
     rows = [
         (1, "spark sql spark sql spark", "raw"),
         (2, "cat dog cat dog cat", "raw"),
@@ -84,7 +81,7 @@ def test_dsir_exact_decimal_and_ranking(spark):
     assert set(got) == {1, 2}
     for d in (1, 2):
         assert got[d]["n_bigrams"] == 4
-        assert Decimal(got[d]["sum_lw"]) == exp[d]
+        assert got[d]["sum_lw_nanos"] == exp[d]
     assert exp[1] > exp[2]
     assert got[1]["rank"] == 1 and got[2]["rank"] == 2
 

@@ -1,13 +1,14 @@
 """Stupid-backoff LM scoring: branch coverage with hand-computed scores."""
 
 import math
-from decimal import Decimal
 
 from usda_food_data_pipeline_spark.functions.lm import lm_score_stupid_backoff
 
 
-def _grid(x: float) -> Decimal:
-    return Decimal(str(round(x, 9))).quantize(Decimal("0.000000001"))
+def _grid(x: float) -> int:
+    """Per-term snap onto the 1e-9 grid in integer nanos — the exact
+    form the engine sums and ships (sum_lp_nanos)."""
+    return math.floor(x * 1e9 + 0.5)
 
 
 def test_lm_backoff_branches_hand_computed(spark):
@@ -39,17 +40,17 @@ def test_lm_backoff_branches_hand_computed(spark):
         + _grid(math.log((0.4 * 1) / 6))  # (z,c) unseen bigram -> ALPHA*c(c)/N
     )
     assert out[3]["n_bigrams"] == 3
-    assert Decimal(out[3]["sum_lp"]) == exp
+    assert out[3]["sum_lp_nanos"] == exp
     # mean lp ~= -1.94 >= -8 -> keep
     assert out[3]["keep"] is True
 
     for d in (4, 5):
         assert out[d]["n_bigrams"] == 0
-        assert Decimal(out[d]["sum_lp"]) == 0
+        assert out[d]["sum_lp_nanos"] == 0
         assert out[d]["keep"] is True
 
 
-def test_lm_keep_threshold_exact_decimal(spark):
+def test_lm_keep_threshold_exact_integer(spark):
     # one scored doc whose mean log-prob is exactly the threshold:
     # keep uses >= so it survives; a doc strictly below is dropped.
     docs = spark.createDataFrame(

@@ -30,6 +30,24 @@ Column-level bisect when the driver runs both sides:
   rules); the per-term columns (``*_per_nanos``) then validate the
   r08-task-3 restructure directly against the driver environment.
 
+RESOLUTION (r11 driver row → r12): the r10-shape probe (pure BIGINT
+nano columns) was driver-GREEN; the r11 extension that added
+``d2_dec``/``c4_dec``/``c4_big_dec`` DECIMAL(38,9) columns riding the
+exact integer→decimal conversion lm/dsir used for sum_lp/sum_lw came
+back rows-green + schema-green + HASH-RED (CORRECTNESS_r11), while the
+full-domain ``ln_domain_census`` row (every single-ln argument lm/dsir
+evaluate, BIGINT nanos) was GREEN.  That is the bisect firing: every
+ln value and every BIGINT combine agrees in the driver environment;
+the int→DECIMAL(38,9) OUTPUT conversion is the one divergent link.
+Per the decision table above, lm/dsir re-enter the window shipping
+exact BIGINT nano sums (``sum_lp_nanos``/``sum_lw_nanos``) and the
+DECIMAL(38,9) materialization is gone from the driver-compared surface
+engine-wide.  The probe therefore reverts to the driver-green BIGINT
+output type, keeping the magnitude coverage the decimal columns added:
+``c4_big_nanos`` pushes the probed combine to the ~1e15-nano magnitude
+a real per-doc sum reaches, as a BIGINT — exactly the form lm/dsir now
+ship.
+
 Reference analog: none — this is gate infrastructure for the engine's
 portable-arithmetic contract (functions/portable_ln.py docstring).
 """
@@ -41,20 +59,18 @@ from pyspark.sql import functions as F
 
 from .portable_ln import (
     POWS_CTE,
-    grid_decimal_col,
     grid_nanos_col,
     literal_table,
     py_ln_int,
-    sql_grid_decimal,
     sql_grid_nanos,
     sql_ln_select,
 )
 
-# big_dec scaling factor: pushes the probed DECIMAL(38,9) conversion to
-# the ~1e15-nano magnitudes a real per-doc sum_lp/sum_lw reaches (the
-# probe's raw combines top out near ±4.3e10 nanos).  Prime, so no
-# factor cancels against a grid value.
-_BIG_DEC_MULT = 100_003
+# big_nanos scaling factor: pushes the probed BIGINT combine to the
+# ~1e15-nano magnitudes a real per-doc sum_lp_nanos/sum_lw_nanos
+# reaches (the probe's raw combines top out near ±4.3e10 nanos).
+# Prime, so no factor cancels against a grid value.
+_BIG_NANOS_MULT = 100_003
 
 # (a, b, c, d) positive BIGINT inputs.  Mined offline (seeded scan of
 # 1.2M candidates, keep the 60 closest-to-tie per shape) + structural
@@ -199,19 +215,13 @@ def chain_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2.alias("d2_per_nanos"),
         grid_nanos_col(((la + lb) - lc) - ld).alias("c4_after_nanos"),
         c4.alias("c4_per_nanos"),
-        # r10 verdict task 1(a): the EXACT integer->DECIMAL(38,9)
-        # conversion lm/dsir materialize sum_lp/sum_lw through
-        # (grid_decimal_col(x, 28, 9) then the final cast) — the one
-        # shared output link the BIGINT-only probe never exercised.
-        # Red here with the nano columns green ⇒ the decimal link is
-        # the driver divergence ⇒ re-enter lm/dsir with BIGINT nano
-        # sum columns instead.
-        grid_decimal_col(d2, 28, 9).cast("decimal(38,9)").alias("d2_dec"),
-        grid_decimal_col(c4, 28, 9).cast("decimal(38,9)").alias("c4_dec"),
-        # same conversion at real per-doc sum magnitudes (~1e15 nanos)
-        grid_decimal_col(c4 * F.lit(_BIG_DEC_MULT).cast("bigint"), 28, 9)
-        .cast("decimal(38,9)")
-        .alias("c4_big_dec"),
+        # the r11 DECIMAL(38,9) bisect columns fired RED here (nano
+        # columns green) and are resolved out per the decision table —
+        # see the module docstring.  This keeps their magnitude
+        # coverage in the driver-green BIGINT form lm/dsir now ship:
+        # the 4-term combine at the ~1e15-nano scale of a real per-doc
+        # sum (bigint·bigint literal multiply, exact in both engines).
+        (c4 * F.lit(_BIG_NANOS_MULT).cast("bigint")).alias("c4_big_nanos"),
     )
 
 
@@ -246,37 +256,10 @@ def chain_probe_oracle_sql() -> str:
                 f"- {sql_grid_nanos('_ln_c')}) - {sql_grid_nanos('_ln_d')}",
             ),
             (
-                "d2_dec",
-                "CAST("
-                + sql_grid_decimal(
-                    f"{sql_grid_nanos('_ln_a')} - {sql_grid_nanos('_ln_b')}",
-                    28,
-                    9,
-                )
-                + " AS DECIMAL(38,9))",
-            ),
-            (
-                "c4_dec",
-                "CAST("
-                + sql_grid_decimal(
-                    f"(({sql_grid_nanos('_ln_a')} + {sql_grid_nanos('_ln_b')}) "
-                    f"- {sql_grid_nanos('_ln_c')}) - {sql_grid_nanos('_ln_d')}",
-                    28,
-                    9,
-                )
-                + " AS DECIMAL(38,9))",
-            ),
-            (
-                "c4_big_dec",
-                "CAST("
-                + sql_grid_decimal(
-                    f"((({sql_grid_nanos('_ln_a')} + {sql_grid_nanos('_ln_b')}) "
-                    f"- {sql_grid_nanos('_ln_c')}) - {sql_grid_nanos('_ln_d')}) "
-                    f"* CAST({_BIG_DEC_MULT} AS BIGINT)",
-                    28,
-                    9,
-                )
-                + " AS DECIMAL(38,9))",
+                "c4_big_nanos",
+                f"((({sql_grid_nanos('_ln_a')} + {sql_grid_nanos('_ln_b')}) "
+                f"- {sql_grid_nanos('_ln_c')}) - {sql_grid_nanos('_ln_d')}) "
+                f"* CAST({_BIG_NANOS_MULT} AS BIGINT)",
             ),
         ],
     )

@@ -33,8 +33,10 @@ runs the SAME op sequence through the portable chain, so cross-engine
 agreement rests only on the four single-ln snaps per bucket — never on
 a combine of doubles, and never on BIGINT×DECIMAL promotion rules
 (which vary across DuckDB versions).  Per-document sums are exact
-BIGINT; ``sum_lw`` materializes once at the end via the exact
-integer→decimal conversion.
+BIGINT and ``sum_lw_nanos`` SHIPS as that BIGINT (r11 verdict task 1:
+the probe driver row red-flagged exactly the int→DECIMAL(38,9) output
+conversion with every BIGINT nano column green, so the decimal
+materialization is gone from the driver-compared surface).
 
 Reference analog: none (the reference pipeline has no data-selection
 stage); extends SURVEY.md §2's text-analysis family per the
@@ -50,7 +52,6 @@ from ..operators.dedup import md5_int, tokenize
 
 HASH_SEED = 31
 LP_SCALE = 9
-_SUM_TYPE = f"decimal(38,{LP_SCALE})"
 
 
 def _bigrams(toks: Column) -> Column:
@@ -81,10 +82,11 @@ def dsir_select(
 
         lr[b] = ((n(ct[b]+1) + n(Nq+B)) - n(cq[b]+1)) - n(Nt+B)
 
-    Returns ``id_col, n_bigrams, sum_lw (decimal), rank`` for the top
-    ``top_n`` documents, ordered by (sum_lw DESC, id) — deterministic
-    because the compared sums are exact decimals.  Documents with no
-    bigrams (≤1 token) have no occurrences and are not ranked.
+    Returns ``id_col, n_bigrams, sum_lw_nanos (bigint), rank`` for the
+    top ``top_n`` documents, ordered by (sum_lw_nanos DESC, id) —
+    deterministic because the compared sums are exact integers.
+    Documents with no bigrams (≤1 token) have no occurrences and are
+    not ranked.
     """
     bucket = (md5_int(F.col("g"), seed=HASH_SEED, nibbles=8) % n_buckets).alias("b")
 
@@ -99,7 +101,6 @@ def dsir_select(
     raw = docs.filter(F.col(source_col) != target_source)
 
     from .portable_ln import (
-        grid_decimal_col,
         literal_table,
         py_grid_nanos,
         py_ln_int,
@@ -170,15 +171,13 @@ def dsir_select(
         .select(
             id_col,
             "n_bigrams",
-            # one exact integer→decimal conversion: decimal(28,0)·
-            # decimal(9,9) → decimal(38,9), inside both engines'
-            # no-adjustment precision range
-            grid_decimal_col(F.col("sn"), 28, LP_SCALE)
-            .cast(_SUM_TYPE)
-            .alias("sum_lw"),
+            # the sum ships as exact BIGINT nanos — no int→DECIMAL(38,9)
+            # output conversion (the link the r11 probe driver row
+            # flagged red; see module docstring)
+            F.col("sn").alias("sum_lw_nanos"),
         )
     )
-    top = scored.orderBy(F.col("sum_lw").desc(), F.col(id_col)).limit(top_n)
+    top = scored.orderBy(F.col("sum_lw_nanos").desc(), F.col(id_col)).limit(top_n)
     from pyspark.sql import Window
 
     # unpartitioned window = SinglePartition in the plan, but it runs
@@ -186,7 +185,10 @@ def dsir_select(
     # rows — bounded by the parameter, never by the corpus (the
     # corpus-sized global-rank shape would use operators/prefix.py's
     # two-phase form instead)
-    w = Window.orderBy(F.col("sum_lw").desc(), F.col(id_col))
+    w = Window.orderBy(F.col("sum_lw_nanos").desc(), F.col(id_col))
     return top.select(
-        id_col, "n_bigrams", "sum_lw", F.row_number().over(w).cast("int").alias("rank")
+        id_col,
+        "n_bigrams",
+        "sum_lw_nanos",
+        F.row_number().over(w).cast("int").alias("rank"),
     )

@@ -36,9 +36,12 @@ Shape (all linear, no pair generation):
   per-occurrence double combines (rounds 6-8 each lost an ULP
   somewhere in a combine-then-snap of doubles on SOME DuckDB build).
 
-``sum_lp`` is materialized once at the end by the exact
-integer→decimal conversion (decimal(28,0)·decimal(9,9) → decimal(38,9),
-inside both engines' no-adjustment precision range).
+``sum_lp_nanos`` ships AS the exact BIGINT nano sum (r11 verdict task
+1: the portable_chain_probe driver row came back rows/schema-green but
+hash-red EXACTLY on its DECIMAL(38,9) columns with every BIGINT nano
+column green — the int→DECIMAL(38,9) output conversion is the one
+driver-environment-divergent link left, so it is gone from the
+driver-compared surface entirely; consumers scale by 1e-9).
 
 Reference analog: none (the reference pipeline has no quality model);
 this extends SURVEY.md §2's text-analysis family per the LLM-pipeline
@@ -102,15 +105,16 @@ def lm_score_stupid_backoff(
     LM trained on ``source == train_source``.
 
     Returns one row per scored document:
-    ``id_col, n_bigrams (int), sum_lp (decimal(38,9)), keep (bool)``
-    where ``keep`` ⇔ mean log-score ≥ ``keep_lp_per_token`` — decided as
-    ``sum_lp ≥ threshold · n_bigrams`` (exact decimal arithmetic).
-    Zero-bigram documents (≤1 token) score 0 and are kept.
+    ``id_col, n_bigrams (int), sum_lp_nanos (bigint), keep (bool)``
+    where ``sum_lp_nanos`` is the log-score sum in exact integer 1e-9
+    grid units and ``keep`` ⇔ mean log-score ≥ ``keep_lp_per_token`` —
+    decided as ``sum_lp_nanos ≥ threshold_nanos · n_bigrams`` (exact
+    BIGINT arithmetic).  Zero-bigram documents (≤1 token) score 0 and
+    are kept.
     """
     from decimal import Decimal
 
     from .portable_ln import (
-        grid_decimal_col,
         literal_table,
         py_grid_nanos,
         py_ln_int,
@@ -239,12 +243,10 @@ def lm_score_stupid_backoff(
         .select(
             id_col,
             F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
-            # one exact integer→decimal conversion at the end:
-            # decimal(28,0)·decimal(9,9) → decimal(38,9), no precision
-            # adjustment on either engine
-            grid_decimal_col(sn0, 28, LP_SCALE)
-            .cast(f"decimal(38,{LP_SCALE})")
-            .alias("sum_lp"),
+            # the sum ships as exact BIGINT nanos — no int→DECIMAL(38,9)
+            # output conversion (the one link the r11 probe driver row
+            # flagged red; see module docstring)
+            sn0.alias("sum_lp_nanos"),
             (
                 sn0 >= F.lit(thr_nanos) * F.coalesce("n_bigrams", F.lit(0))
             ).alias("keep"),

@@ -2596,7 +2596,6 @@ def _lm_oracle_sql() -> str:
     # integer ratio 2c / 5N.
     from .functions.portable_ln import (
         POWS_CTE,
-        sql_grid_decimal,
         sql_grid_nanos,
         sql_ln_select,
     )
@@ -2629,7 +2628,6 @@ def _lm_oracle_sql() -> str:
     v_back = "lk._nback - l5._n5n"
     thr_nanos = -8_000_000_000  # _LM_KEEP_LP = -8.0 on the 1e-9 grid
     assert int(Decimal(_LM_KEEP_LP).scaleb(9)) == thr_nanos
-    sum_lp = sql_grid_decimal("COALESCE(a.sn, 0)", 28, 9)
     return f"""
     WITH {POWS_CTE},
     train AS (
@@ -2682,7 +2680,7 @@ def _lm_oracle_sql() -> str:
     )
     SELECT s.doc_id,
            COALESCE(a.n_bigrams, 0) AS n_bigrams,
-           CAST({sum_lp} AS DECIMAL(38,9)) AS sum_lp,
+           CAST(COALESCE(a.sn, 0) AS BIGINT) AS sum_lp_nanos,
            COALESCE(a.sn, 0) >= {thr_nanos} * COALESCE(a.n_bigrams, 0) AS keep
     FROM score s LEFT JOIN agg a ON a.doc_id = s.doc_id
     """
@@ -2692,7 +2690,7 @@ def _lm_oracle_sql() -> str:
     "lm_doc_scores",
     _lm_oracle_sql(),
     "stupid-backoff bigram LM quality scores (train on src0, score the rest; "
-    "9-dp decimal log grid, exact decimal keep threshold)",
+    "exact BIGINT 1e-9-grid log sums, exact integer keep threshold)",
 )
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.lm import lm_score_stupid_backoff
@@ -2729,7 +2727,6 @@ def _dsir_oracle_sql() -> str:
     # (version-dependent in DuckDB; the r08 verdict's prime suspect).
     from .functions.portable_ln import (
         POWS_CTE,
-        sql_grid_decimal,
         sql_grid_nanos,
         sql_ln_select,
     )
@@ -2752,7 +2749,6 @@ def _dsir_oracle_sql() -> str:
             )
         ],
     )
-    sum_lw = sql_grid_decimal("sum(dc.cnt * lr.lr)", 28, 9)
     return f"""
     WITH {POWS_CTE},
     raw_occ AS (
@@ -2778,13 +2774,13 @@ def _dsir_oracle_sql() -> str:
     scored AS (
         SELECT dc.doc_id,
                CAST(sum(dc.cnt) AS INTEGER) AS n_bigrams,
-               CAST({sum_lw} AS DECIMAL(38,9)) AS sum_lw
+               CAST(sum(dc.cnt * lr.lr) AS BIGINT) AS sum_lw_nanos
         FROM dc JOIN lr ON lr.b = dc.b
         GROUP BY dc.doc_id
     )
-    SELECT doc_id, n_bigrams, sum_lw,
-           CAST(row_number() OVER (ORDER BY sum_lw DESC, doc_id) AS INTEGER) AS rank
-    FROM scored ORDER BY sum_lw DESC, doc_id LIMIT {_DSIR_TOP}
+    SELECT doc_id, n_bigrams, sum_lw_nanos,
+           CAST(row_number() OVER (ORDER BY sum_lw_nanos DESC, doc_id) AS INTEGER) AS rank
+    FROM scored ORDER BY sum_lw_nanos DESC, doc_id LIMIT {_DSIR_TOP}
     """
 
 
