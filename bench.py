@@ -68,6 +68,66 @@ def _warm_batches(batches):
         yield pdf.assign(k=np.asarray(pdf["k"].to_numpy(), dtype=np.int64))[["k"]]
 
 
+# Fixed cross-round comparison basis (r11 verdict task 9): the 158
+# queries registered at the round-10 close (`git 35a9751`), BY NAME.
+# The suite grows most rounds and the artifact-derived carried set
+# drifts with it, so the driver's prev/now total diff never compares
+# the same work twice; this list is frozen — never add to it — and
+# `carried_fixed_sec` in both output lines is the sum over exactly
+# these queries, an apples-to-apples anchor across every future round.
+FIXED_CARRIED: frozenset[str] = frozenset((
+    "above_avg_parts", "adc_recall_eval", "adc_rerank_topk",
+    "ann_recall_eval", "anti_join_customers", "approx_distinct",
+    "approx_quantiles", "array_agg_quantities", "asof_join_events",
+    "asof_join_nearest", "bm25_batch", "bm25_retrieval",
+    "boilerplate_scrub", "bpe_pairs", "bpe_train", "chunk_documents",
+    "cms_heavy_hitters", "containment_pairs", "corpus_datacard",
+    "cosine_topk", "data_expectations", "dataset_split", "date_functions",
+    "decontaminate", "dedup_clusters", "dedup_exact", "dedup_keep_longest",
+    "dedup_latest_order", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_stats", "densest_rows", "distinct_agg",
+    "doc_novelty", "doc_repetition", "domain_cap", "dsir_select",
+    "dup_substring_spans", "embedding_neardup", "events_agg",
+    "events_outliers", "events_twap", "filter_not_contains", "flagship",
+    "funnel_conversion", "fuzzy_name_join", "gap_fill_daily",
+    "geomean_quantity", "global_sort_topk", "gopher_rules", "group_mean",
+    "grouping_sets", "hamming_topk", "hard_negative_mining",
+    "hll_distinct", "incremental_dedup", "interval_overlap",
+    "intra_doc_dedup", "ivf_adc_topk", "ivf_topk", "jl_projection",
+    "k_anonymity", "kcore_nodes", "kmeans_embeddings", "knn_join",
+    "label_propagation", "label_prototypes", "langid_ngram",
+    "line_dedup_global", "lm_doc_scores", "maxsim_retrieval",
+    "merge_upsert", "metadata_documents", "mix_sampling",
+    "multimodal_decode", "multimodal_meta", "multimodal_resize",
+    "nb_classifier", "pagerank_parts", "percentile_quantity", "pii_scrub",
+    "pivot_avg_returnflag", "pmi_phrases", "portable_chain_probe",
+    "posexplode_tokens", "pq_adc_topk", "pq_quantize", "profile_orders",
+    "project_rename_normalize", "quality_bins", "quantize_embeddings",
+    "range_join_bands", "regexp_extract_unit", "repetition_signals",
+    "retention_cohorts", "rolling_anomaly", "rrf_fusion",
+    "scalar_functions", "scd2_history", "seeded_sample",
+    "semantic_decontaminate", "semantic_dedup", "semi_join_orders",
+    "sequence_packing", "sessionize_gaps", "set_ops", "skew_salted_join",
+    "skew_salted_sum", "snapshot_read", "split_sentences",
+    "stratified_sample", "table_checksum", "table_diff", "table_diff_cdc",
+    "temperature_mix", "text_embed", "text_fingerprint", "text_signals",
+    "text_surprisal", "text_tokens", "tfidf_keywords", "threshold_nullout",
+    "token_budget_select", "topk_avg_retrieved", "topk_per_group",
+    "tpch_q1", "tpch_q10_sql", "tpch_q11_important_parts",
+    "tpch_q12_late_priority", "tpch_q13_custdist", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity", "tpch_q18_big_orders",
+    "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers", "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier", "tpch_q3", "tpch_q4_exists", "tpch_q5",
+    "tpch_q6", "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_profit", "training_pipeline", "triangle_count",
+    "try_cast_round", "unpivot_orders", "vocab_topk", "weighted_sample",
+    "window_running", "window_session", "window_tumbling_sliding",
+    "winnowing_fingerprints",
+))
+
+
 def load_ab_notes() -> dict:
     """Same-session old-vs-new A/B measurements for queries changed this
     round (see module docstring). Written by the builder at change time;
@@ -98,17 +158,30 @@ def ab_ratios(ab: dict) -> dict[str, float]:
 
 def carried_split(
     timings: dict[str, float], prev_queries: set[str]
-) -> dict[str, float] | None:
+) -> dict[str, float]:
     """Carried-vs-new subtotals (r10 verdict task 7): the suite grows
     most rounds, so the headline total drifting up must never read as
     regression.  ``carried_sec`` sums queries present in the PREVIOUS
-    full-bench artifact; ``new_sec`` is the rest.  None when there is
-    no previous artifact to diff against."""
+    full-bench artifact; ``new_sec`` is the rest (omitted when there is
+    no previous artifact to diff against).  ``carried_fixed_sec`` sums
+    the frozen FIXED_CARRIED name list — the stable cross-round anchor
+    (r11 verdict task 9)."""
+    # the FIXED anchor always ships (r11 verdict task 9), even when no
+    # previous artifact exists to derive the rolling carried set from
+    fixed = {
+        "carried_fixed_sec": round(
+            sum(v for n, v in timings.items() if v >= 0 and n in FIXED_CARRIED), 3
+        ),
+        "carried_fixed_n": sum(
+            1 for n, v in timings.items() if v >= 0 and n in FIXED_CARRIED
+        ),
+    }
     if not prev_queries:
-        return None
+        return fixed
     carried = sum(v for n, v in timings.items() if v >= 0 and n in prev_queries)
     new = sum(v for n, v in timings.items() if v >= 0 and n not in prev_queries)
     return {
+        **fixed,
         "carried_sec": round(carried, 3),
         "carried_n": sum(1 for n, v in timings.items() if v >= 0 and n in prev_queries),
         "new_sec": round(new, 3),

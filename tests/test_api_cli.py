@@ -60,6 +60,7 @@ def landing_dir(spark, workdir):
     return d
 
 
+@pytest.mark.slow
 def test_run_pipeline_end_to_end(spark, landing_dir, workdir):
     out = f"{workdir}/wide_csv"
     api.run_pipeline(spark, landing_dir, out, fmt="csv")
@@ -156,6 +157,7 @@ def test_cli_query_subcommand(spark, workdir):
     assert main(["query", "not_a_query"]) == 2
 
 
+@pytest.mark.slow
 def test_retrieve_hybrid_fuses_both_sides(spark, sf_dir, workdir):
     import os
 

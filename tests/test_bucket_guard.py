@@ -12,6 +12,8 @@ only from pair generation.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
@@ -42,6 +44,7 @@ def test_cap_bucket_size_counters(spark):
     assert m["guard_max_bucket"] == 5
 
 
+@pytest.mark.slow
 def test_cap_bucket_size_keeps_null_key_bucket(spark):
     # NULL keys form a bucket of their own, kept when under cap and
     # dropped when over — matching the QUALIFY twin's NULL partition

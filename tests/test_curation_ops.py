@@ -102,6 +102,7 @@ def test_bloom_true_member_always_hits(spark, sf_dir):
         assert r.n_bloom_hits >= r.n_true_hits  # FP adds, never subtracts
 
 
+@pytest.mark.slow
 def test_bloom_vs_exact_decontaminate_superset(spark, sf_dir):
     # docs flagged by the exact screen (>=2 true shared shingles) are a
     # subset of bloom-flagged docs (bloom can only add hits)
@@ -254,6 +255,7 @@ def test_rolling_median_robust_to_outlier(spark):
 # split_leakage_eval
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_split_leakage_pairs_consistent_with_components(spark, sf_dir):
     # every reported (split_a, split_b) row is ordered, and doc counts
     # are bounded by 2 * n_pairs (each pair contributes at most 2 docs)
@@ -363,6 +365,7 @@ def test_percentile_norm_bounds_and_ties(spark):
 # cluster_outliers
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_cluster_outliers_are_farthest(spark, sf_dir):
     from usda_food_data_pipeline_spark.operators.kmeans import kmeans_assign
     from usda_food_data_pipeline_spark.registry_curation import q_cluster_outliers

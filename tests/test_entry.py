@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import __spark_entry__ as e
+import pytest
 
 
 def test_entry_returns_rows(spark):
@@ -30,6 +31,7 @@ def test_queries_oracle_keys_align(spark):
     }
 
 
+@pytest.mark.slow
 def test_each_query_runs_at_smoke_sf(spark, sf_dir):
     for name, fn in e.queries().items():
         df = fn(spark, sf_dir)

@@ -208,6 +208,7 @@ def test_intermediate_janitor_keeps_storage_flat(spark):
     assert not (persistent_rdd_ids(spark) - before)
 
 
+@pytest.mark.slow
 def test_randomized_all_cold_completeness(spark):
     """Seeded random corpora from a tiny vocabulary (maximal collision
     density): with the default cap every shingle is cold, so the
@@ -230,6 +231,7 @@ def test_randomized_all_cold_completeness(spark):
         assert got == _brute_pairs(rows), f"seed {seed}"
 
 
+@pytest.mark.slow
 def test_randomized_mixed_cap_no_false_positives(spark):
     """With a tiny forced cap (hot escalation active) the output must
     still be a SUBSET of brute force (verify is exact) and a superset
@@ -319,6 +321,7 @@ def test_containment_count_filter_is_lossless_vs_bruteforce(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_containment_hot_escalation_recovers_suppressed_pair(spark):
     """r08 verdict task 6: a pair ALL of whose shared prefix codes are
     over the index cap used to vanish silently at the RESULT level

@@ -1,5 +1,6 @@
 """Lloyd k-means semantics on hand-built vectors."""
 
+import pytest
 from usda_food_data_pipeline_spark.operators.kmeans import (
     GRID,
     SCALE,
@@ -60,6 +61,7 @@ def test_kmeans_derives_width_from_vectors(spark):
     assert out[1] == out[3] and out[2] == out[4] and out[1] != out[2]
 
 
+@pytest.mark.slow
 def test_cluster_balanced_sample_plan_and_invariants(spark):
     """WindowGroupLimit must appear (the rk<=cap filter runs as a
     partial per-partition top-cap, bounding the exchange by the

@@ -1,6 +1,7 @@
 """Randomized parity: kmeans_assign vs a direct Python Lloyd on the
 same quantized integer lattice (same init, grid, rounding, tie rule)."""
 
+import pytest
 import random
 
 from usda_food_data_pipeline_spark.operators.kmeans import (
@@ -45,6 +46,7 @@ def _py_lloyd(vectors, k, n_iter):
     return assign()
 
 
+@pytest.mark.slow
 def test_randomized_kmeans_matches_python_lloyd(spark):
     for seed in (3, 17):
         rng = random.Random(seed)

@@ -8,6 +8,7 @@ n_removed) row.  chunk_array is additionally pinned at k=1 and k=3
 (tail shorter than k) since the registry only exercises k=2.
 """
 
+import pytest
 import random
 
 from pyspark.sql import functions as F
@@ -44,6 +45,7 @@ def _random_corpus(rnd, n_docs, vocab=("a", "b", "c")):
     ]
 
 
+@pytest.mark.slow
 def test_line_dedup_global_matches_bruteforce(spark):
     rnd = random.Random(42)
     for trial in range(3):

@@ -4,6 +4,8 @@ values, nulls, mixed case)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from usda_food_data_pipeline_spark.functions.cleaning import (
@@ -226,6 +228,7 @@ def test_connected_components_star_matches_label(spark):
     assert got[3] == 1 and got[7] == 5 and got[9] == 8 and got[10] == 10
 
 
+@pytest.mark.slow
 def test_connected_components_star_long_chain_few_rounds(spark):
     """A 1000-node chain has diameter 1000 — label propagation needs
     ~1000 rounds, star contraction must finish in ~log rounds. max_iter
@@ -952,6 +955,7 @@ def test_repetition_signals_hand_values(spark, monkeypatch, tmp_path):
     assert r3["top_bigram_count"] == 0 and r3["top_bigram_frac"] == 0.0
 
 
+@pytest.mark.slow
 def test_table_diff_cdc_roundtrip_property(spark):
     """CDC closure: merge_apply(old, table_diff_cdc(old, new)) == new,
     on seeded random version pairs with adds, drops, edits, and

@@ -88,6 +88,7 @@ def test_gap_fill_daily_zero_fill_and_ffill(spark):
     assert [r["ffill_avg_value"] for r in out] == [15.0, 15.0, 15.0, 40.0]
 
 
+@pytest.mark.slow
 def test_interval_overlap_matches_naive_theta_join(spark):
     """Bucketed blocking must emit exactly the naive inequality-join pairs,
     including intervals spanning many buckets and bucket-edge endpoints."""

@@ -3,6 +3,8 @@ Python reference implementations on arbitrary small inputs."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -157,6 +159,7 @@ adversarial_width = st.one_of(
 
 @SLOW
 @given(bands=overlap_bands, values=band_values, width=adversarial_width)
+@pytest.mark.slow
 def test_band_join_overlapping_and_adversarial_width(spark, bands, values, width):
     """Overlapping bands must yield one output row per (value, matching
     band) pair, for any bucket_width — including widths so small every
@@ -296,6 +299,7 @@ def test_bm25_matches_naive(spark, docs, query):
         max_size=64,
     )
 )
+@pytest.mark.slow
 def test_sign_bitpack_matches_naive(spark, vec):
     from usda_food_data_pipeline_spark.operators.similarity import sign_bitpack
 
@@ -371,6 +375,7 @@ merge_changes_strategy = st.lists(
 
 @SLOW
 @given(changes=merge_changes_strategy)
+@pytest.mark.slow
 def test_merge_apply_matches_naive_and_is_idempotent(spark, changes):
     from usda_food_data_pipeline_spark.operators.merge import merge_apply
 
@@ -497,6 +502,7 @@ def test_sessionize_session_count_matches_gap_count(spark, gaps):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_jaccard_prefix_blocking_complete_vs_brute_force(spark, docs):
     """Prefix filtering (cold path) is LOSSLESS: for any corpus, the
     content-blocked operator returns exactly the brute-force all-pairs

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -222,6 +224,7 @@ def test_jl_projection_roughly_preserves_distance(spark):
     assert 0.7 < mean < 1.3
 
 
+@pytest.mark.slow
 def test_vector_family_at_reference_dim_1024(spark):
     """r05 verdict task 6: the reference embedding spec is dim-1024 /
     cosine (multilingual-e5-large — upload_data_to_pinecone.py:26-27);

@@ -78,6 +78,7 @@ def test_pmi_ranks_collocation_above_chance(spark):
     assert Decimal(top["pmi"]) == Decimal(exp_nanos).scaleb(-9)
 
 
+@pytest.mark.slow
 def test_pq_codes_and_distortion(spark):
     import numpy as np
 
@@ -288,6 +289,7 @@ def test_ivf_adc_nprobe_full_equals_pure_adc(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_adc_recall_eval_across_nprobe(spark):
     from usda_food_data_pipeline_spark.operators.kmeans import adc_recall_eval
     import random
@@ -324,6 +326,7 @@ def test_ivf_adc_rejects_bad_nprobe(spark):
         ivf_adc_topk(docs, n_queries=2, top_k=2, kc=2, m=1, k=2, n_iter=1, nprobe=3)
 
 
+@pytest.mark.slow
 def test_adc_rerank_recovers_at_least_raw_adc_hits(spark):
     from usda_food_data_pipeline_spark.operators.kmeans import (
         adc_rerank_topk,
@@ -442,6 +445,7 @@ def test_weighted_sample_es_matches_python_reference_and_partitioning(spark):
     assert sorted(r["doc_id"] for r in got7) == sorted(r["doc_id"] for r in got)
 
 
+@pytest.mark.slow
 def test_lsh_recall_eval_invariants(spark):
     """Per-bucket hits never exceed truth; every LSH pair is a true pair
     (precision 1 — both sides verify with exact integer Jaccard at the

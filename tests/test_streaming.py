@@ -272,6 +272,7 @@ def test_stream_static_enrich_matches_batch_and_is_stateless(spark, sf_dir, even
     assert all("join" not in (op.get("operatorName") or "") for op in ops)
 
 
+@pytest.mark.slow
 def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
     """foreachBatch incremental dedup: batch 2 must be deduped against
     batch 1's ACCEPTED survivors (exact dup dropped, near-dup dropped,

@@ -26,6 +26,7 @@ import time
 from pyspark.sql import functions as F
 
 from usda_food_data_pipeline_spark.streaming.windows import tumbling_window_agg
+import pytest
 
 N_HOURS = 100
 N_FILES = 10
@@ -99,6 +100,7 @@ def _final_state_rows(spark, base: str) -> tuple[int, int]:
     return state_rows, emitted
 
 
+@pytest.mark.slow
 def test_windowed_state_is_watermark_bounded_not_stream_bounded(spark, tmp_path):
     base1 = str(tmp_path / "v1")
     base10 = str(tmp_path / "v10")
@@ -179,6 +181,7 @@ def _funnel_state_rows(spark, base: str) -> int:
     return state_rows
 
 
+@pytest.mark.slow
 def test_stream_stream_join_state_is_horizon_bounded(spark, tmp_path):
     """Stream-stream join state stores ROWS within the watermark + lag
     horizon (unlike the windowed agg's per-group state), so 10× volume
@@ -234,6 +237,7 @@ def _mg_run(spark, base: str, m: int):
     return est, state_rows
 
 
+@pytest.mark.slow
 def test_misra_gries_stateful_heavy_hitters(spark, tmp_path):
     """Bounded-state continuous heavy hitters (streaming/stateful.py):
     with m >= distinct items the summary is exact; with small m the
@@ -267,6 +271,7 @@ def test_misra_gries_stateful_heavy_hitters(spark, tmp_path):
             assert (et, item) in small and small[(et, item)] > 0
 
 
+@pytest.mark.slow
 def test_streaming_hll_matches_batch_sketch_and_bounds_state(spark, tmp_path):
     """Bounded-state continuous distinct counting (streaming/stateful.py):
     the per-key HLL registers after replaying the whole stream must

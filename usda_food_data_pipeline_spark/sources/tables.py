@@ -75,13 +75,91 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# spread()'s metadata probe, cached per (path, mtime_ns, size): the
+# fixture tables are re-scanned by every query in a session, and the
+# row-group count of an immutable file never changes.  This is file
+# METADATA (one footer read), not query results — nothing here caches
+# computation across runs.
+_ROW_GROUPS_CACHE: dict[tuple[str, int, int], int] = {}
+
+# narrow-only analyzed-plan heads: a plan made of these over one scan
+# preserves the scan's partitioning, so the scan's row-group count IS
+# the DataFrame's effective parallelism.  Anything else (Aggregate,
+# Join, Window, Repartition, Union, ...) falls back to the exact RDD
+# probe below.
+_NARROW_HEADS = (
+    "Project", "Filter", "Generate", "SubqueryAlias", "Relation", "View",
+)
+
+
+def _scan_row_groups(df: DataFrame) -> int | None:
+    """Effective scan-task parallelism of a narrow plan over ONE parquet
+    relation, from driver-side file metadata — or None when the plan
+    shape/store makes the cheap probe unsound (caller falls back to the
+    RDD partition count).
+
+    Spark byte-splits parquet files, but a row group is read entirely by
+    the one task whose split covers its midpoint — a single-row-group
+    file is ONE non-empty task no matter how many splits (or how large
+    ``maxPartitionBytes``), which is exactly the regime spread() exists
+    for (its docstring).  Total row groups therefore bounds the scan's
+    useful parallelism.
+    """
+    from urllib.parse import urlparse
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    for line in plan.splitlines():
+        head = line.lstrip(" :+-")
+        if head and not head.startswith(_NARROW_HEADS):
+            return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os as _os
+
+    total = 0
+    for f in files:
+        local = urlparse(f).path or f
+        try:
+            st = _os.stat(local)
+        except OSError:
+            return None  # non-local store: no cheap footer read
+        key = (local, int(st.st_mtime_ns), st.st_size)
+        n = _ROW_GROUPS_CACHE.get(key)
+        if n is None:
+            try:
+                import pyarrow.parquet as pq
+
+                n = int(pq.ParquetFile(local).metadata.num_row_groups)
+            except Exception:
+                return None  # not parquet / unreadable footer
+            _ROW_GROUPS_CACHE[key] = n
+        total += n
+    return total
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to cluster parallelism when the input has fewer
     partitions (single-row-group parquet files scan as ONE task, which
     serializes CPU-heavy downstream operators). No-op when the scan is
-    already parallel — multi-row-group production files stay untouched."""
+    already parallel — multi-row-group production files stay untouched.
+
+    The partition probe reads parquet footers (cached) instead of
+    forcing the plan→RDD conversion ``df.rdd.getNumPartitions()`` pays
+    (~10-100 ms of analysis+planning per call × ~50 call sites — r11
+    verdict task 5); non-scan inputs (literal DataFrames in tests,
+    post-shuffle plans) keep the exact RDD probe."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = _scan_row_groups(df)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
