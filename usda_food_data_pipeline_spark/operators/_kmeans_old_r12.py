@@ -103,23 +103,14 @@ def kmeans_assign(
     squared grid distance, bigint).  Empty clusters keep their previous
     centroid.  Every iteration is one job: Arrow-batched assignment
     against the iteration's centroid constants, then a k-group
-    aggregate whose exchange carries k·(dim+1) fixed-width rows (the
-    measured-fastest round shape — see :func:`_train_cents`).
+    aggregate whose exchange carries k·(dim+1) fixed-width rows.
 
     The embedding width is derived from the seed vectors themselves
     (ADVICE r06, low: an independent ``dim`` parameter silently
     truncated wider embeddings to its default for one round and then
     crashed on the numpy shape mismatch in the next assignment).
-
-    The quantized point table feeds the seed collect, every training
-    round, and the final assignment — persist it for the life of the
-    query plan (r12 opt; the next registry query's janitor rollover
-    retires the blocks, the ivf_adc_topk pattern).
     """
-    pts = _quantized(emb, id_col, vec_col).persist()
-    from .dedup import _INTERMEDIATES
-
-    _INTERMEDIATES.rollover([pts])
+    pts = _quantized(emb, id_col, vec_col)
     cents, dim = _train_cents(pts, id_col, k, n_iter)
     return _assign(pts, cents, dim).select(id_col, "cluster", "d2")
 
@@ -130,20 +121,7 @@ def _train_cents(
     """``n_iter`` Lloyd rounds over a quantized point set (``xq``
     column); returns the final grid-integer centroids and the width.
     Seeds are the ``k`` lowest-id points; empty clusters keep their
-    previous centroid.
-
-    Round shape — MEASURED, kept (r12 opt): the r11 ledger hypothesized
-    the mapInPandas-partials form (``_train_books_joint`` with one
-    full-width book) would beat this pandas_udf-argmin + JVM-aggregate
-    form by halving boundary crossings.  The alternating same-session
-    A/B REJECTED it: partials ran 1.18× slower at sf0.1 (quiet-host
-    min-of-8) and 1.32× at sf1.  The payload crosses the Python
-    boundary ONCE in both shapes (the udf receives xq and returns one
-    long; the JVM retains xq for the aggregate) — the partials form
-    merely trades codegen'd element_at sums for per-batch pandas
-    DataFrame construction plus a (dim+3)-column Arrow return, and
-    loses.  Arithmetic equality of whichever shape ships is pinned by
-    tests/test_opt_r12.py against a pure-numpy Lloyd reference."""
+    previous centroid."""
     seeds = sorted(
         pts.orderBy(id_col).limit(k).collect(), key=lambda r: r[id_col]
     )
@@ -241,18 +219,70 @@ def _train_pq(
     the same groups relationally via posexplode, but the explode
     duplicates every row's full dim-wide array m times before the
     partial aggregate — measured ~2x SLOWER than the old per-subspace
-    chains at sf1/sf3, while this form is one slim scan per round.
-
-    Since r12 this is the ``m`` uniform-subspace special case of
-    :func:`_train_books_joint` (ADVICE r11, low: the two trainers
-    duplicated ~90 lines of seeding/argmin/update/carry-over rules
-    that could drift; subspace books have equal widths so the joint
-    trainer's w_max padding is zero here).  Arithmetic equality is
-    pinned by tests/test_opt_r12.py against a pure-numpy Lloyd
-    reference and by tests/test_opt_r11.py joint-vs-separate."""
-    return _train_books_joint(
-        pts, id_col, [(j * w, k, w) for j in range(m)], n_iter
+    chains at sf1/sf3, while this form is one slim scan per round."""
+    seeds = sorted(
+        pts.orderBy(id_col).limit(k).collect(), key=lambda r: r[id_col]
     )
+    if not seeds:
+        raise ValueError("pq: input has no vectors")
+    cents = [
+        [[int(v) * GRID for v in r["xq"][j * w : (j + 1) * w]] for r in seeds]
+        for j in range(m)
+    ]
+    k_eff = len(seeds)
+    stats_schema = "_j int, _cl int, _n long, " + ", ".join(
+        f"_s{d} long" for d in range(w)
+    )
+
+    for _ in range(n_iter):
+        c_all = np.asarray(cents, dtype=np.int64)  # (m, k_eff, w)
+
+        def batch_stats(batches, _c=c_all):
+            mm, kk, ww = _c.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+                xs = (x * GRID).reshape(-1, mm, 1, ww)
+                # argmin over exact int64 distances; np.argmin takes the
+                # FIRST minimum, i.e. ties to the lowest cluster id —
+                # the same rule _assign_multi's key encoding folds in
+                cl = ((xs - _c[None]) ** 2).sum(axis=3).argmin(axis=2)
+                rows = []
+                for j in range(mm):
+                    idx = cl[:, j]
+                    n_by = np.bincount(idx, minlength=kk)
+                    sums = np.zeros((kk, ww), dtype=np.int64)
+                    np.add.at(sums, idx, x[:, j * ww : (j + 1) * ww])
+                    for ci in np.nonzero(n_by)[0]:
+                        rows.append(
+                            (j, int(ci), int(n_by[ci]), *map(int, sums[ci]))
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["_j", "_cl", "_n"] + [f"_s{d}" for d in range(ww)]
+                )
+
+        stats = (
+            pts.mapInPandas(batch_stats, stats_schema)
+            .groupBy("_j", "_cl")
+            .agg(
+                F.sum("_n").alias("_n"),
+                *[F.sum(f"_s{d}").alias(f"_s{d}") for d in range(w)],
+            )
+            .collect()
+        )
+        by = {(int(r["_j"]), int(r["_cl"])): r for r in stats}
+        for j in range(m):
+            for ci in range(k_eff):
+                r = by.get((j, ci))
+                if r is None:
+                    continue  # empty cluster: centroid carries over
+                n = int(r["_n"])
+                cents[j][ci] = [
+                    (2 * int(r[f"_s{d}"]) * GRID + n) // (2 * n)
+                    for d in range(w)
+                ]
+    return cents
 
 
 def _train_books_joint(
@@ -264,10 +294,6 @@ def _train_books_joint(
     """Train SEVERAL independent Lloyd codebooks in the same per-round
     jobs: ``books_spec`` is ``[(dim offset, k_i, w_i), ...]`` — e.g.
     IVFADC's one coarse full-width book plus m PQ subspace books.
-    ``w_i = None`` means "the rest of the vector from the offset" —
-    resolved from the seed rows, so a plain-kmeans caller
-    (:func:`_train_cents`) need not pre-derive the width with an extra
-    job.
 
     Training the books separately (the pre-r11-opt ivf_adc_topk shape:
     ``_train_pq(m=1, kc)`` then ``_train_pq(m, k)``) runs 2·n_iter
@@ -282,16 +308,12 @@ def _train_books_joint(
     trainers on the driver testdata.
     """
     k_max = max(k for _, k, _ in books_spec)
+    w_max = max(w for _, _, w in books_spec)
     seeds = sorted(
         pts.orderBy(id_col).limit(k_max).collect(), key=lambda r: r[id_col]
     )
     if not seeds:
         raise ValueError("kmeans: input has no vectors")
-    dim = len(seeds[0]["xq"])
-    books_spec = [
-        (off, k, (dim - off) if w is None else w) for off, k, w in books_spec
-    ]
-    w_max = max(w for _, _, w in books_spec)
     cents: list[list[list[int]]] = [
         [[int(v) * GRID for v in r["xq"][off : off + w]] for r in seeds[:k]]
         for off, k, w in books_spec
@@ -396,14 +418,7 @@ def pq_quantize(
         raise ValueError(f"pq_quantize: dim {dim} not divisible by m={m}")
     w = dim // m
 
-    # one quantized point table feeds the seed collect, every training
-    # round and the final code projection — persist it for the life of
-    # the query plan (r12 opt, the ivf_adc_topk pattern; the next
-    # registry query's janitor rollover retires the blocks)
-    pts = _quantized(emb, id_col, vec_col).persist()
-    from .dedup import _INTERMEDIATES
-
-    _INTERMEDIATES.rollover([pts])
+    pts = _quantized(emb, id_col, vec_col)
     cents = _train_pq(pts, id_col, m, k, n_iter, w)
     k_eff = len(cents[0])
     d2 = None
@@ -462,12 +477,7 @@ def pq_adc_topk(
         raise ValueError(f"pq_adc_topk: dim {dim} not divisible by m={m}")
     w = dim // m
 
-    # persist the quantized point table across seed/round/query-row/
-    # code jobs (r12 opt, the ivf_adc_topk pattern; janitor-retired)
-    pts = _quantized(emb, id_col, vec_col).persist()
-    from .dedup import _INTERMEDIATES
-
-    _INTERMEDIATES.rollover([pts])
+    pts = _quantized(emb, id_col, vec_col)
     cents = _train_pq(pts, id_col, m, k, n_iter, w)
     k_eff = len(cents[0])
     codes = _assign_multi(pts, cents).select(
@@ -584,9 +594,8 @@ def ivf_adc_topk(
     never touches raw vectors.
 
     Everything is oracle-exact: both quantizers are the exact-integer
-    Lloyd via :func:`_train_books_joint` (per-book arithmetic equals
-    :func:`_train_pq` — test-pinned; the coarse book is the full-width
-    special case), cells and codes come from ONE heterogeneous assignment
+    Lloyd (:func:`_train_pq` — the coarse book is the m=1 special
+    case), cells and codes come from ONE heterogeneous assignment
     projection (:func:`_assign_books` — no id-keyed join between the
     coarse and fine assignments), the per-query cell is derived in
     Python from the SAME collected ``xq`` ints that built the LUTs,
