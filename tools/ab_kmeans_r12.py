@@ -19,10 +19,36 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from usda_food_data_pipeline_spark.operators import _kmeans_old_r12 as old
 from usda_food_data_pipeline_spark.operators import kmeans as new
 from usda_food_data_pipeline_spark.session import get_spark
 from usda_food_data_pipeline_spark.sources.tables import load_table
+
+
+def _load_old_kmeans():
+    """Materialize the pre-r12 kmeans module from git (commit 8f21228,
+    the last tree before the r12 kmeans changes) and import it under
+    the package namespace so its relative imports resolve.  Written to
+    a gitignored temp name; never shipped in the package."""
+    import subprocess
+    import importlib
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "usda_food_data_pipeline_spark", "operators", "_kmeans_ab_old_tmp.py",
+    )
+    blob = subprocess.run(
+        ["git", "show", "8f21228:usda_food_data_pipeline_spark/operators/kmeans.py"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout
+    with open(path, "w") as f:
+        f.write(blob)
+    return importlib.import_module(
+        "usda_food_data_pipeline_spark.operators._kmeans_ab_old_tmp"
+    )
+
+
+old = _load_old_kmeans()
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 3
