@@ -14,6 +14,8 @@ join so the cross product never materializes globally.
 
 from __future__ import annotations
 
+import pandas  # noqa: F401 — resolves pandas_udf postponed type hints
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -953,24 +955,39 @@ def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
     """SimHash fingerprint from the :func:`simhash_token_hashes` array.
 
     Bit i is set iff the count of hashes with bit i set exceeds half
-    the token count — ``bits`` integer popcount folds over the shared
-    array. 16 bits keeps every intermediate in exact-integer territory
-    for the SQL oracle.
+    the token count.  Exact integer arithmetic throughout, so the SQL
+    oracle (per-bit popcount folds) agrees bit for bit.
+
+    Shape (r12 opt, guide §4.2): one Arrow-batched numpy vote count.
+    The former spelling ran ``bits`` SEPARATE higher-order
+    ``F.aggregate`` folds over the shared hash array — at 48 bits that
+    is 48 interpreted lambda passes per document, measured as 2.5s of
+    simhash_neardup's 4.8s at sf0.1 (hashes-only projection 0.66s →
+    +fingerprint 3.16s); the numpy form computes all bit votes in one
+    pass over the array (same-session A/B in OPTIMIZATION_r12.md §6).
+    NULL and empty hash arrays produce fingerprint 0, exactly like the
+    old expression (NULL votes fail the > test; empty arrays vote 0).
     """
-    n = F.size(hashes)
+    from pyspark.sql.functions import pandas_udf
 
-    def bit_votes(i: int):
-        # closure (not a default arg: PySpark counts lambda params)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda s, h: s + F.floor(h / F.lit(2**i)).cast("bigint") % 2,
-        )
+    # the module uses postponed annotations, so the hints are spelled
+    # against the module-level ``pandas`` import above
+    @pandas_udf("long")
+    def _fold(hs: pandas.Series) -> pandas.Series:
+        import numpy as np
+        import pandas as pd
 
-    acc = F.lit(0).cast("bigint")
-    for i in range(bits):
-        acc = acc + F.when(bit_votes(i) * 2 > n, F.lit(2**i)).otherwise(0)
-    return acc
+        ar = np.arange(bits, dtype=np.int64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for j, h in enumerate(hs):
+            if h is None or len(h) == 0:
+                continue
+            a = np.asarray(h, dtype=np.int64)
+            votes = ((a[:, None] >> ar) & np.int64(1)).sum(axis=0)
+            out[j] = int(((votes * 2 > len(a)).astype(np.int64) << ar).sum())
+        return pd.Series(out)
+
+    return _fold(hashes)
 
 
 def simhash(tokens: Column, bits: int = 16) -> Column:
