@@ -311,25 +311,45 @@ class CheckpointJanitor:
 
 
 class _IntermediateJanitor:
-    """Generational tracker for the persisted intermediates of the
-    pair-generating dedup operators (MinHash signature tables, shingle/
-    prefix-occupancy tables).
+    """Generational tracker for the persisted intermediates of
+    engine operators (MinHash signature tables, shingle/prefix
+    occupancy tables, quantized point tables, model count tables).
 
-    Those operators return LAZY pair DataFrames whose plans read the
-    caches, so the operator itself must not unpersist before returning.
+    Those operators return LAZY DataFrames whose plans read the caches,
+    so the operator itself must not unpersist before returning.
     Instead, each new tracked operator call retires the PREVIOUS call's
     generation: by then the previous result has been consumed (the
     registry/bench pattern — one query materializes before the next
     builds), and if a caller still holds it lazily, unpersist merely
     degrades that plan to recompute — never a wrong answer. A session
-    running the whole dedup registry back-to-back therefore holds at
-    most one generation of intermediate blocks instead of accumulating
-    one per query until driver GC (see test_checkpoint_release.py).
+    running the whole registry back-to-back therefore holds at most one
+    generation of intermediate blocks instead of accumulating one per
+    query until driver GC (see test_checkpoint_release.py).
 
-    Driver-side and single-generation by design; composite plans are
-    safe because no composite calls two tracked operators before
-    materializing the first (training_pipeline / dedup_clusters /
-    incremental_dedup each contain exactly one tracked call).
+    Driver-side and single-generation by design.  Tracked (rollover)
+    call sites — ADVICE r11 low 2, kept current:
+
+    - dedup operators: minhash signatures (exact/LSH/incremental pair
+      generators), jaccard prefix tables, simhash fingerprints
+      (this module: minhash_lsh_pairs, jaccard_pairs_prefix,
+      dedup-exact fp, incremental sig_a/sig_b, containment sh_t,
+      simhash_neardup fp);
+    - kmeans family: the quantized point table in kmeans_assign,
+      pq_quantize, pq_adc_topk, ivf_adc_topk (operators/kmeans.py);
+    - model/count tables: functions/lm.py (uni+bg), functions/dsir.py
+      (dc), functions/pmi.py (toks+uni+bg), functions/textstats.py
+      (cnt), registry_text q_maxsim_retrieval (cnt), registry_select
+      (ex0, baskets), registry_curation (`track` of a persisted side).
+
+    CONTRACT for composites: at most one tracked-operator call may be
+    live per materialization — a composite that needs results from two
+    tracked operators must persist + count the first result and
+    ``track()`` it (lsh_recall_eval's pattern below) BEFORE invoking
+    the second, whose rollover frees the first call's build caches.
+    Every registry composite satisfies this today (training_pipeline /
+    dedup_clusters / incremental_dedup contain exactly one tracked
+    call; lsh_recall_eval and split_leakage use the track() protocol;
+    the kmeans-consumer queries each call kmeans_assign once).
     """
 
     def __init__(self) -> None:

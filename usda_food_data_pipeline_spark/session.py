@@ -42,9 +42,24 @@ def get_spark(
         # waiting for GCLocker too often" -> spurious task OOM under an
         # undersized heap, multi-second allocation stalls otherwise).
         # More retries is strictly safer than failing the task.
+        #
+        # GC regime (r12 opt, measured): this process is a BATCH driver
+        # — throughput matters, pause latency does not. Interleaved
+        # fresh-session A/B of a 10-query medium subset at sf0.1
+        # (3 sessions per GC, alternating): ParallelGC totals
+        # 43.8/52.6/72.4s vs G1 59.3/59.7/62.0s; per-query min-of-3
+        # ratios 0.67-1.01, geomean 0.83 (AB_NOTES round12_opt_gc_ab).
+        # Parameterised so a latency-sensitive deployment (or a G1
+        # re-measure) can flip it without code: SPARK_GRAFT_GC=g1
+        # keeps the JVM default.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100"
+            + (
+                " -XX:+UseParallelGC"
+                if os.environ.get("SPARK_GRAFT_GC", "parallel") == "parallel"
+                else ""
+            ),
         )
         .config("spark.ui.enabled", "false")
         # 256 MB: executors here (and the 100 TB design point) carry
