@@ -248,39 +248,42 @@ def nb_margin_calibration(
     Exactness: totals are 9-dp decimals (aggregation-order-free), the
     margin is one exact decimal subtraction, and banding is
     ``least(cap, floor(margin))`` — integer-exact in both engines.
-    Rank ties break by class name ascending, matching nb_score's
+    Top-1 ties break by class name ascending, matching nb_score's
     first-in-classes-order argmax (``classes`` is sorted).
 
-    Scale: one (doc)-keyed exchange of |classes| rows per doc for the
-    rank window — an eval-harness shape (like adc_recall_eval), run on
-    a labeled sample at corpus scale, never on the full 100 TB.
+    Shape (r12 opt, §2.4): the top-2 of a FIXED |classes|-column row
+    is scan-local ``greatest`` arithmetic — t1 = greatest(t_c), c1 =
+    the argmax when-chain, t2 = greatest(t_c for c ≠ c1).  The former
+    spelling exploded each doc into |classes| rows and ranked them
+    with a doc-partitioned row_number window: an extra doc-keyed
+    Exchange + sort + re-group, all to pick 2 of 5 known columns (the
+    oracle still spells it as the window — equal values by
+    construction, including t1-tie rows where t2 == t1 and
+    single-scored docs where t2 is NULL).  Plan: 2 Exchange + Window →
+    0 extra exchanges; per-query A/B in OPTIMIZATION_r12.md.
     """
-    from pyspark.sql import Window
-
     if sorted(classes) != list(classes):
-        raise ValueError("classes must be sorted: rank tiebreak == argmax order")
+        raise ValueError("classes must be sorted: top-1 tiebreak == argmax order")
     model, stats = nb_train(df, label_col, text_col, classes)
     tot = nb_totals(df, id_col, text_col, model, stats, classes, keep_cols=[label_col])
-    long = tot.select(
-        F.col(id_col),
+    t1 = F.greatest(*[F.col(f"_t_{c}") for c in classes])
+    c1 = None
+    for c in reversed(classes):
+        tail = F.lit(c) if c1 is None else c1
+        c1 = F.when(F.col(f"_t_{c}") == t1, F.lit(c)).otherwise(tail)
+    # greatest() skips NULLs, so masking the winner with NULL yields the
+    # runner-up value; a doc with only one non-NULL total gets t2 NULL,
+    # exactly as the window form's missing rank-2 row did
+    top2 = tot.select(
         F.col(label_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(c).alias("cls"), F.col(f"_t_{c}").alias("t"))
+        t1.alias("t1"),
+        c1.alias("c1"),
+        F.greatest(
+            *[
+                F.when(F.lit(c) != c1, F.col(f"_t_{c}"))
                 for c in classes
-            ])
-        ).alias("ct"),
-    ).select(id_col, label_col, F.col("ct.cls").alias("cls"), F.col("ct.t").alias("t"))
-    w = Window.partitionBy(id_col).orderBy(F.col("t").desc(), F.col("cls"))
-    top2 = (
-        long.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 2)
-        .groupBy(id_col, label_col)
-        .agg(
-            F.max(F.when(F.col("_rk") == 1, F.col("t"))).alias("t1"),
-            F.max(F.when(F.col("_rk") == 1, F.col("cls"))).alias("c1"),
-            F.max(F.when(F.col("_rk") == 2, F.col("t"))).alias("t2"),
-        )
+            ]
+        ).alias("t2"),
     )
     band = F.least(
         F.lit(band_cap),
