@@ -184,12 +184,20 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership screening).
 
     Scale shape: `bits` is at most m distinct integers — broadcast —
-    and the corpus side exchanges only (doc_id, shingle-hash rows →
-    integer counts); with real Spark infrastructure you'd hand the same
-    m-bit array to `bloom_filter_agg`/`might_contain` (the runtime-
-    filter pin in test_layout.py shows that machinery); this operator
-    keeps the portable-integer form so the FP accounting stays
-    oracle-checkable.
+    and because shingles are DISTINCT per doc (`word_shingles` ends in
+    `array_distinct`), the k membership probes of a (doc, shingle) row
+    are scan-local: k broadcast left joins against the SAME bits build
+    (identical broadcast plans — ReuseExchange ships one) replace the
+    (doc_id, shingle)-keyed probe aggregation, so the only exchange the
+    corpus pays is the final doc_id rollup of two small ints, with
+    map-side partial aggregation. (r12 opt: the previous shape unioned
+    k corpus-wide (doc_id, s, p) arms into a groupBy(doc_id, s) — a
+    k×-corpus-sized shuffle of full shingle strings that the per-doc
+    distinctness makes unnecessary; same-session A/B 0.49×.) With real
+    Spark infrastructure you'd hand the same m-bit array to
+    `bloom_filter_agg`/`might_contain` (the runtime-filter pin in
+    test_layout.py shows that machinery); this operator keeps the
+    portable-integer form so the FP accounting stays oracle-checkable.
     """
     k = len(_BLOOM_SEEDS)
     docs = _spread(load_table(spark, sf_dir, "documents"))
@@ -200,29 +208,36 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bits = None
-    for seed in _BLOOM_SEEDS:
-        sel = bench_sh.select((md5_int(F.col("s"), seed) % _BLOOM_M).alias("p"))
-        bits = sel if bits is None else bits.unionByName(sel)
-    bits = bits.distinct().withColumn("set_", F.lit(1))
+    bits = (
+        bench_sh.select(
+            F.explode(
+                F.array(
+                    *[
+                        (md5_int(F.col("s"), seed) % _BLOOM_M)
+                        for seed in _BLOOM_SEEDS
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
 
-    cs = docs.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+    probed = docs.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
         "doc_id",
         F.explode(word_shingles(tokenize(F.col("text")), _SHINGLE_N)).alias("s"),
     )
-    pos = None
-    for seed in _BLOOM_SEEDS:
-        sel = cs.select(
-            "doc_id", "s", (md5_int(F.col("s"), seed) % _BLOOM_M).alias("p")
+    for i, seed in enumerate(_BLOOM_SEEDS):
+        probed = probed.withColumn(f"_p{i}", md5_int(F.col("s"), seed) % _BLOOM_M)
+    for i in range(k):
+        b = F.broadcast(
+            bits.select(F.col("p").alias(f"_p{i}"), F.col("set_").alias(f"_h{i}"))
         )
-        pos = sel if pos is None else pos.unionByName(sel)
-
-    probed = (
-        pos.join(F.broadcast(bits), "p", "left")
-        .groupBy("doc_id", "s")
-        .agg(F.count("set_").alias("n_set"))
+        probed = probed.join(b, f"_p{i}", "left")
+    n_set = sum(
+        F.when(F.col(f"_h{i}").isNotNull(), 1).otherwise(0) for i in range(k)
     )
-    marked = probed.join(
+    marked = probed.withColumn("n_set", n_set).join(
         F.broadcast(bench_sh.withColumn("true_", F.lit(1))), "s", "left"
     )
     return (
