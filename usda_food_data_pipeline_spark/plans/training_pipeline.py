@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textstats import quality_score, token_count
 from ..operators.dedup import (
+    _INTERMEDIATES,
     connected_components,
     dedup_latest,
     minhash_lsh_pairs,
@@ -53,12 +54,26 @@ def training_pipeline(
         (F.col("quality") >= quality_min) & (F.col("n_tokens") >= tokens_min)
     )
 
-    # exact dedup: canonical (min doc_id) row per content hash
-    deduped = dedup_latest(
-        gated.withColumn("_h", F.md5("text")), ["_h"], "doc_id", keep="min"
-    ).drop("_h")
+    # exact dedup: canonical (min doc_id) row per content hash.
+    # `deduped` feeds THREE consumers (the LSH signature build, the CC
+    # node list, and the survivor join) and Spark has no cross-branch
+    # subplan CSE, so unpersisted each consumer re-runs the gate +
+    # content-hash window over the full corpus text (r12 opt: 0.85×
+    # same-session A/B; at scale this is 2 corpus text passes removed).
+    # Janitor protocol: materialize BEFORE minhash_lsh_pairs (whose
+    # rollover retires the previous query's generation), then track()
+    # so the NEXT tracked call retires this cache too.
+    deduped = (
+        dedup_latest(
+            gated.withColumn("_h", F.md5("text")), ["_h"], "doc_id", keep="min"
+        )
+        .drop("_h")
+        .persist()
+    )
+    deduped.count()
 
     pairs = minhash_lsh_pairs(deduped, "doc_id", "text", **MINHASH_PARAMS)
+    _INTERMEDIATES.track(deduped)
     components = connected_components(
         pairs, deduped.select(F.col("doc_id").alias("node")), "id_a", "id_b"
     )
