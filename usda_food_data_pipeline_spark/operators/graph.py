@@ -170,7 +170,14 @@ def triangle_count(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFram
 
     Returns one row: (n_nodes, n_edges, n_triangles).
     """
-    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).distinct()
+    # the distinct edge list is referenced by both union arms of `und`,
+    # by the degree table (hence du/dv), and by the n_edges count —
+    # persist it so the caller's pair-generation subtree executes once
+    # (r12 opt, 0.87× same-session A/B: exchange reuse does not cover
+    # the full fan-out here, unlike the 2-arm LPA/kcore unions where a
+    # matching persist measured flat and was not landed); released
+    # below once the 1-row result is eagerly checkpointed
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).distinct().persist()
     und = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
     deg = und.groupBy(F.col("x").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
 
@@ -208,6 +215,7 @@ def triangle_count(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFram
     )
     result = out.localCheckpoint(eager=True)
     oriented.unpersist()
+    e.unpersist()
     return result
 
 
