@@ -943,16 +943,20 @@ def q_padding_truncation_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-doc attention-contamination tradeoff for a finetuning set.
 
     Scale shape: the per-doc token count is computed ONCE and fanned to
-    the |lens| arms map-side (the union is over a 1-column projection);
-    partial aggregation collapses everything to |lens| rows before the
-    only exchange.
+    the |lens| candidates map-side by exploding a literal array (r12
+    opt: the previous |lens|-arm union re-ran the tokenize per arm —
+    union arms are independent subtrees, not a shared projection;
+    0.82× same-session A/B); partial aggregation collapses everything
+    to |lens| rows before the only exchange.
     """
     docs = _spread(load_table(spark, sf_dir, "documents"))
     t = docs.select(F.size(tokenize(F.col("text"))).cast("bigint").alias("n_toks"))
-    arms = None
-    for L in _PT_LENS:
-        sel = t.select(F.lit(L).cast("int").alias("max_len"), "n_toks")
-        arms = sel if arms is None else arms.unionByName(sel)
+    arms = t.select(
+        F.explode(F.array(*[F.lit(L).cast("int") for L in _PT_LENS])).alias(
+            "max_len"
+        ),
+        "n_toks",
+    )
     lost = F.greatest(F.col("n_toks") - F.col("max_len"), F.lit(0))
     padded = F.greatest(F.col("max_len") - F.col("n_toks"), F.lit(0))
     return (
