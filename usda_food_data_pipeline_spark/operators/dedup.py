@@ -346,10 +346,12 @@ class _IntermediateJanitor:
     tracked operators must persist + count the first result and
     ``track()`` it (lsh_recall_eval's pattern below) BEFORE invoking
     the second, whose rollover frees the first call's build caches.
-    Every registry composite satisfies this today (training_pipeline /
-    dedup_clusters / incremental_dedup contain exactly one tracked
-    call; lsh_recall_eval and split_leakage use the track() protocol;
-    the kmeans-consumer queries each call kmeans_assign once).
+    Every registry composite satisfies this today (dedup_clusters /
+    incremental_dedup contain exactly one tracked call;
+    lsh_recall_eval, split_leakage and training_pipeline use the
+    track() protocol — training_pipeline tracks its persisted deduped
+    table after the minhash rollover (r12); the kmeans-consumer
+    queries each call kmeans_assign once).
     """
 
     def __init__(self) -> None:
