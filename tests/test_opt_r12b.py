@@ -162,3 +162,46 @@ def test_padding_card_explode_matches_union(spark):
     b = sorted(map(tuple, arms_explode.collect()))
     assert a == b
     assert len(a) == 7 * len(_PT_LENS)
+
+
+def test_bpe_encode_arrow_matches_expression(spark):
+    """The Arrow-batched encoder must reproduce the expression fold's
+    greedy left-to-right non-overlapping merge semantics exactly —
+    including cascading merges (a rule whose output feeds a later
+    rule), repeated pairs, and empty/whitespace-only texts."""
+    from usda_food_data_pipeline_spark.functions.bpe import (
+        bpe_encode,
+        bpe_encode_arrow,
+    )
+    from usda_food_data_pipeline_spark.operators.dedup import tokenize
+
+    rules = [
+        (1, "a", "b", "ab", 9),
+        (2, "ab", "c", "abc", 7),   # cascades on rule 1's output
+        (3, "c", "c", "cc", 5),     # overlap: ccc -> [cc, c], not [c, cc]
+    ]
+    docs = spark.createDataFrame(
+        [
+            (1, "abc ababc ccc abab"),
+            (2, "aabbcc cab ba"),
+            (3, "   "),
+            (4, "abcabc ccccc"),
+        ],
+        "doc_id long, text string",
+    )
+    expr = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id", bpe_encode(F.col("text"), rules).alias("e")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id",
+            bpe_encode_arrow(tokenize(F.col("text")), rules).alias("e"),
+        ).collect()
+    }
+    assert expr == arrow
+    assert arrow[1][:2] == ["abc", "ab"]  # 'abc' fully cascaded
+    assert arrow[3] == []

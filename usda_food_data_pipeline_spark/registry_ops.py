@@ -1127,24 +1127,29 @@ FROM base b JOIN dpc c ON c.doc_id = b.doc_id
     "subword-piece, and distinct-piece counts (exact unrolled-training oracle)",
 )
 def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train (driver loop, deterministic ties) then encode in ONE scan:
-    the merge table compiles into the plan as expressions
-    (functions/bpe.bpe_encode — no broadcast, no UDF), so encoding is
-    embarrassingly parallel over documents; the only exchange is the
-    source scan itself. Zero-token documents carry no pieces and are
-    excluded on both sides."""
-    from .functions.bpe import bpe_encode, bpe_train
+    """Train (driver loop, deterministic ties) then encode in ONE scan.
+    The merge table is applied by the Arrow-batched twin
+    (functions/bpe.bpe_encode_arrow): one pandas_udf pass per batch
+    replaces n_merges interpreted expression folds per word, and the
+    tokenize runs once feeding both the token count and the encoder
+    (r12 opt, 0.75× same-session A/B; arithmetic pinned to the
+    expression form — which the oracle SQL mirrors — by
+    tests/test_opt_r12b.py). Encoding stays embarrassingly parallel
+    over documents; the only exchange is the source scan itself.
+    Zero-token documents carry no pieces and are excluded on both
+    sides."""
+    from .functions.bpe import bpe_encode_arrow, bpe_train
     from .operators.dedup import tokenize
     from .sources.tables import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     rules = bpe_train(docs, "text", n_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT)
-    enc = bpe_encode(F.col("text"), rules)
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("_toks"))
     return (
-        docs.select(
+        toked.select(
             "doc_id",
-            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
-            enc.alias("_enc"),
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            bpe_encode_arrow(F.col("_toks"), rules).alias("_enc"),
         )
         .filter(F.col("n_tokens") > 0)
         .select(
